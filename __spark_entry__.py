@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` maps
+every implemented operator (SURVEY.md §2 + north-star extensions) to a
+callable ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each (same column names/rounding so the driver's
+order-insensitive value-hash matches).
 """
 
 from __future__ import annotations
@@ -13,26 +13,549 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bigdataminingproject_spark.functions.numeric import stable_avg_sql
+from bigdataminingproject_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    SKIPWORDS,
+)
+from bigdataminingproject_spark.operators import dedup, events, frequency
+from bigdataminingproject_spark.operators import relational, similarity, textstats
+from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
+from bigdataminingproject_spark.session import tune_session
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    tune_session(spark)
+    return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational surface (star schema)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "q_top_customers": relational.q_top_customers,
+        "q_nation_balance": relational.q_nation_balance,
+        "q_part_brand_stats": relational.q_part_brand_stats,
+        "q_order_priority": relational.q_order_priority,
+        "q_customer_order_rank": relational.q_customer_order_rank,
+        "q_monthly_discount": relational.q_monthly_discount,
+        # event-stream analytics (reference W3/W5 on event-time)
+        "q_events_hourly": events.q_events_hourly,
+        "q_events_burst": events.q_events_burst,
+        "q_events_sessionize": events.q_events_sessionize,
+        "q_events_top_users": events.q_events_top_users,
+        "q_events_props": events.q_events_props,
+        # frequency / top-k (reference A7-A9, A12-A13)
+        "q_doc_tokens_topk": frequency.q_doc_tokens_topk,
+        "q_doc_term_estimates": frequency.q_doc_term_estimates,
+        "q_doc_source_topk": frequency.q_doc_source_topk,
+        # dedup family (reference A10 + north-star)
+        "q_dup_scores": dedup.q_dup_scores,
+        "q_dup_summary": dedup.q_dup_summary,
+        "q_exact_duplicates": dedup.q_exact_duplicates,
+        "q_ngram_jaccard": dedup.q_ngram_jaccard,
+        # text analysis (north-star)
+        "q_doc_stats": textstats.q_doc_stats,
+        "q_doc_fingerprints": textstats.q_doc_fingerprints,
+        "q_doc_lang_stats": textstats.q_doc_lang_stats,
+        "q_doc_lang_id": textstats.q_doc_lang_id,
+        # similarity search (north-star)
+        "q_knn_bruteforce": similarity.q_knn_bruteforce,
+        "q_embedding_neardup": similarity.q_embedding_neardup,
+        "q_embedding_neardup_lsh": similarity.q_embedding_neardup_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect). Shared literals are interpolated from the
+# same Python constants the Spark plans use, so the two sides cannot drift.
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(
+    f"'{w}'" for w in sorted(set(ENGLISH_STOPWORDS) | set(SKIPWORDS))
+)
+_STOP_ONLY_LIST = ", ".join(f"'{w}'" for w in sorted(set(ENGLISH_STOPWORDS)))
+
+# Tokenizer CTE fragment: lower → split on non-letter runs → drop empties →
+# drop stop/skip-words. Mirrors functions/text.py::tokenize+remove_stopwords.
+_TOKS_CTE = f"""
+tok_base AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                       x -> x <> '') AS raw_toks
+    FROM documents
+),
+tok_clean AS (
+    SELECT doc_id, source,
+           list_filter(raw_toks, x -> x NOT IN ({_STOP_LIST})) AS toks
+    FROM tok_base
+)
+"""
+
+# Positioned raw tokens (no stopword removal — shingling uses raw tokens,
+# mirroring dedup.py::_doc_shingles) and 3-shingles.
+_SHINGLE_CTE = """
+tok_pos AS (
+    SELECT doc_id,
+           unnest(raw_toks) AS tok,
+           unnest(range(1, len(raw_toks) + 1)) AS pos
+    FROM tok_base
+),
+sh AS (
+    SELECT a.doc_id, a.pos, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM tok_pos a
+    JOIN tok_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    JOIN tok_pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+)
+"""
+
+
+def _lang_hits_exprs() -> str:
+    cols = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            f"len(list_filter(raw_toks, x -> x IN ({lst}))) AS h_{lang}"
+        )
+    return ",\n           ".join(cols)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    sql["q1_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               {stable_avg_sql('l_quantity', 2)} AS avg_qty,
+               {stable_avg_sql('l_extendedprice', 2)} AS avg_price,
+               {stable_avg_sql('l_discount', 4)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sql["q3_shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+    sql["q5_region_revenue"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """
+
+    sql["q_top_customers"] = """
+        WITH totals AS (
+            SELECT o_custkey,
+                   round(sum(o_totalprice), 2) AS total_spent,
+                   count(*) AS order_count
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey AS custkey, c_name, total_spent, order_count
+        FROM totals JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spent DESC, custkey
+        LIMIT 10
+    """
+
+    sql["q_nation_balance"] = f"""
+        SELECT n_name,
+               count(*) AS num_customers,
+               round(sum(c_acctbal), 2) AS total_acctbal,
+               {stable_avg_sql('c_acctbal', 2)} AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """
+
+    sql["q_part_brand_stats"] = f"""
+        SELECT p_brand,
+               count(*) AS num_parts,
+               {stable_avg_sql('p_retailprice', 2)} AS avg_retailprice,
+               round(avg(p_size), 2) AS avg_size,
+               max(p_size) AS max_size
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """
+
+    sql["q_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    sql["q_customer_order_rank"] = """
+        WITH ranked AS (
+            SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rank_in_customer
+            FROM orders
+        )
+        SELECT custkey, orderkey, totalprice, rank_in_customer
+        FROM ranked WHERE rank_in_customer <= 3
+        ORDER BY custkey, rank_in_customer
+    """
+
+    sql["q_monthly_discount"] = f"""
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+               {stable_avg_sql('l_discount', 4)} AS avg_discount,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS num_items
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY ship_month
+    """
+
+    sql["q_events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS event_hour, event_type,
+               count(*) AS event_count,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_hour, event_type
+    """
+
+    sql["q_events_burst"] = """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS event_hour, event_type,
+                   count(*) AS recent_count
+            FROM events GROUP BY 1, 2
+        ), lagged AS (
+            SELECT event_type, event_hour, recent_count,
+                   lag(event_hour) OVER w AS prev_hour,
+                   lag(recent_count) OVER w AS prev_count_raw
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY event_hour)
+        ), scored AS (
+            SELECT event_type, event_hour, recent_count,
+                   CASE WHEN prev_hour = event_hour - INTERVAL 1 HOUR
+                        THEN prev_count_raw ELSE 0 END AS prev_count,
+                   round((recent_count + 1.0) /
+                         (CASE WHEN prev_hour = event_hour - INTERVAL 1 HOUR
+                               THEN prev_count_raw ELSE 0 END + 1.0), 4) AS ratio
+            FROM lagged
+        )
+        SELECT event_type, event_hour, recent_count, prev_count, ratio
+        FROM scored
+        WHERE recent_count >= 5 AND ratio >= 2.0
+        ORDER BY ratio DESC, recent_count DESC, event_type, event_hour
+    """
+
+    sql["q_events_sessionize"] = """
+        WITH marked AS (
+            SELECT user_id, value, ts, event_id,
+                   epoch_ms(ts) AS ts_ms,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, value, ts_ms,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM marked
+        )
+        SELECT user_id, session_seq,
+               count(*) AS session_events,
+               max(ts_ms) - min(ts_ms) AS duration_ms,
+               round(sum(value), 2) AS session_value
+        FROM numbered
+        GROUP BY user_id, session_seq
+        ORDER BY user_id, session_seq
+    """
+
+    sql["q_events_top_users"] = """
+        SELECT user_id, count(*) AS event_count,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY event_count DESC, user_id
+        LIMIT 20
+    """
+
+    sql["q_events_props"] = """
+        WITH extracted AS (
+            SELECT event_type,
+                   TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS k_val
+            FROM events
+        )
+        SELECT event_type, round(avg(k_val), 4) AS avg_k, count(*) AS n
+        FROM extracted WHERE k_val IS NOT NULL
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+    sql["q_doc_tokens_topk"] = f"""
+        WITH {_TOKS_CTE}
+        SELECT token, count(*) AS token_count
+        FROM (SELECT unnest(toks) AS token FROM tok_clean)
+        GROUP BY token
+        ORDER BY token_count DESC, token
+        LIMIT 20
+    """
+
+    sql["q_doc_term_estimates"] = f"""
+        WITH {_TOKS_CTE},
+        counts AS (
+            SELECT token, count(*) AS token_count
+            FROM (SELECT unnest(toks) AS token FROM tok_clean)
+            GROUP BY token
+        ),
+        want(term) AS (VALUES ('spark'), ('table'), ('row'), ('zzz_unseen'))
+        SELECT term, coalesce(token_count, 0) AS estimate
+        FROM want LEFT JOIN counts ON term = token
+        ORDER BY term
+    """
+
+    sql["q_doc_source_topk"] = f"""
+        WITH {_TOKS_CTE},
+        counts AS (
+            SELECT source, token, count(*) AS token_count
+            FROM (SELECT source, unnest(toks) AS token FROM tok_clean)
+            GROUP BY source, token
+        ),
+        ranked AS (
+            SELECT source, token, token_count,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY token_count DESC, token
+                   ) AS rnk
+            FROM counts
+        )
+        SELECT source, token, token_count, rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY source, rnk
+    """
+
+    sql["q_dup_scores"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        hits AS (
+            SELECT doc_id,
+                   CASE WHEN min(doc_id) OVER (PARTITION BY shingle) < doc_id
+                        THEN 1 ELSE 0 END AS hit
+            FROM sh
+        ),
+        scored AS (
+            SELECT doc_id, round(avg(hit), 4) AS duplicate_score
+            FROM hits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.duplicate_score, 0.0) AS duplicate_score,
+               coalesce(s.duplicate_score, 0.0) >= 0.7 AS is_duplicate
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+    """
+
+    sql["q_dup_summary"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        hits AS (
+            SELECT doc_id,
+                   CASE WHEN min(doc_id) OVER (PARTITION BY shingle) < doc_id
+                        THEN 1 ELSE 0 END AS hit
+            FROM sh
+        ),
+        scored AS (
+            SELECT doc_id, round(avg(hit), 4) AS duplicate_score
+            FROM hits GROUP BY doc_id
+        ),
+        full_scores AS (
+            SELECT coalesce(s.duplicate_score, 0.0) AS duplicate_score,
+                   CASE WHEN coalesce(s.duplicate_score, 0.0) >= 0.7
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        )
+        SELECT count(*) AS processed,
+               CAST(sum(is_dup) AS BIGINT) AS duplicate_count,
+               round(avg(is_dup), 4) AS duplicate_rate,
+               {stable_avg_sql('duplicate_score', 4)} AS avg_duplicate_score
+        FROM full_scores
+    """
+
+    sql["q_exact_duplicates"] = """
+        WITH hashed AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_hash
+            FROM documents
+        )
+        SELECT content_hash, count(*) AS group_size, min(doc_id) AS keeper_id
+        FROM hashed
+        GROUP BY content_hash
+        HAVING count(*) > 1
+        ORDER BY content_hash
+    """
+
+    sql["q_ngram_jaccard"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM dsh a JOIN dsh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(shared / (sa.set_size + sb.set_size - shared), 4) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(shared / (sa.set_size + sb.set_size - shared), 4) >= 0.5
+        ORDER BY doc_a, doc_b
+    """
+
+    sql["q_doc_stats"] = f"""
+        WITH {_TOKS_CTE}
+        SELECT doc_id,
+               length(text) AS num_chars,
+               len(raw_toks) AS num_tokens,
+               len(list_distinct(raw_toks)) AS num_distinct_tokens,
+               round(CASE WHEN len(raw_toks) > 0
+                     THEN len(list_filter(raw_toks, x -> x IN ({_STOP_ONLY_LIST})))
+                          / len(raw_toks)
+                     ELSE 0.0 END, 4) AS stopword_ratio,
+               round(CASE WHEN len(raw_toks) > 0
+                     THEN list_aggregate(list_transform(raw_toks, x -> length(x)), 'sum')
+                          / len(raw_toks)
+                     ELSE 0.0 END, 4) AS avg_token_len
+        FROM tok_base JOIN documents USING (doc_id)
+        ORDER BY doc_id
+    """
+
+    sql["q_doc_fingerprints"] = """
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
+                               x -> x <> ''), ' ')) AS fingerprint
+        FROM documents
+        ORDER BY doc_id
+    """
+
+    sql["q_doc_lang_stats"] = """
+        SELECT lang, count(*) AS num_docs,
+               round(avg(n_chars), 2) AS avg_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+    sql["q_doc_lang_id"] = f"""
+        WITH tok_base AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                               x -> x <> '') AS raw_toks
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, lang,
+                   {_lang_hits_exprs()}
+            FROM tok_base
+        ),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                        WHEN h_fr = greatest(h_de, h_es, h_fr) THEN 'fr'
+                        WHEN h_es = greatest(h_de, h_es) THEN 'es'
+                        ELSE 'de' END AS predicted_lang
+            FROM hits
+        )
+        SELECT lang, predicted_lang, count(*) AS num_docs
+        FROM pred
+        GROUP BY lang, predicted_lang
+        ORDER BY lang, predicted_lang
+    """
+
+    _cos = (
+        "list_dot_product(a_vec, b_vec) / "
+        "(sqrt(list_dot_product(a_vec, a_vec)) * "
+        "sqrt(list_dot_product(b_vec, b_vec)))"
+    )
+
+    sql["q_knn_bruteforce"] = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round(list_dot_product(q.vec, n.vec) /
+                         (sqrt(list_dot_product(q.vec, q.vec)) *
+                          sqrt(list_dot_product(n.vec, n.vec))), 6) AS cosine_sim
+            FROM v q JOIN v n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+
+    sql["q_embedding_neardup"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.vec, b.vec) /
+                         (sqrt(list_dot_product(a.vec, a.vec)) *
+                          sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine_sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cosine_sim
+        FROM scored WHERE cosine_sim >= 0.95
+        ORDER BY id_a, id_b
+    """
+
+    # q_embedding_neardup_lsh intentionally has no oracle entry: the LSH
+    # bucketing is an approximate, engine-native candidate generator
+    # (rows-only check; exact ground truth is q_embedding_neardup).
+    return sql

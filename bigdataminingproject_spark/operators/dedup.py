@@ -1,0 +1,201 @@
+"""Deduplication operator family.
+
+Seeded by the reference's Bloom-filter duplicate detector
+(streaming/detectors/duplicate_detector.py) and widened into the dedup
+suite a training-data pipeline needs (exact, shingle-overlap streaming
+score, n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine — the last
+three in similarity.py / this module's minhash section).
+
+Exact-first: the streaming dedup *score* is reproduced batch-exactly with
+window functions (first-occurrence semantics, no Bloom false positives);
+the Bloom-backed variant lives in the sketch parity layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataminingproject_spark.functions.numeric import stable_avg
+from bigdataminingproject_spark.functions.text import (
+    remove_stopwords,
+    shingles,
+    tokenize,
+)
+from bigdataminingproject_spark.sources.tables import load_table
+
+DUP_THRESHOLD = 0.7  # duplicate_detector.py:31
+SHINGLE_K = 3  # duplicate_detector.py:28
+
+
+def _doc_shingles(docs: DataFrame, order_col: str, text_col: str) -> DataFrame:
+    """Explode each document into its k-shingle multiset with positions."""
+    toks = tokenize(F.col(text_col))
+    return docs.select(
+        F.col(order_col).alias("doc_id"),
+        F.posexplode(shingles(toks, SHINGLE_K)).alias("pos", "shingle"),
+    )
+
+
+def duplicate_scores(
+    docs: DataFrame,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = DUP_THRESHOLD,
+) -> DataFrame:
+    """Batch-exact reference duplicate scoring (A10).
+
+    Semantics (duplicate_detector.py:44-61): stream documents in
+    ``order_col`` order; a document's score is the fraction of its shingle
+    *occurrences* already seen in EARLIER documents; flag iff score >=
+    threshold. Check-then-insert ⇒ a shingle's first-ever document never
+    hits against itself (including repeats within that same document).
+
+    Exact formulation: hit iff min(doc_id) over the shingle's occurrences
+    is strictly smaller than this doc_id — one shuffle on shingle, one on
+    doc_id; no state, no false positives. Documents with <k tokens have an
+    empty shingle set ⇒ score 0.0 (duplicate_detector.py:44-47).
+    """
+    sh = _doc_shingles(docs, order_col, text_col)
+    w = Window.partitionBy("shingle")
+    hits = sh.withColumn(
+        "hit", (F.min("doc_id").over(w) < F.col("doc_id")).cast("int")
+    )
+    scored = hits.groupBy("doc_id").agg(
+        F.round(F.avg("hit"), 4).alias("duplicate_score")
+    )
+    ids = docs.select(F.col(order_col).alias("doc_id"))
+    return (
+        ids.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("duplicate_score"), F.lit(0.0)).alias(
+                "duplicate_score"
+            ),
+        )
+        .withColumn(
+            "is_duplicate",
+            (F.col("duplicate_score") >= F.lit(threshold)).cast("boolean"),
+        )
+    )
+
+
+def dedup_summary(
+    docs: DataFrame, order_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level duplicate counters (A11, run_detectors.py:227-241)."""
+    scores = duplicate_scores(docs, order_col, text_col)
+    return scores.agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.sum(F.col("is_duplicate").cast("int")).alias("duplicate_count"),
+        F.round(F.avg(F.col("is_duplicate").cast("int")), 4).alias(
+            "duplicate_rate"
+        ),
+        stable_avg(F.col("duplicate_score"), 4).alias("avg_duplicate_score"),
+    )
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized-text hash (hash-groupBy).
+
+    Normalization = lowercase + collapse whitespace. Returns one row per
+    duplicate *group* with the member ids; at 100 TB this is a single
+    shuffle on a 32-char key with map-side distinct.
+    """
+    norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("doc_id").alias("keeper_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Candidate generation via shared-shingle equi-join (only pairs sharing
+    >=1 shingle are compared — never the O(n²) cross join), then
+    |A∩B| / (|A|+|B|-|A∩B|) on distinct-shingle sets. This is the exact
+    ground truth that MinHash+LSH (minhash_lsh_pairs) approximates; at
+    100 TB scale the LSH variant replaces the shared-shingle join with a
+    banded bucket join.
+    """
+    toks = tokenize(F.col(text_col))
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(shingles(toks, k))).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- query registry entries -------------------------------------------------
+
+def q_dup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_scores(docs).orderBy("doc_id")
+
+
+def q_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_summary(docs)
+
+
+def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_duplicates(docs)
+        .select("content_hash", "group_size", "keeper_id")
+        .orderBy("content_hash")
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5)

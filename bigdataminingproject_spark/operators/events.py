@@ -1,0 +1,152 @@
+"""Event-stream analytics over the ``events`` table (batch replay form).
+
+These re-express the reference's windowed streaming analytics (SURVEY.md
+§2.5) on real event-time: tumbling windows for snapshots (W5), sliding
+window ratios for burst detection (W3), plus sessionization (absent in the
+reference, native to an event engine). Each has a live Structured
+Streaming twin in ``bigdataminingproject_spark.streaming``.
+
+All window math is exact ``groupBy`` over ``date_trunc`` buckets + window
+functions — one shuffle per aggregation, no Python in the path, and the
+per-key cardinality (event_type, user_id) keeps state bounded at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataminingproject_spark.sources.tables import load_table
+
+SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour counts + value sums per event type (W5 analogue)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("event_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_hour", "event_type")
+    )
+
+
+def q_events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst/spike detection: recent-vs-previous window ratio (W3).
+
+    Reference semantics (streaming/detectors/burst_detector.py:43-77):
+    ``recent`` = count in the current window, ``prev`` = count in the one
+    before; spike iff recent >= min_count and (recent+eps)/(prev+eps) >=
+    threshold. Here windows are 1-hour tumbling buckets per event_type and
+    the smoothing eps=1; missing previous bucket counts as 0 via a
+    coalesced lag over an hour-complete spine (lag over observed rows only
+    would silently skip empty hours).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("event_hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("recent_count"))
+    w = Window.partitionBy("event_type").orderBy("event_hour")
+    scored = (
+        hourly.withColumn("prev_hour", F.lag("event_hour").over(w))
+        .withColumn("prev_count_raw", F.lag("recent_count").over(w))
+        .withColumn(
+            "prev_count",
+            F.when(
+                F.col("prev_hour") == F.col("event_hour") - F.expr("INTERVAL 1 HOUR"),
+                F.col("prev_count_raw"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                (F.col("recent_count") + F.lit(1.0))
+                / (F.col("prev_count") + F.lit(1.0)),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.filter((F.col("recent_count") >= 5) & (F.col("ratio") >= 2.0))
+        .select("event_type", "event_hour", "recent_count", "prev_count", "ratio")
+        .orderBy(F.desc("ratio"), F.desc("recent_count"), "event_type", "event_hour")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + running sum.
+
+    Classic gaps-and-islands — entirely window functions, so it scales as
+    one shuffle on user_id. (Streaming twin: session window in
+    streaming/pipeline.py.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sessions = (
+        ev.withColumn("ts_ms", F.unix_millis("ts"))
+        .withColumn("prev_ms", F.lag("ts_ms").over(by_user))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ms").isNull()
+                | ((F.col("ts_ms") - F.col("prev_ms")) > F.lit(SESSION_GAP_MS))
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session")
+            .over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("session_events"),
+            (F.max("ts_ms") - F.min("ts_ms")).alias("duration_ms"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by event volume (A7 top-k shape on events)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.desc("event_count"), "user_id")
+        .limit(20)
+    )
+
+
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: avg of props JSON field per event type.
+
+    Uses regexp extraction (portable to the DuckDB oracle without JSON
+    extensions); the engine-native path would be F.get_json_object /
+    from_json with an explicit schema.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k":\\s*(\\d+)', 1).cast("int")
+    return (
+        ev.withColumn("k_val", k)
+        .filter(F.col("k_val").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k_val"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,91 @@
+"""Frequency / top-k analytics (SURVEY.md §2.4: A2, A7-A9, A12-A13).
+
+The reference bounds memory with a Count-Min Sketch + heap top-k
+(frequency_detector.py); on Spark the exact ``groupBy(token).count()``
+scales out, map-side-combines, and the top-k lands on
+TakeOrderedAndProject — so exact-first, with ``df.stat.countMinSketch``
+kept in the sketch parity layer (operators/sketches.py).
+
+Token-multiset semantics are preserved: every occurrence counts, including
+repeats within one document (A13, frequency_detector.py:36-40).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataminingproject_spark.functions.text import remove_stopwords, tokenize
+from bigdataminingproject_spark.sources.tables import load_table
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact global token frequencies after reference preprocessing."""
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+
+
+def top_k_tokens(df: DataFrame, k: int = 10, text_col: str = "text") -> DataFrame:
+    """Top-k tokens by frequency (A7/A8), deterministic tiebreak on token."""
+    return token_counts(df, text_col).orderBy(
+        F.desc("token_count"), "token"
+    ).limit(k)
+
+
+def estimate_batch(
+    df: DataFrame, terms: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Point/batch frequency query (A9, frequency_detector.py:89-93).
+
+    Terms are lowercased at query time like the reference; unseen terms
+    report 0 via a broadcast left join from the query-terms side.
+    """
+    spark = df.sparkSession
+    want = spark.createDataFrame(
+        [(t.lower(),) for t in terms], "term string"
+    )
+    counts = token_counts(df, text_col)
+    return (
+        F.broadcast(want)
+        .join(counts, want.term == counts.token, "left")
+        .select(
+            "term",
+            F.coalesce(F.col("token_count"), F.lit(0)).alias("estimate"),
+        )
+        .orderBy("term")
+    )
+
+
+def q_doc_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens across the documents corpus (reference A7 on docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return top_k_tokens(docs, k=20)
+
+
+def q_doc_term_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency point-queries incl. an unseen and an uppercase term (A9)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return estimate_batch(docs, ["spark", "TABLE", "row", "zzz_unseen"])
+
+
+def q_doc_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: top-5 tokens within each source (window rank, O5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = remove_stopwords(tokenize(F.col("text")))
+    counts = (
+        docs.select("source", F.explode(toks).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("token_count"), "token")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "token", "token_count", "rnk")
+        .orderBy("source", "rnk")
+    )

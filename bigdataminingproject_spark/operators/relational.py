@@ -1,0 +1,219 @@
+"""Relational query surface over the synthetic star schema.
+
+The reference has no joins/grouping at all (SURVEY.md §2.9) — this module is
+the standard relational surface a user of a general engine expects, written
+so Catalyst gets everything it needs:
+
+- filters/projections expressed declaratively → pushdown + pruning into the
+  parquet scan;
+- dimension tables joined with explicit ``F.broadcast`` (region/nation/
+  customer/supplier/part stay broadcast-able even at 100 TB fact scale);
+- aggregations are plain hash aggregates → partial+final map-side combine;
+- top-k is ``orderBy().limit()`` → TakeOrderedAndProject, never a full sort.
+
+Every query aliases its computed columns to stable names matching the
+DuckDB oracle (see ``__spark_entry__.oracle_sql``). Money aggregates are
+rounded to 2 decimals on both sides so value hashes are float-order stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.numeric import stable_avg
+from bigdataminingproject_spark.sources.tables import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (flagship query)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            stable_avg(F.col("l_quantity"), 2).alias("avg_qty"),
+            stable_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            stable_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 open orders by revenue for one segment."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation within one region/date range."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    # Dimension chain region→nation broadcast; the customer-nation and
+    # supplier-nation equality mirrors TPC-H Q5 (local suppliers only).
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by total order value (agg → broadcast name join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    totals = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        F.count(F.lit(1)).alias("order_count"),
+    )
+    return (
+        totals.join(F.broadcast(cust), totals.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            "total_spent",
+            "order_count",
+        )
+        .orderBy(F.desc("total_spent"), "custkey")
+        .limit(10)
+    )
+
+
+def q_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer count + account balance stats per nation (broadcast dim)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            stable_avg(F.col("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand part statistics (single-table hash aggregate)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("num_parts"),
+            stable_avg(F.col("p_retailprice"), 2).alias("avg_retailprice"),
+            F.round(F.avg("p_size"), 2).alias("avg_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority within a date range (TPC-H Q4 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value — window row_number (O5/O6 shape).
+
+    Bump-chart ranking in the reference uses pandas ``rank(method="first")``
+    (plot/bump_chart.py:16-19) ⇒ row_number, not rank; deterministic
+    tiebreak on o_orderkey.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_customer", F.row_number().over(w))
+        .filter(F.col("rank_in_customer") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round(F.col("o_totalprice"), 2).alias("totalprice"),
+            "rank_in_customer",
+        )
+        .orderBy("custkey", "rank_in_customer")
+    )
+
+
+def q_monthly_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average discount and volume by ship month (date_trunc rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            stable_avg(F.col("l_discount"), 4).alias("avg_discount"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("num_items"),
+        )
+        .orderBy("ship_month")
+    )

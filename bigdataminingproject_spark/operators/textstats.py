@@ -1,0 +1,155 @@
+"""Text-analysis operators for a training-data pipeline (north-star set).
+
+Language ID (stopword-hit heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + word-regex), and document
+fingerprinting. All pure column expressions — JVM-side, codegen'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    remove_stopwords,
+    tokenize,
+)
+from bigdataminingproject_spark.sources.tables import load_table
+
+# Tiny per-language marker-word lists for the n-gram/stopword-hit language
+# heuristic. Real pipelines would use fastText/CLD3; the heuristic keeps the
+# whole operator inside codegen and is the documented public approach
+# (stopword-profile language guessing).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "ich", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+}
+
+
+def _marker_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language code by max marker-word hits (ties → 'en' first,
+    then lexicographic); 'und' when nothing matches."""
+    toks = tokenize(text)
+    scored = F.array(
+        *[
+            F.struct(
+                _marker_hits(toks, words).alias("hits"),
+                F.lit(1 if lang == "en" else 0).alias("pref"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring feature columns (length/punct/stopword/word stats)."""
+    toks = tokenize(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, "[\\p{Punct}]", "")
+    )
+    avg_token_len = F.when(
+        n_tokens > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("long"),
+        "stopword_ratio": F.round(
+            F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 4
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 4
+        ),
+        "avg_token_len": F.round(avg_token_len, 4),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar quality score in [0,1]: heuristic blend of the features.
+
+    Deterministic and monotone in the obvious directions: longer docs with
+    a moderate stopword ratio and low punctuation score higher. Intended
+    for threshold filtering of training corpora, not absolute meaning.
+    """
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_term = F.lit(1.0) - F.abs(f["stopword_ratio"] - F.lit(0.4))
+    punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0))
+    return F.round(
+        (length_term + stop_term + punct_term) / F.lit(3.0), 4
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized token
+    stream (rolling-hash analogue that's portable to any SQL oracle)."""
+    return F.md5(F.array_join(tokenize(text), " "))
+
+
+# --- query registry entries -------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/quality statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f["n_chars"].alias("num_chars"),
+        f["n_tokens"].alias("num_tokens"),
+        f["n_distinct_tokens"].alias("num_distinct_tokens"),
+        f["stopword_ratio"].alias("stopword_ratio"),
+        f["avg_token_len"].alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document normalized fingerprint (exact-dedup key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition per labeled language (count, char stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("num_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID prediction counts vs the labeled language."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("num_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
