@@ -19,7 +19,8 @@ from bigdataminingproject_spark.functions.text import (
     SKIPWORDS,
 )
 from bigdataminingproject_spark.operators import dedup, events, frequency
-from bigdataminingproject_spark.operators import relational, similarity, textstats
+from bigdataminingproject_spark.operators import relational, similarity, snapshots
+from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
 from bigdataminingproject_spark.session import tune_session
 
@@ -62,6 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprints": textstats.q_doc_fingerprints,
         "q_doc_lang_stats": textstats.q_doc_lang_stats,
         "q_doc_lang_id": textstats.q_doc_lang_id,
+        # snapshot / count-window machinery (reference W5/W3/A12)
+        "q_doc_snapshots": snapshots.q_doc_snapshots,
+        "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
+        "q_doc_burst": snapshots.q_doc_burst,
         # similarity search (north-star)
         "q_knn_bruteforce": similarity.q_knn_bruteforce,
         "q_embedding_neardup": similarity.q_embedding_neardup,
@@ -506,6 +511,113 @@ def oracle_sql() -> dict[str, str]:
         FROM pred
         GROUP BY lang, predicted_lang
         ORDER BY lang, predicted_lang
+    """
+
+    # ordered-stream CTE: row position + 100-doc snapshot bucket
+    _ord_cte = """
+        ord AS (
+            SELECT doc_id, toks,
+                   row_number() OVER (ORDER BY doc_id) AS rn,
+                   CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 100)
+                        AS BIGINT) AS bucket
+            FROM tok_clean
+        )
+    """
+
+    sql["q_doc_snapshots"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        {_ord_cte},
+        hits AS (
+            SELECT doc_id,
+                   CASE WHEN min(doc_id) OVER (PARTITION BY shingle) < doc_id
+                        THEN 1 ELSE 0 END AS hit
+            FROM sh
+        ),
+        dscored AS (
+            SELECT doc_id, round(avg(hit), 4) AS duplicate_score
+            FROM hits GROUP BY doc_id
+        ),
+        flags AS (
+            SELECT o.bucket, o.rn,
+                   CASE WHEN coalesce(s.duplicate_score, 0.0) >= 0.7
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM ord o LEFT JOIN dscored s ON o.doc_id = s.doc_id
+        ),
+        counters AS (
+            SELECT bucket,
+                   CAST(max(rn) AS BIGINT) AS message_count,
+                   CAST(sum(is_dup) AS BIGINT) AS dups_in_period
+            FROM flags GROUP BY bucket
+        ),
+        toks_per_bucket AS (
+            SELECT bucket, CAST(count(DISTINCT token) AS BIGINT) AS distinct_tokens_in_period
+            FROM (SELECT bucket, unnest(toks) AS token FROM ord)
+            GROUP BY bucket
+        )
+        SELECT c.bucket AS snapshot_id,
+               c.message_count,
+               CAST(sum(c.dups_in_period) OVER (
+                   ORDER BY c.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS duplicates_so_far,
+               coalesce(t.distinct_tokens_in_period, 0) AS distinct_tokens_in_period
+        FROM counters c LEFT JOIN toks_per_bucket t ON c.bucket = t.bucket
+        ORDER BY snapshot_id
+    """
+
+    sql["q_doc_topk_cumulative"] = f"""
+        WITH {_TOKS_CTE},
+        {_ord_cte},
+        counts AS (
+            SELECT bucket, token, count(*) AS cnt
+            FROM (SELECT bucket, unnest(toks) AS token FROM ord)
+            GROUP BY bucket, token
+        ),
+        snaps AS (SELECT DISTINCT bucket AS snapshot_id FROM counts),
+        cum AS (
+            SELECT s.snapshot_id, c.token,
+                   CAST(sum(c.cnt) AS BIGINT) AS cum_count
+            FROM counts c JOIN snaps s ON c.bucket <= s.snapshot_id
+            GROUP BY s.snapshot_id, c.token
+        ),
+        ranked AS (
+            SELECT snapshot_id, token, cum_count,
+                   row_number() OVER (
+                       PARTITION BY snapshot_id
+                       ORDER BY cum_count DESC, token
+                   ) AS rnk
+            FROM cum
+        )
+        SELECT snapshot_id, token, cum_count, rnk
+        FROM ranked WHERE rnk <= 10
+        ORDER BY snapshot_id, rnk
+    """
+
+    sql["q_doc_burst"] = f"""
+        WITH {_TOKS_CTE},
+        {_ord_cte},
+        tokrn AS (SELECT rn, unnest(toks) AS token FROM ord),
+        bounds AS (
+            SELECT CAST(max(rn) AS BIGINT) AS boundary
+            FROM ord GROUP BY bucket
+        ),
+        agg AS (
+            SELECT b.boundary, t.token,
+                   CAST(sum(CASE WHEN t.rn > b.boundary - 25 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS recent_count,
+                   CAST(sum(CASE WHEN t.rn <= b.boundary - 25 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS prev_count
+            FROM tokrn t JOIN bounds b
+              ON t.rn > b.boundary - 50 AND t.rn <= b.boundary
+            GROUP BY b.boundary, t.token
+        )
+        SELECT boundary, token, recent_count, prev_count,
+               round((recent_count + 1e-6) / (prev_count + 1e-6), 4) AS ratio
+        FROM agg
+        WHERE recent_count >= 1
+          AND (recent_count + 1e-6) / (prev_count + 1e-6) >= 2.0
+        ORDER BY boundary, ratio DESC, recent_count DESC, token
     """
 
     _cos = (

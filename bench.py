@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (sf0.1).
+
+Prints exactly ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count of the result) — results are
+small aggregates/top-ks, so timing is dominated by the distributed work,
+not driver collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdataminingproject_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_top_customers",
+    "q_customer_order_rank",
+    "q_events_hourly",
+    "q_events_burst",
+    "q_events_sessionize",
+    "q_doc_tokens_topk",
+    "q_dup_scores",
+    "q_ngram_jaccard",
+    "q_knn_bruteforce",
+    "q_embedding_neardup_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    # JVM/codegen + Python-worker-pool warmup so the first timed query
+    # isn't charged for session startup (steady-state throughput is what
+    # BASELINE compares).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def _noop(batches):
+        yield from batches
+
+    spark.range(1000).selectExpr("id", "CAST(id AS double) d").mapInPandas(
+        _noop, "id long, d double"
+    ).count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        # Materialize fully: small results → collect is fair and forces
+        # every stage, incl. final sort/limit.
+        n = len(fn(spark, sf_dir).collect())
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -110,29 +110,14 @@ def embedding_neardup_pairs(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (no numpy RNG state —
-    a fixed LCG so results are reproducible across engines/runs)."""
-    planes = []
-    state = seed
-    for _ in range(n_planes):
-        row = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            # map to (-1, 1)
-            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
-        planes.append(row)
-    return planes
-
-
 def lsh_bucketed_neardup(
     vectors: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 16,
-    n_bands: int = 4,
+    n_planes: int = 64,
+    n_bands: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane LSH.
 
@@ -140,45 +125,69 @@ def lsh_bucketed_neardup(
     bands; vectors sharing any band bucket become candidates, verified
     with exact cosine. Replaces the O(N²) cross join with a shuffle on
     (band, bucket) — the standard SimHash/LSH trade (recall < 1.0 for
-    pairs near the threshold; raise n_planes/bands for recall).
+    pairs near the threshold; raise n_planes/bands for recall). At the
+    0.95-cosine default, 8 bands × 8 bits gives ~0.99 recall while
+    keeping bucket occupancy (and thus candidate pairs) low.
+
+    Signatures are computed in one Arrow-batched ``mapInPandas`` pass
+    (numpy matmul against the broadcast plane matrix) — O(N·planes·dim)
+    with no per-plane expression trees; candidates then shuffle once on
+    (band, bucket), and only candidate pairs pay the exact-cosine verify.
     """
-    planes = _hyperplanes(dim, n_planes)
+    import numpy as np
+    import pandas as pd
+
+    per_band = n_planes // n_bands
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
-    sign_bits = [
-        (dot(F.col("vec"), F.array(*[F.lit(c) for c in p])) > 0).cast("int")
-        for p in planes
-    ]
-    per_band = n_planes // n_bands
-    bands = [
-        F.concat_ws(
-            "",
-            *[
-                sign_bits[band * per_band + i].cast("string")
-                for i in range(per_band)
-            ],
-        ).alias(f"band_{band}")
-        for band in range(n_bands)
-    ]
-    sigs = v.select("vid", "vec", *bands)
-    candidates = None
-    for band in range(n_bands):
-        a = sigs.select(
-            F.col("vid").alias("id_a"),
-            F.col("vec").alias("vec_a"),
-            F.col(f"band_{band}").alias("bucket"),
-        )
-        b = sigs.select(
-            F.col("vid").alias("id_b"),
-            F.col("vec").alias("vec_b"),
-            F.col(f"band_{band}").alias("bucket"),
-        )
-        cand = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        candidates = cand if candidates is None else candidates.unionByName(cand)
-    verified = (
-        candidates.select("id_a", "id_b", "vec_a", "vec_b")
+
+    def signatures(batches):
+        rng = np.random.RandomState(seed)
+        planes = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            if planes is None:
+                planes = rng.standard_normal((mat.shape[1], n_planes))
+            bits = (mat @ planes) > 0  # (n, n_planes) sign bits
+            out = {
+                "vid": np.repeat(pdf["vid"].values, n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+            }
+            # pack each band's bits into an int bucket key
+            weights = (1 << np.arange(per_band))[::-1]
+            buckets = np.stack(
+                [
+                    bits[:, b * per_band : (b + 1) * per_band] @ weights
+                    for b in range(n_bands)
+                ],
+                axis=1,
+            )
+            out["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(out)
+
+    sig = v.mapInPandas(
+        signatures, schema="vid long, band int, bucket long"
+    )
+    a = sig.select(
+        F.col("vid").alias("id_a"), "band", "bucket"
+    )
+    b = sig.select(
+        F.col("vid").alias("id_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
         )

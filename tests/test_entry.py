@@ -1,0 +1,43 @@
+"""Driver-contract smoke tests for __spark_entry__."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_aligned():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q), "oracle without a query"
+    # every non-oracled query is a documented rows-only check
+    rows_only = set(q) - set(o)
+    assert rows_only == {"q_embedding_neardup_lsh"}
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "l_returnflag" in df.columns
+
+
+def test_every_query_runs_at_smoke_sf(spark, sf_dir):
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.columns, name
+        df.limit(1).collect()  # plans execute
+
+
+def test_oracle_sql_is_valid_duckdb(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    for name, q in entrymod.oracle_sql().items():
+        con.execute(q).fetchall()

@@ -1,0 +1,64 @@
+"""Similarity-search operators on crafted vectors."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataminingproject_spark.operators.similarity import (
+    embedding_neardup_pairs,
+    knn_bruteforce,
+    lsh_bucketed_neardup,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # nearly identical to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.7, 0.7, 0.0, 0.0]),  # 45° between 0 and 2
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_knn_ranks_by_cosine(spark, vectors):
+    q = vectors.filter("vec_id = 0")
+    out = knn_bruteforce(vectors, q, k=4).collect()
+    order = [r["neighbor_id"] for r in out]
+    assert order == [1, 4, 2, 3]
+    assert out[0]["cosine_sim"] > 0.999
+    assert out[-1]["cosine_sim"] == -1.0
+
+
+def test_knn_excludes_self(spark, vectors):
+    q = vectors.filter("vec_id = 0")
+    out = knn_bruteforce(vectors, q, k=10).collect()
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_neardup_pairs_threshold(spark, vectors):
+    pairs = embedding_neardup_pairs(vectors, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_lsh_is_subset_of_exact(spark, sf_dir):
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(vecs, threshold=0.8).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucketed_neardup(vecs, threshold=0.8).collect()
+    }
+    assert approx <= exact
+
+
+def test_lsh_deterministic(spark, vectors):
+    a = lsh_bucketed_neardup(vectors, threshold=0.95).collect()
+    b = lsh_bucketed_neardup(vectors, threshold=0.95).collect()
+    assert a == b
