@@ -82,18 +82,23 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     )
 
 
+# Exact literal the dataset creators prepend (scc_dataset_loader.py:68-71).
+FILE_DESCRIPTION_PREAMBLE = (
+    "This message contains files. If the description for a file does not "
+    "make sense, ignore it."
+    "Here are descriptions of those files:\nDescription for file 1:"
+)
+
+
 def remove_file_description(col: Column | str) -> Column:
     """Boilerplate scrub (F4, data_loader/scc_dataset_loader.py:58-76).
 
-    Removes the literal preamble and `Description for file N:` markers that
-    the reference strips from message bodies.
+    Literal removal of the preamble (str.replace in the reference — NOT a
+    regex) followed by regex removal of remaining `Description for file
+    N:` markers.
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(
-        c,
-        "The following file was attached to this message: ",
-        "",
-    )
+    c = F.replace(c, F.lit(FILE_DESCRIPTION_PREAMBLE), F.lit(""))
     return F.regexp_replace(c, "Description for file \\d+:", "")
 
 

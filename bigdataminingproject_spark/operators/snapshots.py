@@ -33,20 +33,25 @@ BURST_THRESHOLD = 2.0
 BURST_MIN_COUNT = 1
 
 
-def _ordered(docs: DataFrame, order_col: str) -> DataFrame:
+def _ordered(
+    docs: DataFrame, order_col: str, interval: int = UPDATE_INTERVAL
+) -> DataFrame:
     """Attach the stream position (1-based) and snapshot bucket."""
     w = Window.orderBy(order_col)
     return docs.withColumn("rn", F.row_number().over(w)).withColumn(
-        "bucket", F.floor((F.col("rn") - 1) / UPDATE_INTERVAL).cast("long")
+        "bucket", F.floor((F.col("rn") - 1) / interval).cast("long")
     )
 
 
 def snapshot_summary(
-    docs: DataFrame, order_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    interval: int = UPDATE_INTERVAL,
 ) -> DataFrame:
     """Per-snapshot counters: message_count, duplicates_so_far, period
     distinct tokens (A11/A12 over W5 tumbling count-windows)."""
-    ordered = _ordered(docs, order_col)
+    ordered = _ordered(docs, order_col, interval)
     scores = duplicate_scores(docs, order_col, text_col).select(
         F.col("doc_id").alias(order_col), "is_duplicate"
     )
@@ -90,6 +95,7 @@ def topk_cumulative_tokens(
     k: int = 10,
     order_col: str = "doc_id",
     text_col: str = "text",
+    interval: int = UPDATE_INTERVAL,
 ) -> DataFrame:
     """Top-k tokens by cumulative frequency at each snapshot (A7/A8 per W5).
 
@@ -97,7 +103,7 @@ def topk_cumulative_tokens(
     top-k (frequency_detector.py:44-87): at snapshot s, rank tokens by
     their exact count over all messages in buckets <= s.
     """
-    ordered = _ordered(docs, order_col)
+    ordered = _ordered(docs, order_col, interval)
     toks = remove_stopwords(tokenize(F.col(text_col)))
     counts = (
         ordered.select("bucket", F.explode(toks).alias("token"))
@@ -133,6 +139,7 @@ def burst_windows(
     prev_k: int = BURST_WINDOW // 2,
     threshold: float = BURST_THRESHOLD,
     min_count: int = BURST_MIN_COUNT,
+    interval: int = UPDATE_INTERVAL,
 ) -> DataFrame:
     """Exact count-window burst detection at each snapshot boundary (W3).
 
@@ -145,7 +152,7 @@ def burst_windows(
     recent >= min_count and (recent+eps)/(prev+eps) >= threshold; order by
     (-ratio, -recent).
     """
-    ordered = _ordered(docs, order_col)
+    ordered = _ordered(docs, order_col, interval)
     toks = remove_stopwords(tokenize(F.col(text_col)))
     tok = ordered.select("rn", F.explode(toks).alias("token"))
     boundaries = (

@@ -1,0 +1,150 @@
+"""Batch-replay detector pipeline — reference entry point A
+(run_detectors.py:38-126) re-expressed as one declarative plan set.
+
+Consumes an ordered message stream (``stream_pos``, ``body``) and emits
+the reference's summary structure (run_detectors.py:227-245):
+processed / excluded counts, duplicate totals + rate + avg score,
+periodic snapshots every ``update_interval`` messages (message_count,
+top-N tokens, burst windows, duplicates_so_far), final top tokens and
+final burst, optional frequency point-estimates.
+
+All distributed work happens in the operator plans (dedup/snapshots/
+frequency); only the small summary aggregates are collected — nothing
+driver-side grows with corpus size, which is what makes this shape hold
+at 100 TB where the reference's per-message Python loop cannot.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.operators import snapshots as snap_ops
+from bigdataminingproject_spark.operators.dedup import duplicate_scores
+from bigdataminingproject_spark.operators.frequency import (
+    estimate_batch,
+    top_k_tokens,
+)
+
+
+def run_detector_pipeline(
+    stream: DataFrame,
+    update_interval: int = 100,
+    top_frequency: int = 10,
+    freq_queries: list[str] | None = None,
+    exclude_duplicates: bool = False,
+) -> dict[str, Any]:
+    """Run the full duplicate/frequency/burst analysis over a bounded
+    replay stream and return the reference-shaped summary dict.
+
+    ``stream`` must have columns (stream_pos long/int, body string) —
+    produced by ``sources.conversations.ordered_message_stream``.
+    """
+    stream = stream.select(
+        F.col("stream_pos").cast("long").alias("stream_pos"), "body"
+    )
+
+    # Duplicate detection over the stream order (A10/A11).
+    scores = duplicate_scores(
+        stream, order_col="stream_pos", text_col="body"
+    ).withColumnRenamed("doc_id", "stream_pos")
+
+    if exclude_duplicates:
+        # F7 (run_detectors.py:167-169): drop flagged messages from the
+        # analyzed stream; counters below reflect the exclusion.
+        kept = scores.filter(~F.col("is_duplicate")).select("stream_pos")
+        analyzed = stream.join(kept, "stream_pos")
+        excluded = scores.filter(F.col("is_duplicate")).count()
+    else:
+        analyzed = stream
+        excluded = 0
+
+    totals = scores.agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.sum(F.col("is_duplicate").cast("int")).alias("dups"),
+        F.sum("duplicate_score").alias("score_sum"),
+    ).first()
+    processed = totals["processed"]
+    dup_count = int(totals["dups"] or 0)
+
+    # Re-bucket the analyzed stream for snapshots (dense positions).
+    snap_src = analyzed.select(
+        F.col("stream_pos").alias("doc_id"), F.col("body").alias("text")
+    )
+    snapshot_rows = snap_ops.snapshot_summary(
+        snap_src, interval=update_interval
+    ).collect()
+    topk_rows = snap_ops.topk_cumulative_tokens(
+        snap_src, k=top_frequency, interval=update_interval
+    ).collect()
+    burst_rows = snap_ops.burst_windows(
+        snap_src, interval=update_interval
+    ).collect()
+
+    topk_by_snap: dict[int, dict[str, int]] = {}
+    for r in topk_rows:
+        topk_by_snap.setdefault(r["snapshot_id"], {})[r["token"]] = r[
+            "cum_count"
+        ]
+    burst_by_boundary: dict[int, list[dict[str, Any]]] = {}
+    for r in burst_rows:
+        burst_by_boundary.setdefault(r["boundary"], []).append(
+            {
+                "token": r["token"],
+                "ratio": r["ratio"],
+                "recent_count": r["recent_count"],
+                "prev_count": r["prev_count"],
+                "representative": r["token"],  # exact mode: A6 argmax = token
+            }
+        )
+
+    periodic_snapshots = []
+    for r in snapshot_rows:
+        periodic_snapshots.append(
+            {
+                "message_count": r["message_count"],
+                "top_10_tokens": topk_by_snap.get(r["snapshot_id"], {}),
+                "burst": burst_by_boundary.get(r["message_count"], []),
+                "duplicates_so_far": r["duplicates_so_far"],
+            }
+        )
+
+    freq_estimates: dict[str, int] = {}
+    if freq_queries:
+        freq_estimates = {
+            r["term"]: r["estimate"]
+            for r in estimate_batch(
+                analyzed, freq_queries, text_col="body"
+            ).collect()
+        }
+
+    final_top = {
+        r["token"]: r["token_count"]
+        for r in top_k_tokens(
+            analyzed, k=top_frequency, text_col="body"
+        ).collect()
+    }
+    final_burst = burst_by_boundary.get(
+        max(burst_by_boundary) if burst_by_boundary else -1, []
+    )
+
+    return {
+        "processed": processed,
+        "excluded_duplicates": excluded if exclude_duplicates else 0,
+        "update_interval": update_interval,
+        "frequency_estimates": freq_estimates,
+        "duplicates": {
+            "total": dup_count,
+            "rate": (dup_count / processed) if processed else 0.0,
+            "avg_score": (
+                float(totals["score_sum"] or 0.0) / processed
+            )
+            if processed
+            else 0.0,
+        },
+        "periodic_snapshots": periodic_snapshots,
+        "final_burst": final_burst,
+        "final_top_tokens": final_top,
+    }
