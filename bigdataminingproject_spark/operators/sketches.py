@@ -1,0 +1,274 @@
+"""Sketch parity layer (SURVEY.md Phase 5 — reference A1-A5).
+
+The reference is built ON sketches (Bloom / Count-Min / DGIM) because a
+single Python process can't hold exact state. On Spark, exact operators
+scale out, so sketches here are a *choice* for driver-side summaries and
+bounded streaming state (SURVEY.md §4):
+
+- Bloom (A1): ``DataFrame.stat.bloomFilter`` — Spark's mergeable JVM
+  implementation, used for approximate membership / approximate dedup
+  pre-filtering.
+- Count-Min (A2/A3): ``DataFrame.stat.countMinSketch`` — mergeable, same
+  (eps, delta) error model as the reference's
+  (``count_min_sketch.py:12-14``: est ≤ true + eps·N w.p. ≥ 1-delta).
+- DGIM (A4/A5): implemented fresh from the published algorithm
+  (Datar-Gionis-Indyk-Motwani, "Maintaining Stream Statistics over
+  Sliding Windows", SODA 2002) for count-based windows in streaming
+  parity mode; batch mode uses exact window counts instead.
+- HLL: ``approx_count_distinct`` for distinct-token estimates (A12 at
+  scale).
+
+Defaults mirror the reference detectors: Bloom capacity 100k / fpp 0.01
+(duplicate_detector.py:28-29), CMS eps 0.005 / delta 1e-3
+(frequency_detector.py:18-19).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_CAPACITY = 100_000
+BLOOM_FPP = 0.01
+CMS_EPS = 0.005
+CMS_DELTA = 1e-3
+CMS_SEED = 1
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    expected_items: int = BLOOM_CAPACITY,
+    fpp: float = BLOOM_FPP,
+):
+    """A1: distributed-build, driver-held mergeable Bloom filter.
+
+    Spark's BloomFilter aggregation is Scala-only (org.apache.spark.util
+    .sketch.BloomFilter via Dataset.stat.bloomFilter); PySpark reaches it
+    through the JVM gateway. The build runs as a distributed aggregate;
+    the returned (py4j-wrapped) filter supports mightContain/mergeInPlace.
+    """
+    return df._jdf.stat().bloomFilter(col, int(expected_items), float(fpp))
+
+
+def build_cms(
+    df: DataFrame,
+    col: str,
+    eps: float = CMS_EPS,
+    confidence: float = 1.0 - CMS_DELTA,
+    seed: int = CMS_SEED,
+):
+    """A2: distributed-build Count-Min sketch (mergeInPlace-able, A3).
+
+    Same JVM-gateway situation as ``build_bloom`` — Dataset.stat
+    .countMinSketch is Scala-only. Error model identical to the
+    reference's: est ≤ true + eps·N with prob ≥ confidence.
+    """
+    return df._jdf.stat().countMinSketch(
+        col, float(eps), float(confidence), int(seed)
+    )
+
+
+def cms_estimates(cms, terms: list[str]) -> dict[str, int]:
+    """A9 approximate variant: point frequency estimates from the CMS."""
+    return {t: int(cms.estimateCount(t)) for t in terms}
+
+
+class PyBloom:
+    """Minimal mergeable Bloom filter for Python-side membership.
+
+    Standard construction (Mitzenmacher & Upfal): optimal bit count
+    m = -n·ln(p)/ln²2 and k = (m/n)·ln2 hash functions, realized with
+    Kirsch-Mitzenmacher double hashing h1 + i·h2 over a sha256 digest.
+    Fixed-size byte state ⇒ partial filters OR-merge associatively, which
+    is what makes the distributed build below a treeReduce.
+    """
+
+    def __init__(self, capacity: int, fpp: float, bits: bytearray | None = None):
+        import math
+
+        self.capacity = capacity
+        self.fpp = fpp
+        self.m = max(8, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+        self.k = max(1, round(self.m / capacity * math.log(2)))
+        self.bits = bits if bits is not None else bytearray((self.m + 7) // 8)
+
+    def _positions(self, item: str):
+        import hashlib
+
+        digest = hashlib.sha256(item.encode()).digest()
+        h1 = int.from_bytes(digest[:8], "big")
+        h2 = int.from_bytes(digest[8:16], "big") | 1
+        for i in range(self.k):
+            yield (h1 + i * h2) % self.m
+
+    def add(self, item: str) -> None:
+        for pos in self._positions(item):
+            self.bits[pos >> 3] |= 1 << (pos & 7)
+
+    def __contains__(self, item: str) -> bool:
+        return all(
+            self.bits[pos >> 3] & (1 << (pos & 7))
+            for pos in self._positions(item)
+        )
+
+    def merge(self, other: "PyBloom") -> "PyBloom":
+        merged = bytearray(a | b for a, b in zip(self.bits, other.bits))
+        return PyBloom(self.capacity, self.fpp, merged)
+
+
+def build_pybloom(
+    df: DataFrame,
+    col: str,
+    expected_items: int = BLOOM_CAPACITY,
+    fpp: float = BLOOM_FPP,
+) -> PyBloom:
+    """Distributed PyBloom build: per-partition partial filters OR-merged
+    with treeReduce — fixed-size shuffle-free aggregation, the same
+    partial+final shape as Spark's own sketch aggregates."""
+    capacity, p = expected_items, fpp
+
+    def partial(rows):
+        b = PyBloom(capacity, p)
+        for r in rows:
+            v = r[0]
+            if v is not None:
+                b.add(v)
+        yield bytes(b.bits)
+
+    merged = (
+        df.select(col)
+        .rdd.mapPartitions(partial)
+        .treeReduce(lambda a, b: bytes(x | y for x, y in zip(a, b)))
+    )
+    return PyBloom(capacity, p, bytearray(merged))
+
+
+def approx_duplicate_prefilter(
+    corpus: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    expected_items: int = BLOOM_CAPACITY,
+    fpp: float = BLOOM_FPP,
+) -> DataFrame:
+    """A1→A10 approximate membership: flag candidate rows whose normalized
+    fingerprint might already exist in ``corpus``.
+
+    The Bloom filter is built distributed, then shipped to executors as a
+    broadcast byte-array predicate — the 100 TB shape for "probably-seen"
+    pruning before an exact (expensive) dedup join. False positives ≤
+    fpp, no false negatives.
+    """
+    norm = F.md5(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    bloom = build_pybloom(
+        corpus.select(norm.alias("fp")), "fp", expected_items, fpp
+    )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (bytes(bloom.bits), expected_items, fpp)
+    )
+
+    @F.pandas_udf("boolean")
+    def might_contain(fp: pd.Series) -> pd.Series:
+        bits, cap, p = bc.value
+        b = PyBloom(cap, p, bytearray(bits))
+        return fp.map(lambda v: v in b)
+
+    return candidates.withColumn("maybe_duplicate", might_contain(norm))
+
+
+def approx_distinct_tokens(
+    df: DataFrame, tokens_col: Column, rsd: float = 0.05
+) -> DataFrame:
+    """A12 at scale: HLL distinct-token estimate (exact uses count_distinct)."""
+    return df.select(F.explode(tokens_col).alias("token")).agg(
+        F.approx_count_distinct("token", rsd).alias("approx_distinct_tokens")
+    )
+
+
+# --- DGIM: count-based sliding-window bit counting --------------------------
+
+@dataclass
+class Dgim:
+    """DGIM sliding-window counter (Datar et al., SODA 2002).
+
+    Maintains O(log² W) buckets of exponentially growing sizes over the
+    last ``window`` events; ``count()`` over-/under-estimates by at most
+    half the oldest contributing bucket (≤ 50% relative error bound from
+    the paper; in practice far tighter).
+
+    Used as per-key state inside ``applyInPandasWithState`` for the
+    streaming parity of the reference's count-based windows (W2) — batch
+    mode computes exact counts with window functions instead.
+    """
+
+    window: int
+    max_per_size: int = 2
+    clock: int = 0
+    # list of (end_time, size), newest first
+    buckets: list[tuple[int, int]] = field(default_factory=list)
+
+    def tick(self) -> None:
+        """Advance the logical clock by one event (bit = 0)."""
+        self.clock += 1
+        self._expire()
+
+    def add(self, bit: int = 1) -> None:
+        """Observe the current event's bit (call after tick())."""
+        if not bit:
+            return
+        self.buckets.insert(0, (self.clock, 1))
+        self._merge()
+
+    def _expire(self) -> None:
+        horizon = self.clock - self.window
+        while self.buckets and self.buckets[-1][0] <= horizon:
+            self.buckets.pop()
+
+    def _merge(self) -> None:
+        size = 1
+        while True:
+            same = [i for i, b in enumerate(self.buckets) if b[1] == size]
+            if len(same) <= self.max_per_size:
+                break
+            # merge the two OLDEST buckets of this size
+            i, j = same[-2], same[-1]
+            newer_end = self.buckets[i][0]
+            merged = (newer_end, size * 2)
+            self.buckets[i] = merged
+            del self.buckets[j]
+            size *= 2
+
+    def count(self, k: int | None = None) -> int:
+        """Estimate ones among the last ``k`` (≤ window) events."""
+        k = self.window if k is None else min(k, self.window)
+        horizon = self.clock - k
+        total = 0
+        oldest_size = 0
+        for end, size in self.buckets:
+            if end > horizon:
+                total += size
+                oldest_size = size
+        if oldest_size:
+            total -= oldest_size // 2  # half the straddling bucket
+        return total
+
+    def to_state(self) -> list[int]:
+        """Flatten for Spark state storage (list of ints)."""
+        flat = [self.clock]
+        for end, size in self.buckets:
+            flat.extend((end, size))
+        return flat
+
+    @classmethod
+    def from_state(cls, window: int, flat: list[int] | None) -> "Dgim":
+        d = cls(window=window)
+        if flat:
+            d.clock = flat[0]
+            d.buckets = [
+                (flat[i], flat[i + 1]) for i in range(1, len(flat), 2)
+            ]
+        return d

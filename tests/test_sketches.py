@@ -1,0 +1,138 @@
+"""Sketch parity layer: error-bound property tests (SURVEY.md §5 item 1)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.operators.sketches import (
+    Dgim,
+    approx_distinct_tokens,
+    approx_duplicate_prefilter,
+    build_bloom,
+    build_cms,
+    cms_estimates,
+)
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    present = [f"key_{i}" for i in range(2000)]
+    df = spark.createDataFrame([(k,) for k in present], "k string")
+    bloom = build_bloom(df, "k", expected_items=2000, fpp=0.01)
+    assert all(bloom.mightContain(k) for k in present)
+    absent = [f"missing_{i}" for i in range(2000)]
+    fpr = sum(bloom.mightContain(k) for k in absent) / len(absent)
+    assert fpr <= 0.02  # ≤ 2x nominal
+
+
+def test_cms_overestimates_within_bound(spark):
+    rng = random.Random(7)
+    items = [f"tok_{rng.randint(0, 99)}" for _ in range(10_000)]
+    truth: dict[str, int] = {}
+    for it in items:
+        truth[it] = truth.get(it, 0) + 1
+    df = spark.createDataFrame([(i,) for i in items], "t string")
+    cms = build_cms(df, "t", eps=0.005)
+    est = cms_estimates(cms, list(truth))
+    n = len(items)
+    for tok, true_count in truth.items():
+        assert est[tok] >= true_count  # CMS never underestimates
+        assert est[tok] <= true_count + 0.005 * n + 1
+
+
+def test_cms_merge_is_distributive(spark):
+    a = spark.createDataFrame([("x",)] * 60 + [("y",)] * 10, "t string")
+    b = spark.createDataFrame([("x",)] * 40, "t string")
+    ca = build_cms(a, "t")
+    cb = build_cms(b, "t")
+    ca.mergeInPlace(cb)
+    assert ca.estimateCount("x") >= 100
+    assert ca.estimateCount("y") >= 10
+
+
+def test_bloom_prefilter_flags_seen_text(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"document number {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(0, "Document   NUMBER 5"), (1, "never seen before text")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["maybe_duplicate"]
+        for r in approx_duplicate_prefilter(corpus, cands).collect()
+    }
+    assert out[0] is True  # normalized match — no false negatives
+    # out[1] is *probably* False (fpp 1%); don't assert hard
+
+
+def test_hll_distinct_tokens(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma alpha",), ("beta delta",)], "text string"
+    )
+    est = approx_distinct_tokens(
+        df, F.split(F.col("text"), " ")
+    ).first()["approx_distinct_tokens"]
+    assert 4 <= est <= 5  # truth is 4
+
+
+# --- DGIM properties --------------------------------------------------------
+
+def _run_dgim(bits, window):
+    d = Dgim(window=window)
+    for b in bits:
+        d.tick()
+        d.add(b)
+    return d
+
+
+def test_dgim_exact_when_no_merges():
+    # two size-1 buckets: estimate = 1 + (1 - 1//2) = 2 = truth
+    d = _run_dgim([1, 0, 0, 1, 0], window=10)
+    assert d.count() == 2
+
+
+def test_dgim_halves_oldest_after_merge():
+    # three 1s force a merge into a size-2 oldest bucket; the standard
+    # DGIM estimate discounts half of it: 1 + 2 - 2//2 = 2 (truth 3, within
+    # the ≤50%-of-oldest-bucket bound)
+    d = _run_dgim([1, 0, 1, 1, 0], window=10)
+    assert d.count() == 2
+
+
+def test_dgim_error_bound_random_streams():
+    rng = random.Random(42)
+    for trial in range(20):
+        window = 50
+        bits = [rng.random() < 0.4 for _ in range(300)]
+        d = _run_dgim(bits, window)
+        for k in (10, 25, 50):
+            true = sum(bits[-k:])
+            est = d.count(k)
+            # DGIM bound: off by at most half the oldest bucket ⇒ ≤ 50%
+            assert abs(est - true) <= max(1, true * 0.5), (
+                trial,
+                k,
+                true,
+                est,
+            )
+
+
+def test_dgim_expires_old_events():
+    d = _run_dgim([1] * 100, window=50)
+    assert d.count() <= 50 * 1.5
+    d2 = _run_dgim([1] * 50 + [0] * 50, window=50)
+    assert d2.count() <= 25  # all ones fell out ± straddling error
+
+
+def test_dgim_state_roundtrip():
+    d = _run_dgim([1, 1, 0, 1] * 30, window=50)
+    flat = d.to_state()
+    d2 = Dgim.from_state(50, flat)
+    assert d2.count() == d.count()
+    d.tick(), d.add(1)
+    d2.tick(), d2.add(1)
+    assert d2.count() == d.count()

@@ -1,0 +1,99 @@
+"""Structured Streaming twins: bounded replay via availableNow, results
+compared against the equivalent batch plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.sources.tables import load_table
+from bigdataminingproject_spark.streaming.pipeline import (
+    run_to_memory,
+    snapshot_sink,
+    streaming_duplicate_scores,
+    streaming_event_counts,
+    streaming_exact_dedup,
+)
+from bigdataminingproject_spark.streaming.replay import file_replay_source
+
+
+def test_streaming_event_counts_match_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    stream = file_replay_source(
+        spark, events, str(tmp_path / "stage"), chunks=5, files_per_trigger=2
+    )
+    # replay chunks are not time-ordered, so use a watermark wider than
+    # the full event-time span — otherwise late chunks are (correctly)
+    # dropped by event-time eviction
+    counts = streaming_event_counts(stream, watermark="60 days")
+    run_to_memory(counts, "ev_counts", output_mode="update")
+    got = (
+        spark.table("ev_counts")
+        .groupBy("window_start", "event_type")
+        .agg(F.max("event_count").alias("event_count"))  # last update wins
+    )
+    expect = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("event_count"))
+    diff = got.join(
+        expect, ["window_start", "event_type"], "full"
+    ).filter(got.event_count != expect.event_count)
+    assert expect.count() == got.count()
+    assert diff.count() == 0
+
+
+def test_streaming_exact_dedup_first_wins(spark, tmp_path):
+    rows = [(i, "same   TEXT here" if i % 2 == 0 else f"unique {i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "msg_id long, body string")
+    stream = file_replay_source(
+        spark, df, str(tmp_path / "stage2"), chunks=4, files_per_trigger=1
+    )
+    deduped = streaming_exact_dedup(stream)
+    run_to_memory(deduped, "dedup_out", output_mode="append")
+    out = spark.table("dedup_out")
+    # 10 unique bodies + 1 shared normalized fingerprint
+    assert out.count() == 11
+    assert out.select("fingerprint").distinct().count() == 11
+
+
+def test_streaming_duplicate_scores_state_across_batches(spark, tmp_path):
+    # one conversation repeated in a later file ⇒ hits must come from
+    # cross-batch state
+    rows = [(1, "alpha beta gamma delta"), (2, "totally different text body")]
+    rows += [(3, "alpha beta gamma delta")]  # exact repeat, later message
+    df = spark.createDataFrame(rows, "msg_id long, body string")
+    stream = file_replay_source(
+        spark,
+        df,
+        str(tmp_path / "stage3"),
+        chunks=3,
+        files_per_trigger=1,
+        order_col="msg_id",
+    )
+    hits = streaming_duplicate_scores(stream)
+    run_to_memory(hits, "dup_hits", output_mode="append")
+    per_msg = (
+        spark.table("dup_hits")
+        .groupBy("msg_id")
+        .agg(F.avg(F.col("hit").cast("int")).alias("score"))
+        .collect()
+    )
+    scores = {r["msg_id"]: r["score"] for r in per_msg}
+    assert scores[1] == 0.0  # first occurrence never self-flags
+    assert scores[2] == 0.0
+    assert scores[3] == 1.0  # full overlap with message 1
+
+
+def test_snapshot_sink_runs_per_batch(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").limit(100)
+    stream = file_replay_source(
+        spark, events, str(tmp_path / "stage4"), chunks=4, files_per_trigger=1
+    )
+    seen: list[tuple[int, int]] = []
+
+    def capture(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    snapshot_sink(stream, capture)
+    assert sum(n for _, n in seen) == 100
+    assert len(seen) >= 2  # genuinely incremental (multiple triggers)
