@@ -30,11 +30,22 @@ SHINGLE_K = 3  # duplicate_detector.py:28
 
 
 def _doc_shingles(docs: DataFrame, order_col: str, text_col: str) -> DataFrame:
-    """Explode each document into its k-shingle multiset with positions."""
-    toks = tokenize(F.col(text_col))
-    return docs.select(
+    """Explode each document into its k-shingle multiset with positions.
+
+    Tokens are materialized in their own projection first: the shingle
+    expression references its input several times, and Catalyst re-runs
+    an inlined regex tokenizer per reference (~10x slower) — a cheap
+    array-column reference amortizes it to once per row.
+    """
+    tk = docs.select(
         F.col(order_col).alias("doc_id"),
-        F.posexplode(shingles(toks, SHINGLE_K)).alias("pos", "shingle"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    return tk.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("_toks"), SHINGLE_K)).alias(
+            "pos", "shingle"
+        ),
     )
 
 
@@ -58,12 +69,17 @@ def duplicate_scores(
     empty shingle set ⇒ score 0.0 (duplicate_detector.py:44-47).
     """
     sh = _doc_shingles(docs, order_col, text_col)
-    w = Window.partitionBy("shingle")
-    hits = sh.withColumn(
-        "hit", (F.min("doc_id").over(w) < F.col("doc_id")).cast("int")
-    )
-    scored = hits.groupBy("doc_id").agg(
-        F.round(F.avg("hit"), 4).alias("duplicate_score")
+    # First-occurrence table via groupBy-min (map-side combine shrinks the
+    # shuffle to one row per distinct shingle) instead of a window over
+    # the full multiset (shuffle + sort of every occurrence). The firsts
+    # table is orders of magnitude smaller than the multiset, so the
+    # back-join is broadcast-eligible; AQE falls back to SMJ at scale.
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        sh.join(firsts, "shingle")
+        .withColumn("hit", (F.col("first_doc") < F.col("doc_id")).cast("int"))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("hit"), 4).alias("duplicate_score"))
     )
     ids = docs.select(F.col(order_col).alias("doc_id"))
     return (
@@ -134,12 +150,15 @@ def ngram_jaccard_pairs(
     100 TB scale the LSH variant replaces the shared-shingle join with a
     banded bucket join.
     """
-    toks = tokenize(F.col(text_col))
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(shingles(toks, k))).alias("shingle"),
-        )
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    sh = tk.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("_toks"), k))).alias(
+            "shingle"
+        ),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")

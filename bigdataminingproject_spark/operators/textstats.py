@@ -34,10 +34,11 @@ def _marker_hits(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, tokens: Column | None = None) -> Column:
     """Predicted language code by max marker-word hits (ties → 'en' first,
-    then lexicographic); 'und' when nothing matches."""
-    toks = tokenize(text)
+    then lexicographic); 'und' when nothing matches. Pass pre-materialized
+    ``tokens`` to avoid per-language re-tokenization."""
+    toks = tokenize(text) if tokens is None else tokens
     scored = F.array(
         *[
             F.struct(
@@ -52,9 +53,14 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    """Quality-scoring feature columns (length/punct/stopword/word stats)."""
-    toks = tokenize(text)
+def quality_features(text: Column, tokens: Column | None = None) -> dict[str, Column]:
+    """Quality-scoring feature columns (length/punct/stopword/word stats).
+
+    Pass a pre-materialized ``tokens`` column when selecting several
+    features at once — the features reference the token array many times,
+    and an inlined tokenizer would be re-evaluated per reference.
+    """
+    toks = tokenize(text) if tokens is None else tokens
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
@@ -110,8 +116,11 @@ def fingerprint(text: Column) -> Column:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char/quality statistics."""
     docs = load_table(spark, sf_dir, "documents")
-    f = quality_features(F.col("text"))
-    return docs.select(
+    tk = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("_toks")
+    )
+    f = quality_features(F.col("text"), tokens=F.col("_toks"))
+    return tk.select(
         "doc_id",
         f["n_chars"].alias("num_chars"),
         f["n_tokens"].alias("num_tokens"),
@@ -147,8 +156,14 @@ def q_doc_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID prediction counts vs the labeled language."""
     docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("lang", "text", tokenize(F.col("text")).alias("_toks"))
     return (
-        docs.select("lang", lang_id(F.col("text")).alias("predicted_lang"))
+        tk.select(
+            "lang",
+            lang_id(F.col("text"), tokens=F.col("_toks")).alias(
+                "predicted_lang"
+            ),
+        )
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("num_docs"))
         .orderBy("lang", "predicted_lang")
