@@ -19,8 +19,8 @@ from bigdataminingproject_spark.functions.text import (
     SKIPWORDS,
 )
 from bigdataminingproject_spark.operators import dedup, events, frequency
-from bigdataminingproject_spark.operators import relational, similarity, snapshots
-from bigdataminingproject_spark.operators import textstats
+from bigdataminingproject_spark.operators import minhash, multimodal, relational
+from bigdataminingproject_spark.operators import similarity, snapshots, textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
 from bigdataminingproject_spark.session import tune_session
 
@@ -58,6 +58,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_summary": dedup.q_dup_summary,
         "q_exact_duplicates": dedup.q_exact_duplicates,
         "q_ngram_jaccard": dedup.q_ngram_jaccard,
+        "q_minhash_lsh": minhash.q_minhash_lsh,
+        "q_simhash_neardup": minhash.q_simhash_neardup,
+        # multimodal plumbing (north-star; binary columns + Arrow UDFs)
+        "q_media_features": multimodal.q_media_features,
         # text analysis (north-star)
         "q_doc_stats": textstats.q_doc_stats,
         "q_doc_fingerprints": textstats.q_doc_fingerprints,

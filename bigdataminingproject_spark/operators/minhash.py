@@ -1,0 +1,235 @@
+"""MinHash+LSH and SimHash near-duplicate detection over text.
+
+The scale path for the exact n-gram Jaccard operator (dedup.py): at
+100 TB an all-shared-shingle join is unbounded, while MinHash signatures
+are fixed-size per document and LSH banding turns candidate generation
+into an equi-join on (band, bucket).
+
+- MinHash: h_j(doc) = min over shingles of xxhash64(shingle, seed_j);
+  P[h_j(A)=h_j(B)] = Jaccard(A,B) (Broder 1997). Signatures are built in
+  ONE pass over exploded shingles as ``num_hashes`` min-aggregates —
+  map-side combining, JVM-side hashing, no UDFs.
+- LSH banding: signature split into bands; band bucket = hash of the
+  band's slice; docs sharing any band bucket are candidates, verified
+  with exact Jaccard from their signatures (estimate) or the exact
+  operator (ground truth).
+- SimHash (Charikar 2002): 64-bit signature from token-frequency
+  weighted random hyperplanes realized as per-bit majority votes of
+  xxhash64 bits; near-dups = pairs within a Hamming radius, found via
+  16-bit band buckets (pigeonhole: radius ≤ 3 ⇒ some band of 4 matches).
+
+These are approximate operators: their queries() entries are rows-only
+checks; exactness is covered by unit tests against the exact-Jaccard
+oracle operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.text import shingles, tokenize
+from bigdataminingproject_spark.sources.tables import load_table
+
+NUM_HASHES = 128
+NUM_BANDS = 32  # 4 rows per band → good recall at J >= 0.5
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document MinHash signature as ``num_hashes`` columns mh_0..n.
+
+    One explode + one groupBy with ``num_hashes`` min-aggregates — the
+    partial aggregation keeps the shuffle at one row per doc.
+    """
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    sh = tk.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("_toks"), k))).alias(
+            "shingle"
+        ),
+    )
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, scored by the
+    signature-estimated Jaccard and filtered at ``threshold``.
+
+    Candidate generation is an equi-join on (band, bucket) — the only
+    shuffle that grows with corpus size carries one row per (doc, band).
+    """
+    sig = minhash_signatures(docs, k, num_hashes, text_col, id_col)
+    rows_per_band = num_hashes // num_bands
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + i}") for i in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(num_bands)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"mh_{j}") for j in range(num_hashes)], *band_cols)
+
+    # (doc, band_id, bucket) long format → single self-join
+    bands_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands_long.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands_long.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)]).alias("sig_a"),
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array(*[F.col(f"mh_{j}") for j in range(num_hashes)]).alias("sig_b"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash per document from token multiset.
+
+    Per bit i: sign of Σ_tokens count·(bit_i(xxhash64(token)) ? +1 : -1).
+    Computed as 64 conditional-sum aggregates over exploded tokens —
+    pure JVM expressions with map-side combine.
+    """
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    tok = tk.select("doc_id", F.explode(F.col("_toks")).alias("token"))
+    h = F.xxhash64("token")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    voted = tok.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return voted.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Candidates via 4 × 16-bit band buckets (pigeonhole guarantees full
+    recall for radius ≤ 3), verified with an exact popcount on the XOR.
+    """
+    sig = simhash_signatures(docs, text_col, id_col)
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+        .bitwiseAND(F.lit(0xFFFF))
+        .alias(f"band_{b}")
+        for b in range(4)
+    ]
+    banded = sig.select("doc_id", "simhash", *bands)
+    bands_long = banded.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a = bands_long.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "band", "bucket"
+    )
+    b = bands_long.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "band", "bucket"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- query registry entries (rows-only: approximate operators) --------------
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3)

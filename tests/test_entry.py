@@ -9,9 +9,17 @@ def test_queries_and_oracles_aligned():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q), "oracle without a query"
-    # every non-oracled query is a documented rows-only check
+    # every non-oracled query is a documented rows-only check: the
+    # approximate/LSH operators and binary/Arrow-UDF plumbing that a SQL
+    # oracle cannot replicate (exact ground truths exist for each:
+    # q_embedding_neardup, q_ngram_jaccard)
     rows_only = set(q) - set(o)
-    assert rows_only == {"q_embedding_neardup_lsh"}
+    assert rows_only == {
+        "q_embedding_neardup_lsh",
+        "q_minhash_lsh",
+        "q_simhash_neardup",
+        "q_media_features",
+    }
 
 
 def test_entry_returns_rows(spark):
