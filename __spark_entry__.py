@@ -43,6 +43,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_order_priority": relational.q_order_priority,
         "q_customer_order_rank": relational.q_customer_order_rank,
         "q_monthly_discount": relational.q_monthly_discount,
+        "q_rollup_order_stats": relational.q_rollup_order_stats,
+        "q_cube_lineitem_flags": relational.q_cube_lineitem_flags,
+        "q_customers_without_orders": relational.q_customers_without_orders,
+        "q_brands_shipped": relational.q_brands_shipped,
+        "q_custkeys_1997_not_1998": relational.q_custkeys_1997_not_1998,
+        "q_late_ship_priority": relational.q_late_ship_priority,
+        "q_events_daily_users": relational.q_events_daily_users,
         # event-stream analytics (reference W3/W5 on event-time)
         "q_events_hourly": events.q_events_hourly,
         "q_events_burst": events.q_events_burst,
@@ -248,6 +255,77 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY 1
         ORDER BY ship_month
+    """
+
+    sql["q_rollup_order_stats"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS order_count,
+               round(sum(o_totalprice), 2) AS total_value
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """
+
+    sql["q_cube_lineitem_flags"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS item_count,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """
+
+    sql["q_customers_without_orders"] = """
+        SELECT c_custkey AS custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+        ORDER BY custkey
+    """
+
+    sql["q_brands_shipped"] = """
+        SELECT p_brand, count(*) AS shipped_parts
+        FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        GROUP BY p_brand
+        ORDER BY p_brand
+    """
+
+    sql["q_custkeys_1997_not_1998"] = """
+        SELECT DISTINCT custkey FROM (
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+        )
+        ORDER BY custkey
+    """
+
+    sql["q_late_ship_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    sql["q_events_daily_users"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
+               count(DISTINCT user_id) AS distinct_users,
+               count(*) AS event_count
+        FROM events
+        GROUP BY 1
+        ORDER BY event_day
     """
 
     sql["q_events_hourly"] = """

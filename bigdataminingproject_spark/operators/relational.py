@@ -217,3 +217,113 @@ def q_monthly_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+def q_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: GROUP BY ROLLUP(status, priority).
+
+    Grouping sets are absent from the reference (SURVEY.md §2.9) but part
+    of a complete relational surface; one shuffle, partial+final agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+def q_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-subtotal view: GROUP BY CUBE(returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("item_count"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered (NOT EXISTS shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .select(F.col("c_custkey").alias("custkey"), "c_name", "c_mktsegment")
+        .orderBy("custkey")
+    )
+
+
+def q_brands_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: parts with at least one lineitem, counted per brand."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("shipped_parts"))
+        .orderBy("p_brand")
+    )
+
+
+def q_custkeys_1997_not_1998(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers active in 1997 but not in 1998 (EXCEPT)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select(F.col("o_custkey").alias("custkey"))
+
+    # subtract = EXCEPT (set semantics): any 1998 activity removes the key
+    return active(1997).subtract(active(1998)).orderBy("custkey")
+
+
+def q_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with EXISTS late lineitem, counted by
+    priority. Correlated EXISTS compiles to a left-semi join on
+    (orderkey, shipdate > orderdate + 60 days)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_events_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day (A12 exact; HLL variant in sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("event_day"))
+        .agg(
+            F.count_distinct("user_id").alias("distinct_users"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .orderBy("event_day")
+    )
