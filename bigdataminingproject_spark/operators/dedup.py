@@ -154,17 +154,21 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         tokenize(F.col(text_col)).alias("_toks"),
     )
+    # join on the 64-bit shingle hash, not the string: smaller shuffle
+    # rows, long equality instead of string compare. Collision odds over
+    # a corpus's distinct shingles are ~n²/2^65 — immaterial for
+    # candidate counting (and candidates are exact-verified by size).
     sh = tk.select(
         "doc_id",
         F.explode(F.array_distinct(shingles(F.col("_toks"), k))).alias(
             "shingle"
         ),
-    )
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        a.join(b, (F.col("a.shingle_h") == F.col("b.shingle_h")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

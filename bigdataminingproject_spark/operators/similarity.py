@@ -14,6 +14,8 @@ shuffles on (band, bucket) instead of cross-joining.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -134,9 +136,6 @@ def lsh_bucketed_neardup(
     with no per-plane expression trees; candidates then shuffle once on
     (band, bucket), and only candidate pairs pay the exact-cosine verify.
     """
-    import numpy as np
-    import pandas as pd
-
     per_band = n_planes // n_bands
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
@@ -185,15 +184,33 @@ def lsh_bucketed_neardup(
     )
     va = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
-    verified = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
+            mb = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
+            cos = (ma * mb).sum(axis=1) / (
+                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            )
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values,
+                    "id_b": pdf["id_b"].values,
+                    "cosine_sim": np.round(cos, 6),
+                }
+            )
+            yield out[out["cosine_sim"] >= threshold]
+
+    # exact verification vectorized in numpy — candidate batches arrive
+    # via Arrow, so this is a matmul per batch instead of an interpreted
+    # per-element fold (zip_with/aggregate) per row
+    verified = paired.mapInPandas(
+        verify, schema="id_a long, id_b long, cosine_sim double"
     )
-    return verified.select("id_a", "id_b", "cosine_sim").orderBy("id_a", "id_b")
+    return verified.orderBy("id_a", "id_b")
 
 
 # --- query registry entries -------------------------------------------------

@@ -207,3 +207,109 @@ def snapshot_sink(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_burst_parity(
+    stream: DataFrame,
+    pos_col: str = "stream_pos",
+    text_col: str = "body",
+    window: int = 50,
+    threshold: float = 2.0,
+    min_count: int = 1,
+):
+    """Count-based sliding-window burst detection, DGIM-backed (W2+W3
+    streaming parity — SURVEY.md §4 hard-part 1).
+
+    The reference windows over the last N *messages*, not event-time
+    (dgim.py / burst_detector.py). Spark has no count-based stream
+    windows, so this is a custom stateful operator: per-token DGIM
+    counters (operators/sketches.Dgim) advanced by the global stream
+    position, held in ``applyInPandasWithState`` state as a JSON blob;
+    each micro-batch emits the spike set at its last position with the
+    reference's exact ratio rule ((recent+1e-6)/(prev+1e-6) >= threshold,
+    recent >= min_count, ordered by -ratio/-recent).
+
+    PARITY MODE, deliberately not the scale path: count-based windows
+    need a total order, so everything groups under one key (single
+    partition) — exactly the reference's execution model with bounded
+    DGIM memory per token. The scalable exact equivalent is
+    operators/snapshots.burst_windows (batch) or event-time windows
+    (streaming_event_counts).
+    """
+    import json as _json
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdataminingproject_spark.operators.sketches import Dgim
+
+    toks = tokenize(F.col(text_col))
+    tok = stream.select(
+        F.lit(0).alias("shard"),
+        F.col(pos_col).cast("long").alias("pos"),
+        F.explode(toks).alias("token"),
+    )
+    out_schema = StructType(
+        [
+            StructField("boundary", LongType()),
+            StructField("token", StringType()),
+            StructField("recent_count", LongType()),
+            StructField("prev_count", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("blob", StringType())])
+    recent_k = window // 2
+
+    def detect(key, pdfs, state: GroupState):
+        blob = state.get[0] if state.exists else "{}"
+        stored = _json.loads(blob)
+        dgims = {
+            t: Dgim.from_state(window, flat) for t, flat in stored.items()
+        }
+        events: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            events.extend(zip((int(p) for p in pdf["pos"]), pdf["token"]))
+        events.sort()
+        maxpos = 0
+        for pos, token in events:
+            d = dgims.setdefault(token, Dgim(window=window))
+            while d.clock < pos:
+                d.tick()
+            d.add(1)
+            maxpos = max(maxpos, pos)
+        rows = []
+        for token, d in dgims.items():
+            while d.clock < maxpos:
+                d.tick()
+            recent = d.count(recent_k)
+            prev = max(0, d.count(2 * recent_k) - recent)
+            if recent < min_count:
+                continue
+            ratio = (recent + 1e-6) / (prev + 1e-6)
+            if ratio >= threshold:
+                rows.append((maxpos, token, recent, prev, round(ratio, 4)))
+        rows.sort(key=lambda r: (-r[4], -r[2], r[1]))
+        state.update(
+            (_json.dumps({t: d.to_state() for t, d in dgims.items()}),)
+        )
+        yield pd.DataFrame(
+            rows,
+            columns=["boundary", "token", "recent_count", "prev_count", "ratio"],
+        )
+
+    import pandas as pd
+
+    return tok.groupBy("shard").applyInPandasWithState(
+        detect,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
