@@ -50,6 +50,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custkeys_1997_not_1998": relational.q_custkeys_1997_not_1998,
         "q_late_ship_priority": relational.q_late_ship_priority,
         "q_events_daily_users": relational.q_events_daily_users,
+        "q6_discount_revenue": relational.q6_discount_revenue,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q_status_price_quantiles": relational.q_status_price_quantiles,
+        "q_user_gap_stats": relational.q_user_gap_stats,
         # event-stream analytics (reference W3/W5 on event-time)
         "q_events_hourly": events.q_events_hourly,
         "q_events_burst": events.q_events_burst,
@@ -60,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_tokens_topk": frequency.q_doc_tokens_topk,
         "q_doc_term_estimates": frequency.q_doc_term_estimates,
         "q_doc_source_topk": frequency.q_doc_source_topk,
+        "q_doc_bigrams": frequency.q_doc_bigrams,
         # dedup family (reference A10 + north-star)
         "q_dup_scores": dedup.q_dup_scores,
         "q_dup_summary": dedup.q_dup_summary,
@@ -319,6 +324,57 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY o_orderpriority
     """
 
+    sql["q6_discount_revenue"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS item_count
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+
+    sql["q10_returned_revenue"] = """
+        SELECT c_custkey AS custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, custkey
+        LIMIT 20
+    """
+
+    sql["q_status_price_quantiles"] = """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """
+
+    sql["q_user_gap_stats"] = """
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_ms
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_gaps,
+               round(CAST(sum(gap_ms) AS DOUBLE) / count(*), 2) AS avg_gap_ms,
+               max(gap_ms) AS max_gap_ms
+        FROM gaps WHERE gap_ms IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
     sql["q_events_daily_users"] = """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS event_day,
                count(DISTINCT user_id) AS distinct_users,
@@ -430,6 +486,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, coalesce(token_count, 0) AS estimate
         FROM want LEFT JOIN counts ON term = token
         ORDER BY term
+    """
+
+    sql["q_doc_bigrams"] = f"""
+        WITH {_TOKS_CTE},
+        tok_pos2 AS (
+            SELECT doc_id,
+                   unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM tok_clean
+        ),
+        bg AS (
+            SELECT a.tok || ' ' || b.tok AS bigram
+            FROM tok_pos2 a
+            JOIN tok_pos2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        )
+        SELECT bigram, count(*) AS bigram_count
+        FROM bg
+        GROUP BY bigram
+        ORDER BY bigram_count DESC, bigram
+        LIMIT 15
     """
 
     sql["q_doc_source_topk"] = f"""

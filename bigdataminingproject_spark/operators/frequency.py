@@ -89,3 +89,21 @@ def q_doc_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "token", "token_count", "rnk")
         .orderBy("source", "rnk")
     )
+
+
+def q_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 token bigrams over cleaned text (T6 with k=2 on the
+    stopword-filtered token stream)."""
+    from bigdataminingproject_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        remove_stopwords(tokenize(F.col("text"))).alias("_toks")
+    )
+    return (
+        tk.select(F.explode(shingles(F.col("_toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bigram_count"))
+        .orderBy(F.desc("bigram_count"), "bigram")
+        .limit(15)
+    )
