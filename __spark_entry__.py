@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": events.q_events_sessionize,
         "q_events_top_users": events.q_events_top_users,
         "q_events_props": events.q_events_props,
+        "q_events_session_native": events.q_events_session_native,
         # frequency / top-k (reference A7-A9, A12-A13)
         "q_doc_tokens_topk": frequency.q_doc_tokens_topk,
         "q_doc_term_estimates": frequency.q_doc_term_estimates,
@@ -443,6 +444,35 @@ def oracle_sql() -> dict[str, str]:
         FROM numbered
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """
+
+    sql["q_events_session_native"] = """
+        WITH marked AS (
+            SELECT user_id,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                        THEN 1 ELSE 0 END AS new_session,
+                   ts, event_id
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id,
+                   sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_seq
+            FROM marked
+        ), sessions AS (
+            SELECT user_id, session_seq, count(*) AS session_events
+            FROM numbered GROUP BY user_id, session_seq
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(sum(session_events) AS BIGINT) AS n_events,
+               CAST(max(session_events) AS BIGINT) AS max_session_events
+        FROM sessions
+        GROUP BY user_id
+        ORDER BY user_id
     """
 
     sql["q_events_top_users"] = """

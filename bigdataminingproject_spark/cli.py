@@ -17,7 +17,6 @@ Output: the same summary JSON on stdout (S6), optional bump-chart PNG
 
 from __future__ import annotations
 
-import sys
 
 import click
 

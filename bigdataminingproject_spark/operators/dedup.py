@@ -15,14 +15,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.functions.numeric import stable_avg
-from bigdataminingproject_spark.functions.text import (
-    remove_stopwords,
-    shingles,
-    tokenize,
-)
+from bigdataminingproject_spark.functions.text import shingles, tokenize
 from bigdataminingproject_spark.sources.tables import load_table
 
 DUP_THRESHOLD = 0.7  # duplicate_detector.py:31

@@ -150,3 +150,27 @@ def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session counts via Spark's native session_window.
+
+    Same semantics as the gaps-and-islands formulation
+    (q_events_sessionize) — verified identical on this data; the native
+    operator is the streaming-ready form (works under watermarks too).
+    The oracle uses the islands SQL, so this query cross-checks the two
+    formulations against each other through DuckDB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sessions = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("session_events"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("session_events").alias("n_events"),
+            F.max("session_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 
 from bigdataminingproject_spark.functions.text import (
     ENGLISH_STOPWORDS,
-    remove_stopwords,
     tokenize,
 )
 from bigdataminingproject_spark.sources.tables import load_table
