@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprints": textstats.q_doc_fingerprints,
         "q_doc_lang_stats": textstats.q_doc_lang_stats,
         "q_doc_lang_id": textstats.q_doc_lang_id,
+        "q_doc_quality": textstats.q_doc_quality,
         # snapshot / count-window machinery (reference W5/W3/A12)
         "q_doc_snapshots": snapshots.q_doc_snapshots,
         "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
@@ -661,6 +662,32 @@ def oracle_sql() -> dict[str, str]:
                    list_filter(string_split_regex(lower(text), '[^\\p{L}]+'),
                                x -> x <> ''), ' ')) AS fingerprint
         FROM documents
+        ORDER BY doc_id
+    """
+
+    sql["q_doc_quality"] = f"""
+        WITH tok_base AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                               x -> x <> '') AS raw_toks
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   len(raw_toks) AS n_tokens,
+                   round(CASE WHEN len(raw_toks) > 0
+                         THEN len(list_filter(raw_toks, x -> x IN ({_STOP_ONLY_LIST})))
+                              / len(raw_toks) ELSE 0.0 END, 4) AS stopword_ratio,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                              / length(text) ELSE 0.0 END, 4) AS punct_ratio
+            FROM tok_base
+        )
+        SELECT doc_id,
+               round((least(n_tokens / 100.0, 1.0)
+                      + (1.0 - abs(stopword_ratio - 0.4))
+                      + (1.0 - least(punct_ratio * 4, 1.0))) / 3.0, 4) AS quality_score
+        FROM feats
         ORDER BY doc_id
     """
 

@@ -167,3 +167,19 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("num_docs"))
         .orderBy("lang", "predicted_lang")
     )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score (threshold-filterable corpus signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", "text", tokenize(F.col("text")).alias("_toks"))
+    f = quality_features(F.col("text"), tokens=F.col("_toks"))
+    length_term = F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+    stop_term = F.lit(1.0) - F.abs(f["stopword_ratio"] - F.lit(0.4))
+    punct_term = F.lit(1.0) - F.least(f["punct_ratio"] * 4, F.lit(1.0))
+    return tk.select(
+        "doc_id",
+        F.round((length_term + stop_term + punct_term) / F.lit(3.0), 4).alias(
+            "quality_score"
+        ),
+    ).orderBy("doc_id")

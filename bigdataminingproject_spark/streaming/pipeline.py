@@ -313,3 +313,107 @@ def streaming_burst_parity(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_streaming_detector_pipeline(
+    spark,
+    stream_src: DataFrame,
+    staging_dir: str,
+    chunks: int = 10,
+    update_interval: int = 100,
+    top_frequency: int = 10,
+    threshold: float = 0.7,
+):
+    """Live twin of plans/pipeline.run_detector_pipeline (Phase 4).
+
+    Takes the bounded ordered stream (stream_pos, body), replays it in
+    order through the *stateful streaming* duplicate scorer
+    (applyInPandasWithState — state accumulates across micro-batches),
+    then assembles the reference-shaped summary from the streamed
+    outputs with the same snapshot operators. Produces results equal to
+    the batch pipeline when replay order is preserved — asserted by
+    tests/test_streaming.py equivalence.
+    """
+    from bigdataminingproject_spark.operators import snapshots as snap_ops
+    from bigdataminingproject_spark.operators.frequency import top_k_tokens
+    from bigdataminingproject_spark.streaming.replay import file_replay_source
+
+    stream = file_replay_source(
+        spark,
+        stream_src.select(
+            F.col("stream_pos").cast("long").alias("msg_id"), "body"
+        ),
+        staging_dir,
+        chunks=chunks,
+        order_col="msg_id",
+    )
+    hits = streaming_duplicate_scores(stream, msg_col="msg_id")
+    name = f"dup_hits_{abs(hash(staging_dir)) % 10_000_000}"
+    run_to_memory(hits, name, output_mode="append")
+    per_msg = (
+        spark.table(name)
+        .groupBy("msg_id")
+        .agg(F.round(F.avg(F.col("hit").cast("int")), 4).alias("duplicate_score"))
+    )
+    all_msgs = stream_src.select(
+        F.col("stream_pos").cast("long").alias("msg_id"), "body"
+    )
+    scored = (
+        all_msgs.join(per_msg, "msg_id", "left")
+        .withColumn(
+            "duplicate_score", F.coalesce("duplicate_score", F.lit(0.0))
+        )
+        .withColumn(
+            "is_duplicate", F.col("duplicate_score") >= F.lit(threshold)
+        )
+    )
+    totals = scored.agg(
+        F.count(F.lit(1)).alias("processed"),
+        F.sum(F.col("is_duplicate").cast("int")).alias("dups"),
+        F.sum("duplicate_score").alias("score_sum"),
+    ).first()
+    processed = totals["processed"]
+    dup_count = int(totals["dups"] or 0)
+    snap_src = scored.select(
+        F.col("msg_id").alias("doc_id"), F.col("body").alias("text")
+    )
+    snapshot_rows = snap_ops.snapshot_summary(
+        snap_src, interval=update_interval
+    ).collect()
+    burst_rows = snap_ops.burst_windows(
+        snap_src, interval=update_interval
+    ).collect()
+    final_top = {
+        r["token"]: r["token_count"]
+        for r in top_k_tokens(snap_src, k=top_frequency).collect()
+    }
+    return {
+        "processed": processed,
+        "duplicates": {
+            "total": dup_count,
+            "rate": (dup_count / processed) if processed else 0.0,
+            "avg_score": float(totals["score_sum"] or 0.0) / processed
+            if processed
+            else 0.0,
+        },
+        "periodic_snapshots": [
+            {
+                "message_count": r["message_count"],
+                "duplicates_so_far": r["duplicates_so_far"],
+            }
+            for r in snapshot_rows
+        ],
+        "final_burst": [
+            {
+                "token": r["token"],
+                "ratio": r["ratio"],
+                "recent_count": r["recent_count"],
+                "prev_count": r["prev_count"],
+            }
+            for r in burst_rows
+            if r["boundary"] == max(b["boundary"] for b in burst_rows)
+        ]
+        if burst_rows
+        else [],
+        "final_top_tokens": final_top,
+    }

@@ -97,3 +97,42 @@ def test_snapshot_sink_runs_per_batch(spark, sf_dir, tmp_path):
     snapshot_sink(stream, capture)
     assert sum(n for _, n in seen) == 100
     assert len(seen) >= 2  # genuinely incremental (multiple triggers)
+
+
+def test_streaming_pipeline_equals_batch_pipeline(spark, tmp_path):
+    """The live stateful pipeline must reproduce the batch pipeline's
+    summary exactly when replay order is preserved."""
+    from bigdataminingproject_spark.plans.pipeline import run_detector_pipeline
+    from bigdataminingproject_spark.streaming.pipeline import (
+        run_streaming_detector_pipeline,
+    )
+
+    rows = []
+    pos = 1
+    for i in range(60):
+        rows.append((pos, "repeated filler body text"))
+        pos += 1
+    for i in range(60):
+        body = "different second phase"
+        if i >= 45:
+            body += " hotword"
+        rows.append((pos, body))
+        pos += 1
+    src = spark.createDataFrame(rows, "stream_pos long, body string")
+
+    batch = run_detector_pipeline(src, update_interval=50)
+    live = run_streaming_detector_pipeline(
+        spark, src, str(tmp_path / "live_stage"), chunks=6, update_interval=50
+    )
+    assert live["processed"] == batch["processed"]
+    assert live["duplicates"] == batch["duplicates"]
+    assert live["final_top_tokens"] == batch["final_top_tokens"]
+    live_snaps = [
+        (s["message_count"], s["duplicates_so_far"])
+        for s in live["periodic_snapshots"]
+    ]
+    batch_snaps = [
+        (s["message_count"], s["duplicates_so_far"])
+        for s in batch["periodic_snapshots"]
+    ]
+    assert live_snaps == batch_snaps
