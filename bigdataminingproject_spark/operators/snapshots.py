@@ -36,9 +36,16 @@ BURST_MIN_COUNT = 1
 def _ordered(
     docs: DataFrame, order_col: str, interval: int = UPDATE_INTERVAL
 ) -> DataFrame:
-    """Attach the stream position (1-based) and snapshot bucket."""
-    w = Window.orderBy(order_col)
-    return docs.withColumn("rn", F.row_number().over(w)).withColumn(
+    """Attach the stream position (1-based) and snapshot bucket.
+
+    Uses the distributed two-phase global position (plans/ordering.py)
+    rather than a bare ORDER BY window — a single-partition global sort
+    would not survive 100x data.
+    """
+    from bigdataminingproject_spark.plans.ordering import with_global_position
+
+    pos = with_global_position(docs, order_col, pos_col="rn")
+    return pos.withColumn(
         "bucket", F.floor((F.col("rn") - 1) / interval).cast("long")
     )
 

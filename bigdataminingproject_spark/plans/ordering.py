@@ -1,0 +1,84 @@
+"""Scalable global ordering: distributed row numbers.
+
+A bare ``row_number() OVER (ORDER BY ...)`` collapses the whole relation
+into one partition — fine at test SFs, fatal at 100 TB. The standard
+two-phase fix: bucket rows by range, number within buckets in parallel,
+then add per-bucket prefix offsets.
+
+Crucially the bucket id is computed FROM THE DATA (deterministic
+quantile boundaries collected once), not from ``spark_partition_id()``
+over a ``repartitionByRange`` exchange: range exchanges sample their
+boundaries at execution time, so two plan branches (numbering + counts)
+can disagree about which partition a row landed in — a silent
+correctness bug this module's first version had. Value-derived buckets
+make every branch agree by construction, and equal order-key values can
+never straddle a bucket boundary (strict ``<`` comparison), so
+tiebreaker ordering stays local to one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_position(
+    df: DataFrame,
+    order_col: str,
+    tiebreakers: list[Column | str] | None = None,
+    pos_col: str = "rn",
+    num_partitions: int | None = None,
+    nulls_last: bool = True,
+) -> DataFrame:
+    """Attach a 1-based global position.
+
+    ``order_col`` must be a numeric column (quantile boundaries are
+    computed on it); ``tiebreakers`` complete the total order among equal
+    values and NULLs. NULL order values sort last (reference S4
+    semantics).
+    """
+    tiebreakers = list(tiebreakers or [])
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    # deterministic value boundaries (nulls ignored by approxQuantile)
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
+    if bounds:
+        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        bucket_of = F.size(
+            F.filter(bounds_arr, lambda b: b < F.col(order_col))
+        )
+    else:
+        bucket_of = F.lit(0)
+    null_bucket = len(bounds) + 1  # strictly after every value bucket
+    bucket = (
+        F.when(F.col(order_col).isNull(), F.lit(null_bucket)).otherwise(
+            bucket_of
+        )
+        if nulls_last
+        else F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(bucket_of)
+    )
+    bucketed = df.withColumn("_bkt", bucket)
+    order = [
+        F.col(order_col).asc_nulls_last()
+        if nulls_last
+        else F.col(order_col).asc_nulls_first()
+    ] + tiebreakers
+    w = Window.partitionBy("_bkt").orderBy(*order)
+    local = bucketed.withColumn("_lrn", F.row_number().over(w))
+    # per-bucket prefix offsets: tiny relation, cumulative window over
+    # bucket id (bucket order == value order by construction)
+    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(pos_col, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_bkt", "_lrn", "_off")
+    )

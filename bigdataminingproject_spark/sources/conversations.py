@@ -147,18 +147,27 @@ def ordered_message_stream(
     last), optional limit, body projection. Returns (stream_pos, body)."""
     from pyspark.sql.window import Window
 
+    from bigdataminingproject_spark.plans.ordering import with_global_position
+
     df = messages.filter(F.col("body").isNotNull() & (F.col("body") != ""))
     if sort_by_time:
-        order = [
-            F.col("time").asc_nulls_last(),
-            F.col("conv_id"),
-            F.col("msg_index"),
-        ]
+        # distributed two-phase global position over the numeric time
+        # column (nulls last, reference S4) — no single-partition sort
+        df = with_global_position(
+            df,
+            "time",
+            tiebreakers=[F.col("conv_id"), F.col("msg_index")],
+            pos_col="stream_pos",
+        )
     else:
-        order = [F.col("conv_id"), F.col("msg_index")]
-    df = df.withColumn(
-        "stream_pos", F.row_number().over(Window.orderBy(*order))
-    )
+        # arrival order (string keys): plain window — only used for
+        # small bounded replays, documented scale limitation
+        df = df.withColumn(
+            "stream_pos",
+            F.row_number().over(
+                Window.orderBy(F.col("conv_id"), F.col("msg_index"))
+            ),
+        )
     if limit is not None:
         df = df.filter(F.col("stream_pos") <= limit)
     return df.select("stream_pos", "body")
