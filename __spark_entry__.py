@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_bruteforce": similarity.q_knn_bruteforce,
         "q_embedding_neardup": similarity.q_embedding_neardup,
         "q_embedding_neardup_lsh": similarity.q_embedding_neardup_lsh,
+        "q_knn_ivf": similarity.q_knn_ivf,
     }
 
 

@@ -232,3 +232,135 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup (scale path; subset of the exact result)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_neardup(vecs, threshold=0.95)
+
+
+def _train_centroids(
+    vectors: DataFrame,
+    n_clusters: int,
+    vec_col: str = "vec",
+    sample_cap: int = 4096,
+    seed: int = 42,
+    iters: int = 8,
+):
+    """Deterministic k-means on a bounded driver-side sample (numpy).
+
+    IVF coarse quantizers are always trained on a sample — the cap keeps
+    driver memory flat regardless of corpus size. Lloyd's algorithm with
+    seeded init; empty clusters re-seeded from the farthest points.
+    """
+    sample = np.array(
+        [
+            r[0]
+            for r in vectors.select(vec_col)
+            .limit(sample_cap)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), n_clusters, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+            else:
+                centroids[c] = sample[d.min(axis=1).argmax()]
+    return centroids
+
+
+def ivf_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    Scale path for kNN: vectors are assigned to their nearest coarse
+    centroid once (one Arrow pass); each query scores only the vectors in
+    its ``n_probe`` closest clusters — an equi-join on cluster id instead
+    of the brute-force cross join, cutting the scored pairs by
+    ~n_clusters/n_probe. Exact cosine on the probed subset; recall < 1
+    only for true neighbors living outside the probed cells.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    cents = _train_centroids(v, n_clusters, seed=seed)
+    bc = vectors.sparkSession.sparkContext.broadcast(cents.tolist())
+
+    def assign(batches):
+        c = np.array(bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "vec": pdf["vec"].values,
+                    "cluster": d.argmin(axis=1).astype("int32"),
+                }
+            )
+
+    assigned = v.mapInPandas(
+        assign, schema="neighbor_id long, vec array<double>, cluster int"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    )
+
+    def probe(batches):
+        c = np.array(bc.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+            d = ((mat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            near = np.argsort(d, axis=1)[:, :n_probe]
+            rows = {"query_id": [], "q_vec": [], "cluster": []}
+            for i in range(len(pdf)):
+                for cl in near[i]:
+                    rows["query_id"].append(int(pdf["query_id"].iloc[i]))
+                    rows["q_vec"].append(pdf["q_vec"].iloc[i])
+                    rows["cluster"].append(int(cl))
+            yield pd.DataFrame(rows)
+
+    probed = q.mapInPandas(
+        probe, schema="query_id long, q_vec array<double>, cluster int"
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("vec")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN for the first 5 vectors (scale path; compare
+    with the exact q_knn_bruteforce)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return ivf_knn(vecs, queries, k=10)

@@ -16,6 +16,7 @@ def test_queries_and_oracles_aligned():
     rows_only = set(q) - set(o)
     assert rows_only == {
         "q_embedding_neardup_lsh",
+        "q_knn_ivf",
         "q_minhash_lsh",
         "q_simhash_neardup",
         "q_media_features",

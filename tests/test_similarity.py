@@ -62,3 +62,38 @@ def test_lsh_deterministic(spark, vectors):
     a = lsh_bucketed_neardup(vectors, threshold=0.95).collect()
     b = lsh_bucketed_neardup(vectors, threshold=0.95).collect()
     assert a == b
+
+
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    from bigdataminingproject_spark.operators.similarity import (
+        ivf_knn,
+        knn_bruteforce,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(vecs, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(vecs, queries, k=5, n_clusters=8, n_probe=4).collect()
+    }
+    # probing half the cells must recover most true neighbors
+    assert len(approx & exact) / len(exact) >= 0.5
+    assert len(approx) == len(exact)  # still returns full k per query
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    from bigdataminingproject_spark.operators.similarity import ivf_knn
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 2)
+    a = ivf_knn(vecs, q, k=5).collect()
+    b = ivf_knn(vecs, q, k=5).collect()
+    assert a == b
