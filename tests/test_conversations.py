@@ -135,3 +135,32 @@ def test_cache_roundtrip_and_force_reload(spark, corpus_dir, tmp_path):
         LoaderConfig(data_dir=corpus_dir, use_skipwords=False).cache_key()
         != cfg.cache_key()
     )
+
+
+def test_random_three_way_split(spark, corpus_dir):
+    from bigdataminingproject_spark.sources.conversations import (
+        random_three_way_split,
+    )
+
+    df = spark.range(1000)
+    splits = random_three_way_split(df, test=0.2, val=0.1, seed=42)
+    assert set(splits) == {"train", "val", "test"}
+    total = sum(s.count() for s in splits.values())
+    assert total == 1000
+    # P1 ratios (dataloader.py:27-38): ~72/8/20 — generous tolerance
+    assert 0.6 < splits["train"].count() / 1000 < 0.85
+    # deterministic under the seed
+    again = random_three_way_split(df, test=0.2, val=0.1, seed=42)
+    assert again["test"].count() == splits["test"].count()
+
+
+def test_lemmatize_fallback_is_identity_without_nltk(spark):
+    from bigdataminingproject_spark.functions import nlp
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(["cats", "running"],)], "toks array<string>")
+    out = df.select(nlp.lemmatize(F.col("toks")).alias("v")).first()["v"]
+    if nlp.have_nltk():
+        assert out == ["cat", "running"]  # WordNet default POS=noun
+    else:
+        assert out == ["cats", "running"]  # documented identity fallback
