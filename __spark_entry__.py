@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_lang_stats": textstats.q_doc_lang_stats,
         "q_doc_lang_id": textstats.q_doc_lang_id,
         "q_doc_quality": textstats.q_doc_quality,
+        "q_doc_token_counts": textstats.q_doc_token_counts,
         # snapshot / count-window machinery (reference W5/W3/A12)
         "q_doc_snapshots": snapshots.q_doc_snapshots,
         "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
@@ -689,6 +690,17 @@ def oracle_sql() -> dict[str, str]:
                       + (1.0 - abs(stopword_ratio - 0.4))
                       + (1.0 - least(punct_ratio * 4, 1.0))) / 3.0, 4) AS quality_score
         FROM feats
+        ORDER BY doc_id
+    """
+
+    sql["q_doc_token_counts"] = """
+        SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+                   AS bpe_ish_tokens
+        FROM documents
         ORDER BY doc_id
     """
 

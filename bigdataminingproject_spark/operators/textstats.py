@@ -183,3 +183,42 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score"
         ),
     ).orderBy("doc_id")
+
+
+# GPT-2-style pretokenizer shape, restricted to RE2 syntax (no lookahead)
+# so the same pattern runs in Spark's regex engine and the DuckDB oracle.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def rolling_fingerprint(tokens: Column, mod: int = 10**15, base: int = 31) -> Column:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (Rabin-Karp shape). Pure column fold — per-token 64-bit hashes reduced
+    with modular arithmetic kept far from long overflow (ANSI-safe).
+    Unlike the md5 fingerprint this is incremental/streamable state."""
+    tok_h = lambda t: F.pmod(F.xxhash64(t), F.lit(10**9))  # noqa: E731
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * F.lit(base) + tok_h(t), F.lit(mod)),
+    )
+
+
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star: whitespace + BPE-ish regex).
+
+    ``ws_tokens`` = whitespace-delimited count; ``bpe_ish_tokens`` =
+    matches of the GPT-2-style pretokenizer pattern — the token-budget
+    proxy a training-data pipeline filters on.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(
+        F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != F.lit(""))
+    )
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")

@@ -73,3 +73,23 @@ def test_preprocess_body_roundtrip(spark):
     )
     out = df.select(preprocess_body(F.col("t")).alias("v")).first()["v"]
     assert out == "quick brown fox jumped over lazy dogs"
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from bigdataminingproject_spark.operators.textstats import (
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ["a", "b", "c"]), (1, ["c", "b", "a"]), (2, ["a", "b", "c"])],
+        "i long, toks array<string>",
+    )
+    out = {
+        r["i"]: r["h"]
+        for r in df.select(
+            "i", rolling_fingerprint(F.col("toks")).alias("h")
+        ).collect()
+    }
+    assert out[0] == out[2]  # deterministic
+    assert out[0] != out[1]  # order matters (md5 fingerprint also differs,
+    # but rolling hash keeps incremental/streamable state)
