@@ -45,8 +45,13 @@ def broadcast_join_count(df: DataFrame) -> int:
 
 
 def shuffle_exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the (pre-AQE) plan.
+
+    Formatted mode prints nodes as ``(N) Exchange`` with the partitioning
+    on a separate ``Arguments:`` line, so count the node headers.
+    """
     plan = formatted_plan(df)
-    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:

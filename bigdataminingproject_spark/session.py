@@ -58,6 +58,7 @@ def get_spark(app_name: str = "bigdataminingproject-spark") -> SparkSession:
         # local-mode memory headroom; ignored if a JVM already exists.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir", "/tmp/bdmp_spark_warehouse")
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONF.items():

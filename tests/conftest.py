@@ -19,6 +19,7 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("engine-tests")
         .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.warehouse.dir", "/tmp/bdmp_test_warehouse")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
