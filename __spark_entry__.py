@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_term_estimates": frequency.q_doc_term_estimates,
         "q_doc_source_topk": frequency.q_doc_source_topk,
         "q_doc_bigrams": frequency.q_doc_bigrams,
+        "q_doc_vocab_stats": frequency.q_doc_vocab_stats,
         # dedup family (reference A10 + north-star)
         "q_dup_scores": dedup.q_dup_scores,
         "q_dup_summary": dedup.q_dup_summary,
@@ -519,6 +520,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, coalesce(token_count, 0) AS estimate
         FROM want LEFT JOIN counts ON term = token
         ORDER BY term
+    """
+
+    sql["q_doc_vocab_stats"] = f"""
+        WITH {_TOKS_CTE}
+        SELECT count(*) AS total_tokens,
+               count(DISTINCT token) AS distinct_tokens,
+               round(count(DISTINCT token) / count(*), 6) AS type_token_ratio
+        FROM (SELECT unnest(toks) AS token FROM tok_clean)
     """
 
     sql["q_doc_bigrams"] = f"""

@@ -107,3 +107,18 @@ def q_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bigram_count"), "bigram")
         .limit(15)
     )
+
+
+def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: token volume, exact distinct count,
+    type-token ratio (A12 exact; the HLL variant lives in sketches.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = remove_stopwords(tokenize(F.col("text")))
+    tok = docs.select(F.explode(toks).alias("token"))
+    return tok.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.count_distinct("token").alias("distinct_tokens"),
+        F.round(
+            F.count_distinct("token") / F.count(F.lit(1)), 6
+        ).alias("type_token_ratio"),
+    )
