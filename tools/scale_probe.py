@@ -1,0 +1,121 @@
+"""Scale-up probe: replicate sf0.1 ~10x into /tmp and measure headline
+queries at both sizes.
+
+The bench gate runs at sf0.1; this probe answers the next question —
+"does the plan survive 10x?" — by self-unioning the synthetic tables
+with remapped keys (key spaces stay disjoint so join/group cardinalities
+scale realistically) and comparing wall times. Near-linear scaling means
+no single-partition choke points or quadratic joins snuck in.
+
+Usage: python tools/scale_probe.py [factor] (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/bdmp_scale_probe"
+
+# key columns remapped per replica so cardinalities grow with the data
+KEYED = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+}
+
+PROBE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q_top_customers",
+    "q_events_sessionize",
+    "q_doc_tokens_topk",
+    "q_dup_scores",
+]
+
+
+def build_scaled(spark, factor: int) -> str:
+    dst = f"{DST}_{factor}x"
+    marker = os.path.join(dst, "_built")
+    if os.path.exists(marker):
+        return dst
+    os.makedirs(dst, exist_ok=True)
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    for table, keys in KEYED.items():
+        # load_table handles the events TIMESTAMP(NANOS) quirk
+        df = load_table(spark, SRC, table)
+        if keys:
+            parts = []
+            for i in range(factor):
+                rep = df
+                for k in keys:
+                    rep = rep.withColumn(
+                        k, F.col(k) + F.lit(i * 100_000_000)
+                    )
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = df  # dims stay fixed (realistic: dims don't scale)
+        out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+    open(marker, "w").close()
+    return dst
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    out = {}
+    for name in PROBE_QUERIES:
+        best = None
+        for _ in range(2):
+            t = time.perf_counter()
+            q[name](spark, sf_dir).collect()
+            e = time.perf_counter() - t
+            best = e if best is None else min(best, e)
+        out[name] = round(best, 3)
+        spark.sparkContext._jvm.System.gc()
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    scaled_dir = build_scaled(spark, factor)
+    base = time_queries(spark, SRC)
+    scaled = time_queries(spark, scaled_dir)
+    report = {
+        "factor": factor,
+        "base_sec": base,
+        "scaled_sec": scaled,
+        "ratio": {
+            k: round(scaled[k] / base[k], 2) if base[k] else None
+            for k in base
+        },
+    }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
