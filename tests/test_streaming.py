@@ -136,3 +136,43 @@ def test_streaming_pipeline_equals_batch_pipeline(spark, tmp_path):
         for s in batch["periodic_snapshots"]
     ]
     assert live_snaps == batch_snaps
+
+
+def test_streaming_token_counts_match_batch(spark, tmp_path):
+    from bigdataminingproject_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        streaming_token_counts,
+    )
+
+    rows = [
+        (i, f"2024-01-01 0{i % 5}:10:00", "alpha beta the gamma")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "id long, ts_s string, body string").select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts"), "body"
+    )
+    stream = file_replay_source(spark, df, str(tmp_path / "tokstage"), chunks=4)
+    counts = streaming_token_counts(stream, watermark="7 days")
+    run_to_memory(counts, "tok_counts", output_mode="update")
+    got = (
+        spark.table("tok_counts")
+        .groupBy("window_start", "token")
+        .agg(F.max("token_count").alias("token_count"))
+    )
+    toks = remove_stopwords(tokenize(F.col("body")))
+    expect = (
+        df.select(F.date_trunc("hour", "ts").alias("window_start"),
+                  F.explode(toks).alias("token"))
+        .groupBy("window_start", "token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    assert got.count() == expect.count()
+    diff = got.join(expect, ["window_start", "token"]).filter(
+        got.token_count != expect.token_count
+    )
+    assert diff.count() == 0
+    # stopword 'the' never appears
+    assert got.filter(F.col("token") == "the").count() == 0
