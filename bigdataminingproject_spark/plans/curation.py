@@ -1,0 +1,82 @@
+"""Training-data corpus curation — the operators composed into the
+pipeline they exist for.
+
+A 100 TB pretraining-data pass is: quality-gate → exact dedup → near-dup
+prune → emit the curated corpus plus an audit trail. Each stage is one
+of this engine's operator families; this module chains them as a single
+lazy plan-set so Catalyst sees the whole flow (filters push into the
+scan, dedup joins reuse the tokenized projection) and nothing larger
+than the audit counters ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.text import tokenize
+from bigdataminingproject_spark.operators.dedup import exact_duplicates
+from bigdataminingproject_spark.operators.minhash import minhash_lsh_pairs
+from bigdataminingproject_spark.operators.textstats import quality_features
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.9,
+    neardup_threshold: float = 0.85,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Quality-gate, exact-dedup, and near-dup-prune a document corpus.
+
+    Returns (curated DataFrame, audit stats). Keeper policy everywhere is
+    min-id (deterministic, order-stable): the first occurrence survives,
+    mirroring the reference's check-then-insert stance (A10).
+    """
+    total = docs.count()
+
+    # 1. quality gate — pure column predicates, pushed into the scan
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    f = quality_features(F.col("text"), tokens=F.col("_toks"))
+    gated = tk.filter(
+        (f["n_tokens"] >= min_tokens)
+        & (f["stopword_ratio"] <= max_stopword_ratio)
+    ).drop("_toks")
+    after_quality = gated.count()
+
+    # 2. exact dedup — drop every member of a duplicate group but the keeper
+    groups = exact_duplicates(gated, text_col="text", id_col="doc_id")
+    losers = groups.select(
+        F.explode("member_ids").alias("doc_id"), "keeper_id"
+    ).filter(F.col("doc_id") != F.col("keeper_id")).select("doc_id")
+    exact_kept = gated.join(losers, "doc_id", "left_anti")
+    after_exact = exact_kept.count()
+
+    # 3. near-dup prune — MinHash LSH pairs; higher id of each pair drops
+    pairs = minhash_lsh_pairs(
+        exact_kept, threshold=neardup_threshold, text_col="text"
+    )
+    near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    curated = exact_kept.join(near_losers, "doc_id", "left_anti")
+    after_near = curated.count()
+
+    stats = {
+        "input_docs": total,
+        "after_quality_gate": after_quality,
+        "after_exact_dedup": after_exact,
+        "after_neardup_prune": after_near,
+        "dropped": {
+            "low_quality": total - after_quality,
+            "exact_duplicates": after_quality - after_exact,
+            "near_duplicates": after_exact - after_near,
+        },
+        "retention_rate": round(after_near / total, 4) if total else 0.0,
+    }
+    return curated, stats

@@ -1,0 +1,54 @@
+"""End-to-end corpus curation: quality gate → exact dedup → near-dup
+prune, with a deterministic audit trail."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataminingproject_spark.plans.curation import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    long_a = "the quick brown fox jumps over the lazy dog near the river today"
+    rows = [
+        (0, long_a),
+        (1, long_a),  # exact duplicate of 0 → dropped
+        (2, long_a.replace("river", "ocean")),  # near-dup of 0 → dropped
+        (3, "tiny"),  # < 5 tokens → quality-gated
+        (4, "a completely different document about spark physical planning"),
+        (5, "THE  QUICK brown fox jumps over the lazy dog near the river today"),
+        # 5 normalizes to a different string (case/whitespace differ) but is
+        # an exact dup after normalization → dropped by exact stage
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curation_stages_and_keepers(spark, corpus):
+    curated, stats = curate_corpus(corpus, neardup_threshold=0.6)
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert kept == [0, 4]  # min-id keeper survives each family
+    assert stats["input_docs"] == 6
+    assert stats["dropped"]["low_quality"] == 1  # doc 3
+    assert stats["dropped"]["exact_duplicates"] == 2  # docs 1, 5
+    assert stats["dropped"]["near_duplicates"] == 1  # doc 2
+    assert stats["retention_rate"] == round(2 / 6, 4)
+
+
+def test_curation_is_deterministic(spark, corpus):
+    a, sa = curate_corpus(corpus, neardup_threshold=0.6)
+    b, sb = curate_corpus(corpus, neardup_threshold=0.6)
+    assert sa == sb
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+
+
+def test_curation_on_real_documents(spark, sf_dir):
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    curated, stats = curate_corpus(docs, neardup_threshold=0.9)
+    assert stats["input_docs"] == 500
+    assert stats["after_neardup_prune"] == curated.count()
+    assert 0 < stats["retention_rate"] <= 1.0
