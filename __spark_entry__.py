@@ -22,6 +22,7 @@ from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import similarity, snapshots, textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
+from bigdataminingproject_spark.plans import curation
 from bigdataminingproject_spark.session import tune_session
 
 
@@ -83,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_lang_id": textstats.q_doc_lang_id,
         "q_doc_quality": textstats.q_doc_quality,
         "q_doc_token_counts": textstats.q_doc_token_counts,
+        "q_corpus_curation": curation.q_corpus_curation,
         # snapshot / count-window machinery (reference W5/W3/A12)
         "q_doc_snapshots": snapshots.q_doc_snapshots,
         "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
@@ -710,6 +712,54 @@ def oracle_sql() -> dict[str, str]:
                    '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
                    AS bpe_ish_tokens
         FROM documents
+        ORDER BY doc_id
+    """
+
+    sql["q_corpus_curation"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        feats AS (
+            SELECT doc_id,
+                   len(raw_toks) AS n_tokens,
+                   round(CASE WHEN len(raw_toks) > 0
+                         THEN len(list_filter(raw_toks, x -> x IN ({_STOP_ONLY_LIST})))
+                              / len(raw_toks) ELSE 0.0 END, 4) AS stopword_ratio
+            FROM tok_base
+        ),
+        gated AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN feats USING (doc_id)
+            WHERE feats.n_tokens >= 5 AND feats.stopword_ratio <= 0.9
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS h
+            FROM gated
+        ),
+        exact_kept AS (
+            SELECT doc_id FROM hashed
+            WHERE doc_id IN (SELECT min(doc_id) FROM hashed GROUP BY h)
+        ),
+        dsh AS (
+            SELECT DISTINCT s.doc_id, s.shingle FROM sh s
+            JOIN exact_kept k ON s.doc_id = k.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM dsh a JOIN dsh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        near_losers AS (
+            SELECT DISTINCT doc_b AS doc_id
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared / (sa.set_size + sb.set_size - shared), 4) >= 0.5
+        )
+        SELECT doc_id FROM exact_kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
         ORDER BY doc_id
     """
 

@@ -80,3 +80,38 @@ def curate_corpus(
         "retention_rate": round(after_near / total, 4) if total else 0.0,
     }
     return curated, stats
+
+
+def q_corpus_curation(spark, sf_dir: str) -> DataFrame:
+    """Oracle-checkable curation: quality gate → exact dedup (min-id
+    keeper) → near-dup prune by EXACT n-gram Jaccard (the SQL-expressible
+    twin of the MinHash path in curate_corpus). Returns surviving doc_ids.
+    """
+    from bigdataminingproject_spark.operators.dedup import (
+        exact_duplicates,
+        ngram_jaccard_pairs,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("_toks")
+    )
+    f = quality_features(F.col("text"), tokens=F.col("_toks"))
+    gated = tk.filter(
+        (f["n_tokens"] >= 5) & (f["stopword_ratio"] <= 0.9)
+    ).drop("_toks")
+    groups = exact_duplicates(gated, text_col="text", id_col="doc_id")
+    losers = (
+        groups.select(F.explode("member_ids").alias("doc_id"), "keeper_id")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    exact_kept = gated.join(losers, "doc_id", "left_anti")
+    pairs = ngram_jaccard_pairs(exact_kept, threshold=0.5, text_col="text")
+    near_losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        exact_kept.join(near_losers, "doc_id", "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
