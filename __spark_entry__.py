@@ -291,7 +291,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey AS custkey, c_name, c_mktsegment
         FROM customer
         WHERE NOT EXISTS (
-            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01'
         )
         ORDER BY custkey
     """
@@ -950,7 +952,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id
         )
         SELECT id_a, id_b, cosine_sim
-        FROM scored WHERE cosine_sim >= 0.95
+        FROM scored WHERE cosine_sim >= 0.45
         ORDER BY id_a, id_b
     """
 

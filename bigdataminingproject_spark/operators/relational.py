@@ -256,9 +256,18 @@ def q_cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: customers that never ordered (NOT EXISTS shape)."""
+    """Anti join: customers with no orders since 1999 (NOT EXISTS shape).
+
+    The date predicate restricts the right side BEFORE the anti join —
+    pushed into the orders scan — and makes the result non-empty at every
+    test SF (the synthetic data gives every customer at least one order
+    overall, which would make an unrestricted anti join a vacuous 0-row
+    check).
+    """
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     return (
         cust.join(
             orders, cust.c_custkey == orders.o_custkey, "left_anti"
