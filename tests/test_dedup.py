@@ -70,3 +70,47 @@ def test_ngram_jaccard_exact_pair(spark, docs):
     assert pairs[(0, 1)] == 1.0  # identical shingle sets
     # docs 0 and 2: share 1 of 3 distinct shingles → 1/3
     assert pairs[(0, 2)] == round(1 / 3, 4)
+
+
+def _bruteforce_jaccard(rows, threshold, k=3):
+    """Python all-pairs oracle with the operator's tokenize/shingle rules."""
+    import re
+
+    sets = {}
+    for doc_id, text in rows:
+        toks = [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+        sets[doc_id] = {
+            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+        }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            j = round(inter / union, 4)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark, threshold):
+    """The prefix+length filter must lose no qualifying pair (PPJoin
+    guarantee) on a randomized corpus with heavy shingle sharing."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = []
+    for doc_id in range(80):
+        n = rng.randint(1, 12)  # includes <k-token docs (empty sets)
+        rows.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    assert got == _bruteforce_jaccard(rows, threshold)
