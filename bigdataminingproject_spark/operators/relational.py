@@ -6,8 +6,11 @@ so Catalyst gets everything it needs:
 
 - filters/projections expressed declaratively → pushdown + pruning into the
   parquet scan;
-- dimension tables joined with explicit ``F.broadcast`` (region/nation/
-  customer/supplier/part stay broadcast-able even at 100 TB fact scale);
+- fixed-cardinality dimensions (region: 5 rows, nation: 25) joined with
+  explicit ``F.broadcast``; tables that scale with the data (customer,
+  supplier, part) are left to AQE, which broadcasts them at small SF from
+  runtime sizes and falls back to shuffle joins at cluster scale — a
+  hard-coded broadcast there would OOM the driver at 100 TB;
 - aggregations are plain hash aggregates → partial+final map-side combine;
 - top-k is ``orderBy().limit()`` → TakeOrderedAndProject, never a full sort.
 
@@ -67,7 +70,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -99,8 +102,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -114,7 +117,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 customers by total order value (agg → broadcast name join)."""
+    """Top-10 customers by total order value (agg-then-join, AQE-sized)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     totals = orders.groupBy("o_custkey").agg(
@@ -122,7 +125,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("order_count"),
     )
     return (
-        totals.join(F.broadcast(cust), totals.o_custkey == cust.c_custkey)
+        totals.join(cust, totals.o_custkey == cust.c_custkey)
         .select(
             F.col("c_custkey").alias("custkey"),
             "c_name",
@@ -368,7 +371,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"), "c_name", "n_name"
