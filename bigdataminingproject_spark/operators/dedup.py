@@ -197,6 +197,13 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle_h"),
     )
+    # shuffle_hash (not the default broadcast at small SF): with both
+    # sides shuffled identically on shingle_h, Spark's ReuseExchange
+    # computes the prefix pipeline ONCE — a broadcast build side would
+    # re-run tokenize/shingle/docfreq on each branch of the self-join
+    # (measured ~30% slower at sf0.1). At cluster scale a broadcast of
+    # the corpus-wide prefix set is impossible anyway.
+    prefix = prefix.hint("shuffle_hash")
     a = prefix.alias("a")
     b = prefix.alias("b")
     return (

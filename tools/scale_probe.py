@@ -47,6 +47,7 @@ PROBE_QUERIES = [
     "q_events_sessionize",
     "q_doc_tokens_topk",
     "q_dup_scores",
+    "q_ngram_jaccard",
 ]
 
 
