@@ -62,16 +62,21 @@ def duplicate_scores(
     is strictly smaller than this doc_id — one shuffle on shingle, one on
     doc_id; no state, no false positives. Documents with <k tokens have an
     empty shingle set ⇒ score 0.0 (duplicate_detector.py:44-47).
+
+    min-over-window rather than groupBy-min + back-join: the join variant
+    scans and shingles the corpus twice (one Generate per join branch —
+    Catalyst does not share the subplan) and, once the distinct-shingle
+    table outgrows broadcast, shuffles BOTH sides; the window is a single
+    full-multiset shuffle + in-partition sort at any scale. Shingle keys
+    are near-uniform (no hot-key skew), so the sort partitions evenly.
     """
+    from pyspark.sql.window import Window
+
     sh = _doc_shingles(docs, order_col, text_col)
-    # First-occurrence table via groupBy-min (map-side combine shrinks the
-    # shuffle to one row per distinct shingle) instead of a window over
-    # the full multiset (shuffle + sort of every occurrence). The firsts
-    # table is orders of magnitude smaller than the multiset, so the
-    # back-join is broadcast-eligible; AQE falls back to SMJ at scale.
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     scored = (
-        sh.join(firsts, "shingle")
+        sh.withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+        )
         .withColumn("hit", (F.col("first_doc") < F.col("doc_id")).cast("int"))
         .groupBy("doc_id")
         .agg(F.round(F.avg("hit"), 4).alias("duplicate_score"))
