@@ -181,10 +181,14 @@ def split_corpus(
     """S5/P2 (utils/split_into_directories.py:6-30), Spark-first.
 
     Instead of shuffling and *moving* files, assign a deterministic split
-    column (seeded xxhash of conv_id) — idempotent, reproducible, and the
-    downstream Parquet write partitions by it.
+    column (seeded xxhash of the conversation's file NAME) — idempotent,
+    reproducible, and the downstream Parquet write partitions by it. The
+    basename, not the full path, is hashed so relocating or re-staging
+    the corpus directory never reshuffles train/test membership (the
+    reference's move-based split is basename-stable the same way).
     """
-    bucket = F.pmod(F.xxhash64(F.col("conv_id"), F.lit(seed)), F.lit(10_000))
+    fname = F.element_at(F.split(F.col("conv_id"), "/"), -1)
+    bucket = F.pmod(F.xxhash64(fname, F.lit(seed)), F.lit(10_000))
     return conversations.withColumn(
         "split",
         F.when(bucket < int(train_ratio * 10_000), F.lit("train")).otherwise(
