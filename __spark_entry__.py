@@ -20,7 +20,8 @@ from bigdataminingproject_spark.functions.text import (
 )
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
-from bigdataminingproject_spark.operators import similarity, snapshots, textstats
+from bigdataminingproject_spark.operators import similarity, snapshots, temporal
+from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
 from bigdataminingproject_spark.plans import curation
 from bigdataminingproject_spark.session import tune_session
@@ -59,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": events.q_events_hourly,
         "q_events_burst": events.q_events_burst,
         "q_events_sessionize": events.q_events_sessionize,
+        "q_events_attribution": temporal.q_events_attribution,
+        "q_events_error_context": temporal.q_events_error_context,
         "q_events_top_users": events.q_events_top_users,
         "q_events_props": events.q_events_props,
         "q_events_session_native": events.q_events_session_native,
@@ -452,6 +455,39 @@ def oracle_sql() -> dict[str, str]:
         FROM numbered
         GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """
+
+    sql["q_events_attribution"] = """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS click_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id
+    """
+
+    sql["q_events_error_context"] = """
+        WITH errors AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'error'
+        ),
+        pairs AS (
+            SELECT e.event_id AS error_id, e.user_id,
+                   o.event_id AS other_id, o.value
+            FROM errors e
+            JOIN events o
+              ON o.user_id = e.user_id
+             AND o.event_id <> e.event_id
+             AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= 300000000
+        )
+        SELECT er.event_id AS error_id, er.user_id,
+               count(p.other_id) AS nearby_events,
+               round(coalesce(sum(p.value), 0.0), 2) AS nearby_value
+        FROM errors er
+        LEFT JOIN pairs p ON p.error_id = er.event_id
+        GROUP BY er.event_id, er.user_id
+        ORDER BY error_id
     """
 
     sql["q_events_session_native"] = """
