@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_sessionize": events.q_events_sessionize,
         "q_events_attribution": temporal.q_events_attribution,
         "q_events_error_context": temporal.q_events_error_context,
+        "q_events_time_rollup": events.q_events_time_rollup,
         "q_events_top_users": events.q_events_top_users,
         "q_events_props": events.q_events_props,
         "q_events_session_native": events.q_events_session_native,
@@ -488,6 +489,39 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pairs p ON p.error_id = er.event_id
         GROUP BY er.event_id, er.user_id
         ORDER BY error_id
+    """
+
+    sql["q_events_time_rollup"] = """
+        WITH m AS (
+            SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_ts,
+                   event_type AS key,
+                   count(*) AS event_count, sum(value) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT CAST(date_trunc('hour', bucket_ts) AS TIMESTAMP)
+                       AS bucket_ts,
+                   key,
+                   CAST(sum(event_count) AS BIGINT) AS event_count,
+                   sum(s) AS s
+            FROM m GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT CAST(date_trunc('day', bucket_ts) AS TIMESTAMP)
+                       AS bucket_ts,
+                   key,
+                   CAST(sum(event_count) AS BIGINT) AS event_count,
+                   sum(s) AS s
+            FROM h GROUP BY 1, 2
+        )
+        SELECT grain, bucket_ts, key, event_count,
+               round(s, 2) AS total_value
+        FROM (
+            SELECT 'minute' AS grain, * FROM m
+            UNION ALL SELECT 'hour', * FROM h
+            UNION ALL SELECT 'day', * FROM d
+        )
+        ORDER BY grain, bucket_ts, key
     """
 
     sql["q_events_session_native"] = """

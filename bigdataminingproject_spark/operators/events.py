@@ -174,3 +174,68 @@ def q_events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hypertable-style multi-grain time rollup (continuous aggregate).
+
+    One fact-table scan: the finest grain aggregates directly from rows,
+    every coarser grain re-aggregates the NEXT-FINER grain's partials
+    (count/sum are distributive). At 100 TB the fact scan dominates, so
+    hierarchical reuse makes G grains cost one scan + G-1 aggregations of
+    tiny pre-aggregated relations — the same plan shape TimescaleDB
+    continuous aggregates / Druid rollup segments materialize. Grains
+    must be ordered finest→coarsest and truncation-compatible (each
+    coarser bucket is a union of finer buckets; "minute/hour/day" are,
+    "week/month" boundaries are too, against days).
+
+    Output: (grain, bucket_ts, key, event_count, total_value).
+    """
+    finest = grains[0]
+    cur = (
+        events.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket_ts"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(value_col).alias("_sum"),
+        )
+        .withColumn("grain", F.lit(finest))
+    )
+    out = [cur]
+    for grain in grains[1:]:
+        cur = (
+            cur.groupBy(
+                F.date_trunc(grain, F.col("bucket_ts")).alias("bucket_ts"),
+                "key",
+            )
+            .agg(
+                F.sum("event_count").alias("event_count"),
+                F.sum("_sum").alias("_sum"),
+            )
+            .withColumn("grain", F.lit(grain))
+        )
+        out.append(cur)
+    merged = out[0]
+    for df in out[1:]:
+        merged = merged.unionByName(df)
+    return merged.select(
+        "grain",
+        "bucket_ts",
+        "key",
+        "event_count",
+        F.round(F.col("_sum"), 2).alias("total_value"),
+    )
+
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day rollup of event counts and value by type."""
+    ev = load_table(spark, sf_dir, "events")
+    return time_rollup(ev).orderBy("grain", "bucket_ts", "key")
