@@ -28,6 +28,8 @@ HEADLINE = [
     "q_events_hourly",
     "q_events_burst",
     "q_events_sessionize",
+    "q_events_attribution",
+    "q_events_time_rollup",
     "q_doc_tokens_topk",
     "q_dup_scores",
     "q_ngram_jaccard",
