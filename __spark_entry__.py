@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_monthly_discount": relational.q_monthly_discount,
         "q_rollup_order_stats": relational.q_rollup_order_stats,
         "q_cube_lineitem_flags": relational.q_cube_lineitem_flags,
+        "q_grouping_sets_orders": relational.q_grouping_sets_orders,
         "q_customers_without_orders": relational.q_customers_without_orders,
         "q_brands_shipped": relational.q_brands_shipped,
         "q_custkeys_1997_not_1998": relational.q_custkeys_1997_not_1998,
@@ -289,6 +290,15 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem
         GROUP BY CUBE(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """
+
+    sql["q_grouping_sets_orders"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS order_count,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
     """
 
     sql["q_customers_without_orders"] = """
