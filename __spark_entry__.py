@@ -48,6 +48,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_order_stats": relational.q_rollup_order_stats,
         "q_cube_lineitem_flags": relational.q_cube_lineitem_flags,
         "q_grouping_sets_orders": relational.q_grouping_sets_orders,
+        "q_pivot_priority_by_status": relational.q_pivot_priority_by_status,
+        "q_nation_customer_supplier_balance": (
+            relational.q_nation_customer_supplier_balance
+        ),
         "q_customers_without_orders": relational.q_customers_without_orders,
         "q_brands_shipped": relational.q_brands_shipped,
         "q_custkeys_1997_not_1998": relational.q_custkeys_1997_not_1998,
@@ -299,6 +303,32 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """
+
+    sql["q_pivot_priority_by_status"] = """
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS status_f,
+               count(*) FILTER (o_orderstatus = 'O') AS status_o,
+               count(*) FILTER (o_orderstatus = 'P') AS status_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    sql["q_nation_customer_supplier_balance"] = """
+        WITH c AS (
+            SELECT c_nationkey AS nationkey, count(*) AS num_customers
+            FROM customer GROUP BY 1
+        ),
+        s AS (
+            SELECT s_nationkey AS nationkey, count(*) AS num_suppliers
+            FROM supplier GROUP BY 1
+        )
+        SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+               coalesce(num_customers, 0) AS num_customers,
+               coalesce(num_suppliers, 0) AS num_suppliers
+        FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        ORDER BY nationkey
     """
 
     sql["q_customers_without_orders"] = """

@@ -283,6 +283,53 @@ def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts, priorities as rows and statuses as columns.
+
+    ``pivot`` with the value list given explicitly — Spark then skips the
+    extra distinct-values job and compiles straight to conditional
+    aggregation (one scan, one shuffle), exactly what the SQL oracle
+    spells as CASE WHEN.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_nation_customer_supplier_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full outer join of two per-nation aggregates (customers vs
+    suppliers) — nations missing from either side keep zero counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("num_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("num_suppliers")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("num_customers", F.lit(0)).alias("num_customers"),
+            F.coalesce("num_suppliers", F.lit(0)).alias("num_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers with no orders since 1999 (NOT EXISTS shape).
 
