@@ -176,3 +176,37 @@ def test_streaming_token_counts_match_batch(spark, tmp_path):
     assert diff.count() == 0
     # stopword 'the' never appears
     assert got.filter(F.col("token") == "the").count() == 0
+
+
+def test_streaming_minute_counts_match_batch_rollup(spark, sf_dir, tmp_path):
+    """The streaming windowed aggregate at minute grain must agree with
+    the batch hypertable rollup's finest grain — the continuous-aggregate
+    contract: a live query and a backfill produce the same table."""
+    from bigdataminingproject_spark.operators.events import time_rollup
+
+    events = load_table(spark, sf_dir, "events")
+    stream = file_replay_source(
+        spark, events, str(tmp_path / "stage_ru"), chunks=4, files_per_trigger=2
+    )
+    counts = streaming_event_counts(
+        stream, window="1 minute", watermark="60 days"
+    )
+    run_to_memory(counts, "minute_counts", output_mode="update")
+    got = (
+        spark.table("minute_counts")
+        .groupBy("window_start", "event_type")
+        .agg(F.max("event_count").alias("event_count"))  # last update wins
+    )
+    expect = (
+        time_rollup(events, grains=("minute",))
+        .select(
+            F.col("bucket_ts").alias("window_start"),
+            F.col("key").alias("event_type"),
+            "event_count",
+        )
+    )
+    diff = got.join(
+        expect, ["window_start", "event_type"], "full"
+    ).filter(got.event_count != expect.event_count)
+    assert expect.count() == got.count()
+    assert diff.count() == 0
