@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_attribution": temporal.q_events_attribution,
         "q_events_error_context": temporal.q_events_error_context,
         "q_events_time_rollup": events.q_events_time_rollup,
+        "q_events_funnel": events.q_events_funnel,
         "q_events_top_users": events.q_events_top_users,
         "q_events_props": events.q_events_props,
         "q_events_session_native": events.q_events_session_native,
@@ -529,6 +530,31 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pairs p ON p.error_id = er.event_id
         GROUP BY er.event_id, er.user_id
         ORDER BY error_id
+    """
+
+    sql["q_events_funnel"] = """
+        WITH s1 AS (
+            SELECT user_id AS key, min(epoch_us(ts)) AS stage_1_us
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        s2 AS (
+            SELECT e.user_id AS key, min(epoch_us(e.ts)) AS stage_2_us
+            FROM events e JOIN s1 ON s1.key = e.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.stage_1_us
+            GROUP BY 1
+        ),
+        s3 AS (
+            SELECT e.user_id AS key, min(epoch_us(e.ts)) AS stage_3_us
+            FROM events e JOIN s2 ON s2.key = e.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) >= s2.stage_2_us
+            GROUP BY 1
+        )
+        SELECT s1.key AS user_id, s1.stage_1_us, s2.stage_2_us, s3.stage_3_us
+        FROM s1
+        LEFT JOIN s2 ON s2.key = s1.key
+        LEFT JOIN s3 ON s3.key = s1.key
+        ORDER BY user_id
     """
 
     sql["q_events_time_rollup"] = """

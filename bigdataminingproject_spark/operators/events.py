@@ -239,3 +239,55 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minute/hour/day rollup of event counts and value by type."""
     ev = load_table(spark, sf_dir, "events")
     return time_rollup(ev).orderBy("grain", "bucket_ts", "key")
+
+
+def funnel_stages(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per key, the earliest timestamp of each stage that
+    occurs AT OR AFTER the previous stage's earliest qualifying time.
+
+    Stage N+1 only counts if it happens once stage N is reached — the
+    ordering constraint that separates a funnel from a pivot of min
+    timestamps. One aggregation per stage, each keyed on ``key_col``:
+    the first shuffle establishes the key partitioning and AQE reuses
+    broadcast/shuffle reads for the later (already small, one row per
+    qualifying key) stage relations. Stage timestamps are emitted as
+    integer microseconds (cross-engine exact).
+
+    Output: (key, stage_1_us, ..., stage_N_us) with NULLs from the first
+    unreached stage onward; keys that never reach stage 1 are absent.
+    """
+    result = None
+    for i, stage_type in enumerate(stages):
+        col = f"stage_{i+1}_us"
+        filtered = events.filter(F.col(type_col) == stage_type).select(
+            F.col(key_col).alias("key"),
+            F.unix_micros(F.col(ts_col)).alias("_us"),
+        )
+        if result is None:
+            result = filtered.groupBy("key").agg(F.min("_us").alias(col))
+        else:
+            prev_col = f"stage_{i}_us"
+            nxt = (
+                filtered.join(
+                    result.select("key", prev_col), "key"
+                )
+                .filter(F.col("_us") >= F.col(prev_col))
+                .groupBy("key")
+                .agg(F.min("_us").alias(col))
+            )
+            result = result.join(nxt, "key", "left")
+    return result.select(
+        F.col("key").alias(key_col), *[f"stage_{i+1}_us" for i in range(len(stages))]
+    ).orderBy(key_col)
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> click -> purchase funnel per user (ordered stages)."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev)

@@ -180,3 +180,29 @@ def test_range_join_matches_bruteforce_random(spark):
         if l[1] == r[1] and abs((l[2] - r[2]).total_seconds()) <= tol_s
     )
     assert got == want
+
+
+def test_funnel_ordering_constraint(spark):
+    """A stage only counts at-or-after the previous stage's earliest
+    qualifying time; keys missing stage 1 are absent entirely."""
+    from bigdataminingproject_spark.operators.events import funnel_stages
+
+    rows = [
+        # user 1: clean in-order funnel
+        (1, "signup", _ts(10)), (1, "click", _ts(20)), (1, "purchase", _ts(30)),
+        # user 2: purchase BEFORE any click-after-signup -> stage_3 NULL
+        (2, "signup", _ts(10)), (2, "purchase", _ts(15)), (2, "click", _ts(20)),
+        # user 3: click before signup doesn't count; later click does
+        (3, "click", _ts(5)), (3, "signup", _ts(10)), (3, "click", _ts(12)),
+        # user 4: no signup -> absent from output
+        (4, "click", _ts(1)), (4, "purchase", _ts(2)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r["user_id"]: r for r in funnel_stages(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["stage_3_us"] is not None
+    assert out[2]["stage_2_us"] is not None and out[2]["stage_3_us"] is None
+    us = lambda s: int(_ts(s).timestamp() * 1_000_000)  # noqa: E731
+    assert out[3]["stage_2_us"] == us(12)  # pre-signup click ignored
