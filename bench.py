@@ -30,6 +30,7 @@ HEADLINE = [
     "q_events_sessionize",
     "q_events_attribution",
     "q_events_time_rollup",
+    "q_events_funnel",
     "q_doc_tokens_topk",
     "q_dup_scores",
     "q_ngram_jaccard",
