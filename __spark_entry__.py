@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_error_context": temporal.q_events_error_context,
         "q_events_time_rollup": events.q_events_time_rollup,
         "q_events_funnel": events.q_events_funnel,
+        "q_media_dims": multimodal.q_media_dims,
         "q_events_top_users": events.q_events_top_users,
         "q_events_props": events.q_events_props,
         "q_events_session_native": events.q_events_session_native,
@@ -530,6 +531,15 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN pairs p ON p.error_id = er.event_id
         GROUP BY er.event_id, er.user_id
         ORDER BY error_id
+    """
+
+    sql["q_media_dims"] = """
+        SELECT doc_id AS media_id,
+               CAST(doc_id % 1024 + 16 AS INTEGER) AS width,
+               CAST(n_chars % 768 + 16 AS INTEGER) AS height,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        ORDER BY media_id
     """
 
     sql["q_events_funnel"] = """

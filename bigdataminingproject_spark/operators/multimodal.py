@@ -177,6 +177,27 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
 
 # --- query registry entry (rows-only: binary plumbing, no SQL oracle) -------
 
+def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encode -> Arrow-UDF decode roundtrip, oracle-checked.
+
+    Spark builds the binary container (concat/hex/unhex) and parses it
+    back with the mapInPandas decoder; the DuckDB oracle re-derives
+    width/height/payload size ARITHMETICALLY from the documents fixture
+    (doc_id % 1024 + 16, n_chars % 768 + 16, octet_length(text)) — two
+    independent paths that only agree if the struct packing, byte
+    offsets, and Arrow binary handling are all correct.
+    """
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    return (
+        decode_media(media)
+        .select("media_id", "width", "height", "n_bytes")
+        .orderBy("media_id")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal path: synthesize binary media → decode → features
     → aggregate per width bucket. Rows-only check (binary + Arrow UDFs
