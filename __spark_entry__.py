@@ -1102,7 +1102,167 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY id_a, id_b
     """
 
-    # q_embedding_neardup_lsh intentionally has no oracle entry: the LSH
-    # bucketing is an approximate, engine-native candidate generator
-    # (rows-only check; exact ground truth is q_embedding_neardup).
+    # q_embedding_neardup_lsh: DuckDB reruns the full deterministic LSH
+    # pipeline — signature bits from list_dot_product against the SAME
+    # ±1 plane constants (similarity.det_planes, inlined below), 8 × 8-bit
+    # band buckets, candidate equi-join, exact-cosine verify.
+    _planes = similarity.det_planes(dim=64, n_planes=64)
+    _per_band = 8
+
+    def _plane_lit(p: int) -> str:
+        vals = ", ".join(str(x) for x in _planes[p])
+        return f"CAST([{vals}] AS DOUBLE[])"
+
+    _bucket_exprs = []
+    for _b in range(8):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {_plane_lit(_b * _per_band + _i)}) > 0 "
+            f"THEN {1 << (_per_band - 1 - _i)} ELSE 0 END)"
+            for _i in range(_per_band)
+        )
+        _bucket_exprs.append(f"CAST({terms} AS BIGINT) AS band_{_b}")
+    _bucket_sql = ",\n                   ".join(_bucket_exprs)
+    _band_list = ", ".join(str(b) for b in range(8))
+    _bucket_list = ", ".join(f"band_{b}" for b in range(8))
+
+    sql["q_embedding_neardup_lsh"] = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        sig AS (
+            SELECT vec_id,
+                   {_bucket_sql}
+            FROM v
+        ),
+        bands AS (
+            SELECT vec_id,
+                   unnest([{_band_list}]) AS band,
+                   unnest([{_bucket_list}]) AS bucket
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT id_a, id_b,
+                   round(list_dot_product(va.vec, vb.vec) /
+                         (sqrt(list_dot_product(va.vec, va.vec)) *
+                          sqrt(list_dot_product(vb.vec, vb.vec))), 6)
+                       AS cosine_sim
+            FROM cand
+            JOIN v va ON va.vec_id = id_a
+            JOIN v vb ON vb.vec_id = id_b
+        )
+        SELECT id_a, id_b, cosine_sim
+        FROM scored WHERE cosine_sim >= 0.45
+        ORDER BY id_a, id_b
+    """
+
+    # q_minhash_lsh runs LSH candidate generation (64 bands × 2 rows —
+    # miss probability (1-J²)^64 ≈ 1e-8 at the J=0.5 threshold) and then
+    # verifies candidates with the EXACT Jaccard, so its output equals
+    # the exact n-gram similarity join: same oracle SQL as q_ngram_jaccard.
+    sql["q_minhash_lsh"] = sql["q_ngram_jaccard"]
+
+    # q_simhash_neardup (md5 mode): DuckDB rebuilds the 60-bit signatures
+    # from the same md5-derived token hashes, bands them 4 × 15 bits, and
+    # verifies Hamming distance — bit-exact twin of the Spark pipeline.
+    _votes = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(60)
+    )
+    _sig_terms = "\n                 + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    sql["q_simhash_neardup"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(raw_toks) AS token FROM tok_base),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h
+            FROM tok
+        ),
+        votes AS (
+            SELECT doc_id,
+               {_votes}
+            FROM hashed GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {_sig_terms} AS simhash
+            FROM votes
+        ),
+        bands AS (
+            SELECT doc_id, simhash,
+                   unnest([0, 1, 2, 3]) AS band,
+                   unnest([(simhash >> 0) & 32767, (simhash >> 15) & 32767,
+                           (simhash >> 30) & 32767, (simhash >> 45) & 32767])
+                       AS bucket
+            FROM sig
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        ORDER BY doc_a, doc_b
+    """
+
+    # q_media_features: exact-integer nibble-count aggregates. Header
+    # bytes are derived arithmetically from (doc_id, n_chars) — 'FAKE'
+    # contributes 4 bytes of high-nibble 4; the two zero-padded
+    # big-endian size fields contribute 6 bytes of nibble 0 plus the two
+    # low bytes' own nibbles — and text bytes via regexp char-class
+    # counts (ASCII corpus: char == byte; chars are >= 0x20 so text
+    # never hits nibble 0 or 1).
+    sql["q_media_features"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   doc_id % 1024 + 16 AS w,
+                   n_chars % 768 + 16 AS h,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   text
+            FROM documents
+        ),
+        feat AS (
+            SELECT CAST(w % 8 AS INTEGER) AS width_bucket,
+                   n_bytes,
+                   6 + CASE WHEN (w % 256) < 16 THEN 1 ELSE 0 END
+                     + CASE WHEN (h % 256) < 16 THEN 1 ELSE 0 END AS f0,
+                   4 + CASE WHEN (w % 256) >= 64 AND (w % 256) < 80
+                            THEN 1 ELSE 0 END
+                     + CASE WHEN (h % 256) >= 64 AND (h % 256) < 80
+                            THEN 1 ELSE 0 END
+                     + (length(text)
+                        - length(regexp_replace(text, '[\\x40-\\x4f]', '', 'g')))
+                       AS f4,
+                   CASE WHEN (w % 256) >= 96 AND (w % 256) < 112
+                        THEN 1 ELSE 0 END
+                     + CASE WHEN (h % 256) >= 96 AND (h % 256) < 112
+                            THEN 1 ELSE 0 END
+                     + (length(text)
+                        - length(regexp_replace(text, '[\\x60-\\x6f]', '', 'g')))
+                       AS f6
+            FROM base
+        )
+        SELECT width_bucket,
+               count(*) AS n_media,
+               sum(n_bytes) AS sum_bytes,
+               CAST(sum(f0) AS BIGINT) AS feat0_bytes,
+               CAST(sum(f4) AS BIGINT) AS feat4_bytes,
+               CAST(sum(f6) AS BIGINT) AS feat6_bytes
+        FROM feat
+        GROUP BY width_bucket
+        ORDER BY width_bucket
+    """
     return sql

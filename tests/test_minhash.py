@@ -95,3 +95,32 @@ def test_simhash_signature_deterministic(spark, docs):
     b = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     assert a == b
     assert a[0] == a[1]
+
+
+def test_minhash_verified_pairs_equal_exact_join(spark, docs):
+    """The registry variant (banded candidates + exact verify) must equal
+    the exact n-gram Jaccard join — recall miss bound (1-J^2)^64 ~ 1e-8."""
+    from bigdataminingproject_spark.operators.minhash import (
+        minhash_lsh_verified_pairs,
+    )
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert verified == exact
+
+
+def test_simhash_md5_mode_matches_xxhash_behavior(spark, docs):
+    """md5 mode (60-bit, oracle-checkable) keeps SimHash semantics:
+    identical docs at Hamming 0, unrelated docs unpaired."""
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs, hash_mode="md5").collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert not any(3 in p or 4 in p for p in pairs)

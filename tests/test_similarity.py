@@ -97,3 +97,26 @@ def test_ivf_deterministic(spark, sf_dir):
     a = ivf_knn(vecs, q, k=5).collect()
     b = ivf_knn(vecs, q, k=5).collect()
     assert a == b
+
+
+def test_det_lsh_is_subset_of_exact(spark, sf_dir):
+    """Deterministic-planes LSH (registry/oracle variant): every emitted
+    pair appears in the exact all-pairs result with the same score."""
+    from bigdataminingproject_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        lsh_bucketed_neardup_det,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in embedding_neardup_pairs(vecs, threshold=0.45).collect()
+    }
+    det = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in lsh_bucketed_neardup_det(vecs, threshold=0.45).collect()
+    }
+    assert det, "det LSH found no pairs at the test threshold"
+    for pair, sim in det.items():
+        assert pair in exact and abs(sim - exact[pair]) < 1e-9
