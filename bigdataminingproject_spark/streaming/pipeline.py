@@ -366,6 +366,9 @@ def run_streaming_detector_pipeline(
         .withColumn(
             "is_duplicate", F.col("duplicate_score") >= F.lit(threshold)
         )
+        # four downstream actions (totals, snapshots, burst, top-k) share
+        # this relation — persist so the replayed stream + join run once
+        .persist()
     )
     totals = scored.agg(
         F.count(F.lit(1)).alias("processed"),
@@ -387,6 +390,7 @@ def run_streaming_detector_pipeline(
         r["token"]: r["token_count"]
         for r in top_k_tokens(snap_src, k=top_frequency).collect()
     }
+    scored.unpersist()
     return {
         "processed": processed,
         "duplicates": {
