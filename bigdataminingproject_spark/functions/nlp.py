@@ -32,23 +32,30 @@ def have_nltk() -> bool:
 
 @F.pandas_udf(ArrayType(StringType()))
 def lemmatize_udf(tokens: pd.Series) -> pd.Series:
-    """WordNet lemmatization per token (T3); identity without NLTK.
+    """WordNet noun lemmatization per token (T3).
 
-    Initialized once per executor batch (the lemmatizer is lazy-loaded,
-    matching the per-process init the reference relies on).
+    Uses the real WordNetLemmatizer when NLTK + corpora are importable;
+    otherwise the vendored rule-based approximation
+    (functions/lemmatizer.py — same exception list and suffix rules,
+    divergence documented there). Initialized once per executor batch
+    (the lemmatizer is lazy-loaded, matching the per-process init the
+    reference relies on).
     """
-    if not _HAVE_NLTK:
-        return tokens
-    lemmatizer = WordNetLemmatizer()
-    return tokens.map(
-        lambda toks: [lemmatizer.lemmatize(t) for t in toks]
-        if toks is not None
-        else None
+    if _HAVE_NLTK:
+        lemmatizer = WordNetLemmatizer()
+        return tokens.map(
+            lambda toks: [lemmatizer.lemmatize(t) for t in toks]
+            if toks is not None
+            else None
+        )
+    from bigdataminingproject_spark.functions.lemmatizer import (
+        lemmatize_tokens,
     )
+
+    return tokens.map(lemmatize_tokens)
 
 
 def lemmatize(col: Column) -> Column:
-    """Lemmatize a token-array column (no-op without NLTK)."""
-    if not _HAVE_NLTK:
-        return col
+    """Lemmatize a token-array column (NLTK when present, else the
+    vendored rule-based lemmatizer)."""
     return lemmatize_udf(col)

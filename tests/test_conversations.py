@@ -154,13 +154,17 @@ def test_random_three_way_split(spark, corpus_dir):
     assert again["test"].count() == splits["test"].count()
 
 
-def test_lemmatize_fallback_is_identity_without_nltk(spark):
+def test_lemmatize_matches_wordnet_noun_semantics(spark):
+    """With or without NLTK, lemmatize() applies WordNet noun morphy
+    semantics: plural nouns reduce, non-noun inflections ("running")
+    pass through because the reference uses the default pos='n'."""
     from bigdataminingproject_spark.functions import nlp
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame([(["cats", "running"],)], "toks array<string>")
+    df = spark.createDataFrame(
+        [(["cats", "running", "men", "heroes"],)], "toks array<string>"
+    )
     out = df.select(nlp.lemmatize(F.col("toks")).alias("v")).first()["v"]
-    if nlp.have_nltk():
-        assert out == ["cat", "running"]  # WordNet default POS=noun
-    else:
-        assert out == ["cats", "running"]  # documented identity fallback
+    # "heroes" unchanged is real WordNetLemmatizer behavior (no -oes
+    # rule in morphy), reproduced by the vendored fallback
+    assert out == ["cat", "running", "man", "heroes"]
