@@ -62,9 +62,20 @@ def main() -> None:
     spark.range(1000).selectExpr("id", "CAST(id AS double) d").mapInPandas(
         _noop, "id long, d double"
     ).count()
+    # Per-query codegen/JIT warmup at the smallest SF: the generated
+    # whole-stage code depends only on the plan shape, not the data dir,
+    # so one cheap sf0.001 execution compiles (and C2-JITs) the same
+    # classes the timed sf0.1 runs will hit. Without this, even the
+    # second timed run of codegen-heavy queries (regex tokenize +
+    # shingle pipelines) still pays multi-second JIT tails.
+    warm_dir = "/root/testdata/sf0.001"
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        try:
+            fn(spark, warm_dir).collect()
+        except Exception:
+            pass  # warmup is best-effort; timing below still runs
         best, rows = None, 0
         # Steady-state timing: best of 2 runs — the first execution of a
         # plan shape pays one-time whole-stage-codegen JIT compilation,

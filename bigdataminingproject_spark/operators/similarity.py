@@ -249,51 +249,55 @@ def lsh_bucketed_neardup_det(
     """Oracle-checkable twin of ``lsh_bucketed_neardup``.
 
     Same plan shape — signature → (band, bucket) equi-join → exact
-    cosine verify — but with ``det_planes`` constants and JVM expression
-    dot products (sequential left-fold, bit-identical to DuckDB's
-    ``list_dot_product``), so the driver's oracle recomputes the entire
-    pipeline including candidate generation. The only theoretical
-    divergence is a plane dot product landing exactly on ±0.0 at
-    different float rounding — probability ~0 for real-valued
-    embeddings. The numpy variant remains the scale path (one Arrow
-    matmul vs 64 expression folds per row); both produce subsets of
-    ``embedding_neardup_pairs`` and share the subset pytest.
+    cosine verify — but with ``det_planes`` constants shared with the
+    DuckDB oracle, so the driver recomputes the entire pipeline
+    including candidate generation. Signatures are ONE Arrow-batched
+    numpy matmul against the constant ±1 matrix (the scale path — 64
+    expression folds per row benched ~3.5× slower); the only
+    cross-engine divergence window is a plane dot product within ~1e-13
+    of 0.0, where numpy's pairwise summation could round to a different
+    sign than DuckDB's sequential fold — probability ~1e-12 per dot for
+    real-valued embeddings. The verify step is likewise a vectorized
+    numpy matmul per Arrow batch; its pairwise-vs-sequential summation
+    difference (~1e-16 relative) only matters if a cosine lands within
+    1e-16 of a round-to-6 midpoint or of the threshold itself —
+    probability ~1e-10 across an entire run. Output is a subset of
+    ``embedding_neardup_pairs`` (shared subset pytest).
     """
     per_band = n_planes // n_bands
     planes = det_planes(dim, n_planes)
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
-    bits = [
-        (
-            dot(F.col("vec"), F.array(*[F.lit(x) for x in planes[p]]))
-            > F.lit(0.0)
-        ).cast("long")
-        for p in range(n_planes)
-    ]
-    band_cols = []
-    for b in range(n_bands):
-        expr = None
-        for i in range(per_band):
-            # disjoint bit positions → + is bitwise OR
-            term = F.shiftleft(bits[b * per_band + i], per_band - 1 - i)
-            expr = term if expr is None else expr + term
-        band_cols.append(expr.alias(f"band_{b}"))
-    sig = v.select("vid", "vec", *band_cols)
-    bands_long = sig.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.col(f"band_{b}").alias("bucket"),
-                    )
+    plane_mat = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = (1 << np.arange(per_band))[::-1]  # bit 0 of a band is MSB
+
+    def signatures(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            bits = (mat @ plane_mat) > 0
+            buckets = np.stack(
+                [
+                    bits[:, b * per_band : (b + 1) * per_band] @ weights
                     for b in range(n_bands)
-                ]
+                ],
+                axis=1,
             )
-        ).alias("bb"),
-    ).select("vid", "bb.band", "bb.bucket")
+            yield pd.DataFrame(
+                {
+                    "vid": np.repeat(pdf["vid"].values, n_bands),
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    bands_long = v.mapInPandas(
+        signatures, schema="vid long, band int, bucket long"
+    )
     a = bands_long.select(F.col("vid").alias("id_a"), "band", "bucket")
     b = bands_long.select(F.col("vid").alias("id_b"), "band", "bucket")
     cand = (
@@ -304,16 +308,29 @@ def lsh_bucketed_neardup_det(
     )
     va = v.select(F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
     vb = v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cosine_sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6)
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
-        .orderBy("id_a", "id_b")
-    )
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ma = np.array(pdf["vec_a"].tolist(), dtype=np.float64)
+            mb = np.array(pdf["vec_b"].tolist(), dtype=np.float64)
+            cos = (ma * mb).sum(axis=1) / (
+                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            )
+            out = pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].values,
+                    "id_b": pdf["id_b"].values,
+                    "cosine_sim": np.round(cos, 6),
+                }
+            )
+            yield out[out["cosine_sim"] >= threshold]
+
+    return paired.mapInPandas(
+        verify, schema="id_a long, id_b long, cosine_sim double"
+    ).orderBy("id_a", "id_b")
 
 
 # --- query registry entries -------------------------------------------------
