@@ -25,6 +25,7 @@ from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
 from bigdataminingproject_spark.plans import curation
 from bigdataminingproject_spark.session import tune_session
+from bigdataminingproject_spark.streaming import pipeline as streaming_pipeline
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -45,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_neardup": minhash.q_simhash_neardup,
         "q_media_features": multimodal.q_media_features,
         "q_embedding_neardup_lsh": similarity.q_embedding_neardup_lsh,
+        # live Structured Streaming topology (applyInPandasWithState),
+        # batch-replayed to a memory sink; same oracle as q_doc_snapshots
+        "q_stream_snapshots": streaming_pipeline.q_stream_snapshots,
         # tier 2: had no driver row in round 1 (all pass locally)
         "q_corpus_curation": curation.q_corpus_curation,
         "q_doc_quality": textstats.q_doc_quality,
@@ -1105,6 +1109,11 @@ def oracle_sql() -> dict[str, str]:
         FROM scored WHERE cosine_sim >= 0.45
         ORDER BY id_a, id_b
     """
+
+    # q_stream_snapshots replays the corpus through the stateful
+    # streaming scorer and must land on exactly the batch snapshot
+    # summary — same oracle.
+    sql["q_stream_snapshots"] = sql["q_doc_snapshots"]
 
     # q_embedding_neardup_lsh: DuckDB reruns the full deterministic LSH
     # pipeline — signature bits from list_dot_product against the SAME

@@ -58,11 +58,26 @@ def snapshot_summary(
 ) -> DataFrame:
     """Per-snapshot counters: message_count, duplicates_so_far, period
     distinct tokens (A11/A12 over W5 tumbling count-windows)."""
-    ordered = _ordered(docs, order_col, interval)
     scores = duplicate_scores(docs, order_col, text_col).select(
         F.col("doc_id").alias(order_col), "is_duplicate"
     )
-    base = ordered.join(scores, order_col)
+    return snapshot_summary_from_flags(
+        docs.join(scores, order_col), order_col, text_col, interval
+    )
+
+
+def snapshot_summary_from_flags(
+    flagged: DataFrame,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    interval: int = UPDATE_INTERVAL,
+) -> DataFrame:
+    """Snapshot counters from documents that already carry an
+    ``is_duplicate`` flag — shared by the batch scorer (above) and the
+    Structured Streaming stateful scorer (streaming/pipeline.py), so
+    both surfaces produce the summary through one code path."""
+    ordered = _ordered(flagged, order_col, interval)
+    base = ordered
     toks = remove_stopwords(tokenize(F.col(text_col)))
     per_bucket = (
         base.select(

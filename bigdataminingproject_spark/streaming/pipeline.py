@@ -315,6 +315,62 @@ def streaming_burst_parity(
     )
 
 
+def q_stream_snapshots(spark, sf_dir: str) -> DataFrame:
+    """Driver-attested streaming twin (registry entry).
+
+    Replays the documents table as a bounded ordered file stream
+    (micro-batched), scores duplicates with the STATEFUL
+    ``applyInPandasWithState`` shingle operator, drains it through a
+    memory sink, and feeds the streamed flags into the same snapshot
+    summary the batch path uses. Output schema and values equal
+    q_doc_snapshots — its DuckDB oracle defines truth — so the driver's
+    CORRECTNESS file now covers the live streaming topology, not just
+    pytest (VERDICT r1 next-round item 6).
+    """
+    import tempfile
+    import uuid
+
+    from bigdataminingproject_spark.operators.dedup import DUP_THRESHOLD
+    from bigdataminingproject_spark.operators.snapshots import (
+        snapshot_summary_from_flags,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import file_replay_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("long").alias("msg_id"),
+        F.col("text").alias("body"),
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_snapshots_")
+    stream = file_replay_source(
+        spark, src, staging, chunks=10, order_col="msg_id"
+    )
+    hits = streaming_duplicate_scores(stream, msg_col="msg_id")
+    name = f"snap_hits_{uuid.uuid4().hex[:12]}"
+    run_to_memory(hits, name, output_mode="append")
+    per_msg = (
+        spark.table(name)
+        .groupBy("msg_id")
+        .agg(
+            F.round(F.avg(F.col("hit").cast("int")), 4).alias(
+                "duplicate_score"
+            )
+        )
+    )
+    flagged = (
+        src.join(per_msg, "msg_id", "left")
+        .withColumn(
+            "is_duplicate",
+            F.coalesce("duplicate_score", F.lit(0.0)) >= F.lit(DUP_THRESHOLD),
+        )
+        .select("msg_id", "body", "is_duplicate")
+    )
+    return snapshot_summary_from_flags(
+        flagged, order_col="msg_id", text_col="body"
+    )
+
+
 def run_streaming_detector_pipeline(
     spark,
     stream_src: DataFrame,
