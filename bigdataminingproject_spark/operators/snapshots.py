@@ -97,6 +97,10 @@ def snapshot_summary_from_flags(
             F.count_distinct("token").alias("distinct_tokens_in_period"),
         )
     )
+    # Unpartitioned window is safe HERE ONLY because per_bucket has one
+    # row per snapshot bucket (= corpus_size / interval rows — thousands
+    # at 100 TB, not billions); the reducing groupBy above is what the
+    # plan-quality gate (unsafe_single_partition_exchanges) checks for.
     cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     return (
         per_bucket.withColumn(

@@ -69,6 +69,65 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+_AGG_NODES = (
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+
+
+def unsafe_single_partition_exchanges(df: DataFrame) -> list[int]:
+    """Node ids of ``Exchange SinglePartition`` operators whose subtree
+    reads a parquet scan WITHOUT any aggregation/limit in between — the
+    one plan shape that cannot survive a 100× scale-up (all fact rows
+    funneled through one task). A SinglePartition exchange above an
+    aggregate is fine: it carries a bounded relation (e.g. one row per
+    snapshot bucket). Returns an empty list for a scale-safe plan.
+
+    Heuristic on the formatted-plan tree: subtree membership comes from
+    the tree indentation; "contains an aggregate anywhere below" stands
+    in for per-path analysis (sufficient for this engine's plans, where
+    single-partition windows always sit directly above their reducing
+    aggregate).
+    """
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    # --- tree section: "   +- NodeName (id)" lines up to the blank line
+    tree: list[tuple[int, str, int]] = []  # (depth, name, id)
+    for line in lines:
+        m = re.match(r"^([ :+\-*]*)\s*([A-Za-z][A-Za-z0-9 ]*?) \((\d+)\)\s*$", line)
+        if not m:
+            if tree and not line.strip():
+                break
+            continue
+        prefix, name, nid = m.group(1), m.group(2).strip(), int(m.group(3))
+        tree.append((len(prefix), name, nid))
+    # --- details section: which Exchange ids are SinglePartition
+    sp_ids: set[int] = set()
+    for m in re.finditer(
+        r"\((\d+)\) Exchange\n(?:(?!\(\d+\) ).*\n)*?.*SinglePartition", plan
+    ):
+        sp_ids.add(int(m.group(1)))
+    offenders: list[int] = []
+    for i, (depth, name, nid) in enumerate(tree):
+        if nid not in sp_ids:
+            continue
+        subtree = []
+        for d2, n2, id2 in tree[i + 1 :]:
+            if d2 <= depth:
+                break
+            subtree.append(n2)
+        has_scan = any(n.startswith("Scan parquet") or n == "Scan" for n in subtree)
+        has_agg = any(any(n.startswith(a) for a in _AGG_NODES) for n in subtree)
+        if has_scan and not has_agg:
+            offenders.append(nid)
+    return offenders
+
+
 def plan_report(df: DataFrame) -> dict:
     """One-call summary used by tests and tuning sessions."""
     return {

@@ -73,6 +73,10 @@ def with_global_position(
     # per-bucket prefix offsets: tiny relation, cumulative window over
     # bucket id (bucket order == value order by construction)
     counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    # Unpartitioned window is safe HERE ONLY because counts has one row
+    # per quantile bucket (n_buckets ~ shuffle parallelism, a few
+    # thousand at most) — bounded by construction, not by data volume;
+    # enforced plan-wide by unsafe_single_partition_exchanges.
     off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "_bkt", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off")

@@ -60,3 +60,46 @@ def test_events_scan_prunes_unused_columns(spark, sf_dir):
     df = q_events_top_users(spark, sf_dir)
     schemas = " ".join(read_schemas(df))
     assert "props" not in schemas  # unused JSON column never read
+
+
+def test_no_single_partition_exchange_over_fact_scans(spark, sf_dir):
+    """No plan may funnel unaggregated fact-table rows through an
+    Exchange SinglePartition — the one shape that cannot survive a 100x
+    scale-up. Single-partition windows are allowed only above a reducing
+    aggregate (one row per bucket), which is exactly what the helper
+    checks. Covers the window-bearing queries plus a sanity slice of the
+    relational tier."""
+    from bigdataminingproject_spark.operators import dedup, events, snapshots
+    from bigdataminingproject_spark.plans.explain import (
+        unsafe_single_partition_exchanges,
+    )
+
+    checked = {
+        "q_doc_snapshots": snapshots.q_doc_snapshots,
+        "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
+        "q_doc_burst": snapshots.q_doc_burst,
+        "q_dup_scores": dedup.q_dup_scores,
+        "q_ngram_jaccard": dedup.q_ngram_jaccard,
+        "q_events_time_rollup": events.q_events_time_rollup,
+        "q_customer_order_rank": relational.q_customer_order_rank,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+    }
+    for name, fn in checked.items():
+        offenders = unsafe_single_partition_exchanges(fn(spark, sf_dir))
+        assert not offenders, f"{name}: SinglePartition over fact scan {offenders}"
+
+
+def test_single_partition_detector_catches_bad_plan(spark, sf_dir):
+    """The detector itself must flag the anti-pattern (guard against a
+    regex that silently matches nothing)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from bigdataminingproject_spark.plans.explain import (
+        unsafe_single_partition_exchanges,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
+    assert unsafe_single_partition_exchanges(bad)
