@@ -20,6 +20,7 @@ from bigdataminingproject_spark.functions.text import (
 )
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
+from bigdataminingproject_spark.operators import packing, sampling
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
@@ -59,6 +60,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_bruteforce": similarity.q_knn_bruteforce,
         "q_embedding_neardup": similarity.q_embedding_neardup,
         "q_knn_ivf": similarity.q_knn_ivf,
+        # round-2 additions: data-mixing, decontamination, retention
+        "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
+        "q_benchmark_contamination": dedup.q_benchmark_contamination,
+        "q_events_retention": events.q_events_retention,
+        "q_dedup_clusters": dedup.q_dedup_clusters,
+        "q_doc_pack_sequences": packing.q_doc_pack_sequences,
         # tier 3: attested green in round 1, original order
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1277,5 +1284,150 @@ def oracle_sql() -> dict[str, str]:
         FROM feat
         GROUP BY width_bucket
         ORDER BY width_bucket
+    """
+
+    # q_doc_sample_stratified: DuckDB recomputes the identical md5-derived
+    # uniform variate (first 8 hex chars of md5 → 32-bit int / 2^32; both
+    # engines divide an exactly-representable integer by a power of two,
+    # so the doubles are bit-identical). Rates come from the same
+    # sampling.MIX_RATES constant the Spark query uses.
+    rate_case = " ".join(
+        f"WHEN '{k}' THEN CAST({r} AS DOUBLE)"
+        for k, r in sorted(sampling.MIX_RATES.items())
+    )
+    sql["q_doc_sample_stratified"] = f"""
+        WITH v AS (
+            SELECT source, doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) / 4294967296.0 AS u,
+                   CASE source {rate_case}
+                        ELSE CAST({sampling.MIX_DEFAULT} AS DOUBLE)
+                   END AS rate
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN u < rate THEN doc_id ELSE 0 END) AS BIGINT)
+                   AS kept_id_checksum
+        FROM v
+        GROUP BY source
+        ORDER BY source
+    """
+
+    # q_benchmark_contamination: same tokenize/3-shingle CTEs as
+    # q_ngram_jaccard; the oracle joins on the shingle string where Spark
+    # joins on xxhash64(shingle) — identical pairs absent a 64-bit hash
+    # collision. Benchmark slice = doc_id % 97 == 0 on both sides.
+    sql["q_benchmark_contamination"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        hits AS (
+            SELECT b.doc_id AS bench_id, c.doc_id AS doc_id,
+                   count(*) AS shared
+            FROM dsh c JOIN dsh b ON c.shingle = b.shingle
+            WHERE b.doc_id % 97 = 0 AND c.doc_id <> b.doc_id
+            GROUP BY b.doc_id, c.doc_id
+        )
+        SELECT bench_id,
+               count(*) AS n_contaminated,
+               max(shared) AS max_shared
+        FROM hits
+        GROUP BY bench_id
+        ORDER BY bench_id
+    """
+
+    # q_events_retention: cohort day from a per-user min, calendar-day
+    # offsets via date_diff (DuckDB date_trunc('day') yields DATE — cast
+    # back to TIMESTAMP to match Spark; datediff is INT on the Spark
+    # side, so cast the BIGINT date_diff down).
+    sql["q_events_retention"] = """
+        WITH fd AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(fd.cohort_day AS TIMESTAMP) AS cohort_day,
+               CAST(date_diff('day', fd.cohort_day, date_trunc('day', e.ts))
+                    AS INTEGER) AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN fd USING (user_id)
+        WHERE date_diff('day', fd.cohort_day, date_trunc('day', e.ts)) <= 7
+        GROUP BY 1, 2
+        ORDER BY cohort_day, day_offset
+    """
+
+    # q_dedup_clusters: connected components of the Jaccard>=0.5 pair
+    # graph. The oracle enumerates every (node, reachable-label) pair via
+    # a recursive CTE and takes min per node — exponential-free (UNION
+    # dedups) and exact for the test-SF component sizes; Spark's
+    # min-label propagation converges to the same fixed point.
+    sql["q_dedup_clusters"] = f"""
+        WITH RECURSIVE {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (
+            SELECT doc_id, count(*) AS set_size FROM dsh GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM dsh a JOIN dsh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared / (sa.set_size + sb.set_size - shared), 4)
+                  >= 0.5
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab
+            FROM reach r JOIN edges e ON e.dst = r.node
+        )
+        SELECT node AS doc_id, min(lab) AS cluster_id
+        FROM reach
+        GROUP BY node
+        ORDER BY doc_id
+    """
+
+    # q_doc_pack_sequences: DuckDB recomputes the identical md5 shuffle
+    # permutation and the exclusive running token sum with a plain
+    # window (safe single-node; Spark uses the two-phase bucketed
+    # cumsum) — all-integer arithmetic, so hashes must match exactly.
+    sql["q_doc_pack_sequences"] = f"""
+        WITH {_TOKS_CTE},
+        ord AS (
+            SELECT doc_id, len(raw_toks) AS n_tokens,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) / 4294967296.0 AS u
+            FROM tok_base
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY u, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM ord
+        )
+        SELECT CAST(cum_before // {packing.SEQ_CAPACITY} AS BIGINT)
+                   AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_checksum
+        FROM c
+        GROUP BY 1
+        ORDER BY seq_id
     """
     return sql

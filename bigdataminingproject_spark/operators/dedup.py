@@ -281,3 +281,141 @@ def q_exact_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = SHINGLE_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for each benchmark document, which
+    corpus documents share at least one k-shingle with it.
+
+    The decontamination primitive of training-data pipelines (strip
+    eval-set overlap before training). Exact n-gram membership — one
+    distinct-shingle explode per side and one equi-join on the shingle
+    hash. The benchmark side is tiny by definition, so Spark broadcasts
+    it: the corpus-side pipeline streams once with NO shuffle of the
+    fact table. Output: (bench_id, n_contaminated, max_shared) — count
+    of distinct contaminating docs and the largest shared-shingle count.
+    """
+    def distinct_shingles(df: DataFrame, out_id: str) -> DataFrame:
+        tk = df.select(
+            F.col(id_col).alias(out_id), tokenize(F.col(text_col)).alias("_t")
+        )
+        return tk.select(
+            out_id,
+            F.explode(F.array_distinct(shingles(F.col("_t"), k))).alias(
+                "shingle"
+            ),
+        ).select(out_id, F.xxhash64("shingle").alias("shingle_h"))
+
+    corp = distinct_shingles(docs, "doc_id")
+    bench = distinct_shingles(benchmark, "bench_id")
+    hits = (
+        corp.join(F.broadcast(bench), "shingle_h")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("bench_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        hits.groupBy("bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated"),
+            F.max("shared").alias("max_shared"),
+        )
+        .orderBy("bench_id")
+    )
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination of the corpus against a held-out 'benchmark' slice
+    (every 97th document stands in for an eval set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return benchmark_contamination(docs, bench)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc
+    that appears in a pair gets a ``cluster_id`` = the smallest doc id
+    reachable from it. The step dedup pipelines need between "pairs"
+    and "keep one per group": transitive closure turns pairwise matches
+    into dedup groups (A~B, B~C => {A,B,C} even though A,C never paired).
+
+    Min-label propagation: each node starts labeled with itself; every
+    round each node takes the min of its own and its neighbors' labels.
+    Converges in O(graph diameter) rounds — near-dup clusters are
+    near-cliques (diameter 2-3), so 3-4 joins in practice; the loop is
+    driver-side but each round is one distributed join + groupBy keyed
+    on node id, and the convergence check is a LIMIT 1 anti-equality
+    probe, not a collect. Each round materializes its labels via
+    ``localCheckpoint`` — ``persist`` alone is NOT enough for iterative
+    algorithms: the logical plan references ``labels`` three times per
+    round, so uncut lineage grows ~3^rounds and overflows the planner's
+    stack after ~8 rounds. On a cluster, swap in reliable
+    ``checkpoint()`` (HDFS-backed) for executor-loss tolerance. For
+    graphs with long chains at 100 TB scale, the two-round-doubling
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) halves the round
+    count; the diameter here never warrants it.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components of the exact
+    n-gram-Jaccard pair graph at threshold 0.5; cluster id = min doc id
+    in the component (the keeper a dedup pass would retain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return connected_components(pairs).orderBy("doc_id")

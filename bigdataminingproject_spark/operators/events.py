@@ -291,3 +291,41 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """signup -> click -> purchase funnel per user (ordered stages)."""
     ev = load_table(spark, sf_dir, "events")
     return funnel_stages(ev)
+
+
+def cohort_retention(
+    events: DataFrame,
+    max_offset: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted on
+    each subsequent day they return (offset 0..max_offset).
+
+    The canonical product-analytics rollup, exact and scale-shaped: one
+    aggregation to the per-user cohort day (broadcastable — one row per
+    user), one equi-join back to the fact stream, and one distinct-count
+    aggregation. No window over the fact table, no state.
+    """
+    first_day = events.groupBy(user_col).agg(
+        F.min(F.date_trunc("day", F.col(ts_col))).alias("cohort_day")
+    )
+    joined = events.join(first_day, user_col).select(
+        user_col,
+        "cohort_day",
+        F.datediff(
+            F.date_trunc("day", F.col(ts_col)), F.col("cohort_day")
+        ).alias("day_offset"),
+    )
+    return (
+        joined.filter(F.col("day_offset") <= max_offset)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day cohort retention over the events stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, max_offset=7)

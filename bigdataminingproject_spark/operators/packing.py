@@ -1,0 +1,86 @@
+"""Sequence packing: lay a shuffled corpus end-to-end into fixed-token
+training sequences (north-star training-pipeline operator; no reference
+counterpart — the reference stops at per-message analytics).
+
+Two deterministic building blocks compose into "concatenate-and-chunk"
+packing, the standard LLM pretraining layout:
+
+1. A **deterministic global shuffle**: order docs by the md5-derived
+   uniform variate of their id (``sampling.hash_uniform``). Like the
+   stratified sampler, the permutation is a pure function of the data —
+   identical on any cluster, any partition layout, any retry — which is
+   what makes training runs reproducible.
+2. An **exclusive global running token count** in that order
+   (``plans.ordering.with_global_cumsum`` — two-phase quantile-bucketed
+   cumsum, no single-partition window), from which each doc's sequence
+   is just ``tokens_before // capacity``: the sequence its first token
+   lands in.
+
+Everything is exact integer arithmetic over a deterministic order, so a
+DuckDB window-cumsum oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.text import tokenize
+from bigdataminingproject_spark.operators.sampling import hash_uniform
+from bigdataminingproject_spark.plans.ordering import with_global_cumsum
+from bigdataminingproject_spark.sources.tables import load_table
+
+SEQ_CAPACITY = 2048
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = SEQ_CAPACITY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc packing assignment: (doc_id, n_tokens, cum_before,
+    seq_id) where ``seq_id`` is the 0-based training sequence the doc's
+    first token falls into under hash-shuffled concatenate-and-chunk."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+        hash_uniform(F.col(id_col)).alias("_u"),
+    )
+    cum = with_global_cumsum(
+        base, "n_tokens", "_u", tiebreakers=[F.col("doc_id").asc()]
+    )
+    return cum.withColumn(
+        "seq_id", F.floor(F.col("cum_before") / F.lit(capacity)).cast("long")
+    ).drop("_u")
+
+
+def sequence_summary(
+    docs: DataFrame,
+    capacity: int = SEQ_CAPACITY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-sequence report: docs starting in each sequence, their total
+    tokens, and an id checksum attesting exact membership (the same
+    membership-not-just-counts trick as ``sampling.sample_summary``)."""
+    packed = pack_sequences(docs, capacity, text_col, id_col)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("doc_id").alias("doc_id_checksum"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+# --- query registry entry ---------------------------------------------------
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the documents corpus into 2048-token sequences in
+    deterministic hash-shuffled order; DuckDB recomputes the identical
+    permutation and running sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sequence_summary(docs, capacity=SEQ_CAPACITY)

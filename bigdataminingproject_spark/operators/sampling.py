@@ -1,0 +1,90 @@
+"""Deterministic corpus sampling / data-mixing operators (north-star).
+
+Training-data pipelines mix sources with per-source rates ("sample 10%
+of web, 100% of books"). Doing that with ``DataFrame.sample`` ties the
+result to partition layout and RNG state; at 100 TB reproducibility
+matters more than true randomness. These operators derive a uniform
+[0,1) variate from md5 of the row id — a pure column expression, so the
+sample is a deterministic function of the DATA for any layout, any
+executor count, any retry. DuckDB computes the identical md5, making
+the registry query exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.sources.tables import load_table
+
+
+def hash_uniform(col: Column) -> Column:
+    """Deterministic uniform [0,1) from md5 of a column's string form.
+
+    First 8 hex chars → 32-bit int → /2^32. DuckDB twin:
+    ``CAST('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8) AS BIGINT)
+    / 4294967296.0``.
+    """
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return h.cast("double") / F.lit(4294967296.0)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row iff hash_uniform(id) < its stratum's rate.
+
+    One scan, no shuffle, no state — the sampling decision is embedded
+    in the row itself, so the same doc is kept or dropped identically on
+    every cluster and every rerun (what makes ablations comparable).
+    """
+    rate = F.lit(default_rate)
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(r)).otherwise(rate)
+    return df.filter(hash_uniform(F.col(id_col)) < rate)
+
+
+def sample_summary(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum sampling report in ONE scan: total rows, kept rows,
+    and an id checksum of the kept set (so an oracle verifies membership
+    exactly, not just counts)."""
+    rate = F.lit(default_rate)
+    for key, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == key, F.lit(r)).otherwise(rate)
+    kept = hash_uniform(F.col(id_col)) < rate
+    return (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col(id_col)).otherwise(F.lit(0))).alias(
+                "kept_id_checksum"
+            ),
+        )
+        .orderBy(strata_col)
+    )
+
+
+# --- query registry entry ---------------------------------------------------
+
+# Per-source mixing rates for the registry query: a "books-heavy" mix —
+# keep everything from src0/src1, 30% default, 5% of src19.
+MIX_RATES = {"src0": 1.0, "src1": 1.0, "src19": 0.05}
+MIX_DEFAULT = 0.3
+
+
+def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling with exact membership
+    checksum; DuckDB recomputes the identical md5-derived variates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_summary(docs, MIX_RATES, MIX_DEFAULT)

@@ -345,6 +345,13 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-duplicate pairs at cosine >= 0.45.
 
+    GROUND-TRUTH ORACLE ANCHOR, not the scale path: this is an exact
+    all-pairs join (quadratic by construction) kept in the registry as
+    the verifier the LSH path is tested against. At corpus scale use
+    ``q_embedding_neardup_lsh`` — same output contract, bucketed
+    candidate generation. Bench and scale probes must never grow this
+    query's N.
+
     Production near-dup runs at 0.9+, but the synthetic embeddings are
     near-random (max pairwise cosine ~0.51 at sf0.01), so a high cutoff
     makes the oracle check vacuous (0 rows at every SF). 0.45 yields a
@@ -379,11 +386,22 @@ def _train_centroids(
     IVF coarse quantizers are always trained on a sample — the cap keeps
     driver memory flat regardless of corpus size. Lloyd's algorithm with
     seeded init; empty clusters re-seeded from the farthest points.
+
+    The sample is selected by ascending xxhash64 of the id (a
+    TakeOrderedAndProject, scale-safe), NOT a bare ``limit``: limit takes
+    whichever rows arrive first, so the trained centroids — and every
+    IVF result — would depend on partition layout (ADVICE r1). Hashing
+    makes it a deterministic uniform pseudo-random sample for any
+    layout of the same data.
     """
+    id_col = [c for c in vectors.columns if c != vec_col][0]
     sample = np.array(
         [
             r[0]
-            for r in vectors.select(vec_col)
+            for r in vectors.select(
+                vec_col, F.xxhash64(id_col).alias("_h")
+            )
+            .orderBy("_h")
             .limit(sample_cap)
             .collect()
         ],

@@ -86,3 +86,59 @@ def with_global_position(
         .withColumn(pos_col, (F.col("_off") + F.col("_lrn")).cast("long"))
         .drop("_bkt", "_lrn", "_off")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    tiebreakers: list[Column | str] | None = None,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the EXCLUSIVE global running sum of ``value_col`` in
+    (``order_col``, ``tiebreakers``) order — "how much value precedes
+    this row". Same two-phase scheme as :func:`with_global_position`
+    (value-derived quantile buckets, local window, broadcast per-bucket
+    prefix offsets), so no single-partition window ever sees the fact
+    relation. ``order_col`` must be numeric and non-null (callers order
+    by a hash variate or timestamp; derive one first if needed).
+    """
+    tiebreakers = list(tiebreakers or [])
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = (
+        sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+        if probs
+        else []
+    )
+    if bounds:
+        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(bounds_arr, lambda b: b < F.col(order_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("_bkt", bucket)
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(order_col).asc(), *tiebreakers)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_lcs", F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    )
+    totals = bucketed.groupBy("_bkt").agg(F.sum(value_col).alias("_tot"))
+    # one row per quantile bucket — same bounded-cardinality argument as
+    # the offsets window in with_global_position
+    off_w = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_bkt", F.coalesce(F.sum("_tot").over(off_w), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_off") + F.col("_lcs")).cast("long"))
+        .drop("_bkt", "_lcs", "_off")
+    )

@@ -1,0 +1,128 @@
+"""Deterministic stratified sampling, benchmark contamination, and
+cohort retention — the round-2 training-pipeline additions.
+
+Sampling has no reference counterpart (north-star data-mixing op);
+contamination mirrors the shingle semantics of the dup detector
+(reference streaming/detectors/duplicate_detector.py:44-61) applied
+corpus-vs-benchmark; retention is the canonical events rollup.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.operators.dedup import benchmark_contamination
+from bigdataminingproject_spark.operators.events import cohort_retention
+from bigdataminingproject_spark.operators.sampling import (
+    hash_uniform,
+    sample_summary,
+    stratified_sample,
+)
+
+
+def _py_uniform(x) -> float:
+    """Python twin of hash_uniform — md5 first 8 hex chars / 2^32."""
+    h = hashlib.md5(str(x).encode()).hexdigest()[:8]
+    return int(h, 16) / 4294967296.0
+
+
+def test_hash_uniform_matches_python_md5(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    got = {
+        r["doc_id"]: r["u"]
+        for r in df.select(
+            "doc_id", hash_uniform(F.col("doc_id")).alias("u")
+        ).collect()
+    }
+    for i in range(50):
+        assert got[i] == _py_uniform(i)
+
+
+def test_stratified_sample_membership_is_deterministic(spark):
+    rows = [(i, "srcA" if i % 2 == 0 else "srcB", "t") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rates = {"srcA": 0.5}
+    kept = stratified_sample(df, rates, default_rate=0.1)
+    expected = {
+        i
+        for i, s, _ in rows
+        if _py_uniform(i) < (0.5 if s == "srcA" else 0.1)
+    }
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == expected
+    # layout-independent: same membership after a reshuffle
+    got2 = {
+        r["doc_id"] for r in stratified_sample(
+            df.repartition(7), rates, default_rate=0.1
+        ).collect()
+    }
+    assert got2 == expected
+
+
+def test_sample_summary_checksum(spark):
+    rows = [(i, "s0", "t") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = sample_summary(df, {}, default_rate=0.3).collect()
+    assert len(out) == 1
+    kept = [i for i in range(100) if _py_uniform(i) < 0.3]
+    assert out[0]["n_total"] == 100
+    assert out[0]["n_kept"] == len(kept)
+    assert out[0]["kept_id_checksum"] == sum(kept)
+
+
+def test_rate_edges_keep_all_and_none(spark):
+    df = spark.createDataFrame(
+        [(i, "s", "t") for i in range(64)],
+        "doc_id long, source string, text string",
+    )
+    assert stratified_sample(df, {}, default_rate=1.0).count() == 64
+    assert stratified_sample(df, {}, default_rate=0.0).count() == 0
+
+
+def test_benchmark_contamination_counts(spark):
+    # bench doc 0 shares shingles with 1 (verbatim) and 2 (one shingle);
+    # doc 3 is disjoint. Self-pairs excluded.
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "x alpha beta gamma"),
+        (3, "one two three four"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {r["bench_id"]: r for r in benchmark_contamination(docs, bench).collect()}
+    assert set(out) == {0}
+    assert out[0]["n_contaminated"] == 2
+    # doc 1 shares both shingles of doc 0
+    assert out[0]["max_shared"] == 2
+
+
+def test_benchmark_contamination_no_shared_is_empty(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    assert benchmark_contamination(docs, bench).count() == 0
+
+
+def test_cohort_retention(spark):
+    d0 = datetime.datetime(2024, 1, 1, 10)
+    rows = [
+        # user 1: cohort day 0, returns day 1 twice (counted once) + day 9
+        (1, d0),
+        (1, d0 + datetime.timedelta(days=1)),
+        (1, d0 + datetime.timedelta(days=1, hours=2)),
+        (1, d0 + datetime.timedelta(days=9)),
+        # user 2: same cohort day, only day 0
+        (2, d0 + datetime.timedelta(hours=5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r["cohort_day"].day, r["day_offset"]): r["n_users"]
+        for r in cohort_retention(ev, max_offset=7).collect()
+    }
+    assert out == {(1, 0): 2, (1, 1): 1}  # day 9 beyond max_offset

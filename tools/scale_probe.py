@@ -48,6 +48,11 @@ PROBE_QUERIES = [
     "q_doc_tokens_topk",
     "q_dup_scores",
     "q_ngram_jaccard",
+    # the ANN scale path: must stay sub-quadratic when embeddings
+    # replicate (every replica is an exact clone, so true near-dup
+    # output grows ~clones² per original — candidate generation must
+    # grow with output size, not corpus²)
+    "q_embedding_neardup_lsh",
 ]
 
 
