@@ -21,6 +21,7 @@ from bigdataminingproject_spark.functions.text import (
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, sampling
+from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
@@ -66,6 +67,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_retention": events.q_events_retention,
         "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_doc_pack_sequences": packing.q_doc_pack_sequences,
+        # round-2 additions: extended TPC-H suite (new plan shapes)
+        "q2_min_price_part": tpch.q2_min_price_part,
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q8_market_share": tpch.q8_market_share,
+        "q9_profit_by_nation": tpch.q9_profit_by_nation,
+        "q13_order_distribution": tpch.q13_order_distribution,
+        "q14_promo_share": tpch.q14_promo_share,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
+        "q18_large_orders": tpch.q18_large_orders,
+        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        "q21_late_sole_shippers": tpch.q21_late_sole_shippers,
+        "q22_idle_customers": tpch.q22_idle_customers,
         # tier 3: attested green in round 1, original order
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -1429,5 +1443,200 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         GROUP BY 1
         ORDER BY seq_id
+    """
+
+    # ---- extended TPC-H suite (operators/tpch.py) ----
+    # DuckDB year() returns BIGINT — cast to INTEGER to match Spark's
+    # F.year. Money sums rounded 2dp, shares 4dp, on both sides.
+    sql["q7_volume_shipping"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+            OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+    sql["q8_market_share"] = """
+        WITH base AS (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n1.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN region r ON n2.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_5'
+                              THEN volume ELSE 0 END)
+                     / sum(volume), 4) AS mkt_share,
+               round(sum(volume), 2) AS total_volume
+        FROM base GROUP BY o_year ORDER BY o_year
+    """
+
+    sql["q9_profit_by_nation"] = """
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               -- integer-ten-thousandths quantization (see tpch.py:
+               -- sums of 1e-4-grid row values land on exact decimal
+               -- midpoints where round(,2) is engine-divergent)
+               CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)
+                              - 0.6 * p.p_retailprice * l.l_quantity)
+                          * 10000) AS BIGINT) / 10000.0
+                   AS profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%gear%'
+        GROUP BY 1, 2 ORDER BY nation, o_year
+    """
+
+    sql["q13_order_distribution"] = """
+        WITH per_cust AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+    sql["q14_promo_share"] = """
+        SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS promo_revenue_pct,
+               count(*) AS item_count
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    """
+
+    sql["q15_top_supplier"] = """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey AS suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY suppkey
+    """
+
+    sql["q17_small_qty_revenue"] = """
+        WITH avg_qty AS (
+            SELECT l_partkey, avg(l_quantity) AS a
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS item_count
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN avg_qty aq ON l.l_partkey = aq.l_partkey
+        WHERE p.p_brand = 'Brand#1' AND l.l_quantity < 0.5 * aq.a
+    """
+
+    sql["q18_large_orders"] = """
+        WITH big AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+        )
+        SELECT c.c_name, c.c_custkey AS custkey,
+               o.o_orderkey AS orderkey, o.o_orderdate,
+               round(o.o_totalprice, 2) AS totalprice,
+               round(sum(l.l_quantity), 2) AS sum_qty
+        FROM orders o
+        JOIN big b ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2, 3, 4, o.o_totalprice
+        ORDER BY totalprice DESC, orderkey LIMIT 100
+    """
+
+    sql["q19_disjunctive_revenue"] = """
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS revenue,
+               count(*) AS item_count
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+               AND l.l_quantity BETWEEN 20 AND 50)
+    """
+
+    sql["q21_late_sole_shippers"] = """
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   max(CASE WHEN l.l_shipdate >
+                                 o.o_orderdate + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) AS is_late
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY l.l_orderkey, l.l_suppkey
+        ),
+        marked AS (
+            SELECT l_suppkey, is_late,
+                   count(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+                   sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late
+            FROM lo
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM marked m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+        WHERE m.is_late = 1 AND m.n_supps > 1 AND m.n_late = 1
+        GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """
+
+    sql["q22_idle_customers"] = """
+        WITH cutoff AS (
+            SELECT avg(c_acctbal) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment, count(*) AS numcust,
+               round(sum(c.c_acctbal), 2) AS totacctbal
+        FROM customer c, cutoff
+        WHERE c.c_acctbal > cutoff.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """
+
+    sql["q2_min_price_part"] = """
+        WITH mn AS (
+            SELECT p_type, min(p_retailprice) AS min_price
+            FROM part WHERE p_size <= 25 GROUP BY p_type
+        )
+        SELECT p.p_type, p.p_partkey AS partkey, p.p_name,
+               round(p.p_retailprice, 2) AS retailprice
+        FROM part p JOIN mn ON p.p_type = mn.p_type
+                AND p.p_retailprice = mn.min_price
+        WHERE p.p_size <= 25
+        ORDER BY p.p_type, partkey
     """
     return sql

@@ -89,6 +89,59 @@ def test_no_single_partition_exchange_over_fact_scans(spark, sf_dir):
         assert not offenders, f"{name}: SinglePartition over fact scan {offenders}"
 
 
+def test_q7_pushdown_and_double_nation_broadcast(spark, sf_dir):
+    from bigdataminingproject_spark.operators import tpch
+
+    df = tpch.q7_volume_shipping(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # date slice reaches the fact scan
+    # nation enters twice (supp/cust roles) — both must broadcast
+    assert broadcast_join_count(df) >= 2
+
+
+def test_q9_like_filter_pushed_to_part_scan(spark, sf_dir):
+    from bigdataminingproject_spark.operators import tpch
+
+    df = tpch.q9_profit_by_nation(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "p_name" in pushed  # StringContains pushed to parquet
+
+
+def test_q18_top100_uses_take_ordered(spark, sf_dir):
+    from bigdataminingproject_spark.operators import tpch
+
+    df = tpch.q18_large_orders(spark, sf_dir)
+    assert uses_take_ordered(df)  # top-100, never a global sort
+
+
+def test_q19_lineitem_scan_pruned(spark, sf_dir):
+    from bigdataminingproject_spark.operators import tpch
+
+    df = tpch.q19_disjunctive_revenue(spark, sf_dir)
+    schemas = " ".join(read_schemas(df))
+    assert "l_shipdate" not in schemas  # unused fact columns never read
+    assert "l_comment" not in schemas
+
+
+def test_tpch_suite_no_single_partition_over_facts(spark, sf_dir):
+    """Q21's per-order window and Q15/Q22's scalar-aggregate broadcasts
+    must never funnel unaggregated fact rows through one partition."""
+    from bigdataminingproject_spark.operators import tpch
+    from bigdataminingproject_spark.plans.explain import (
+        unsafe_single_partition_exchanges,
+    )
+
+    for name, fn in {
+        "q13_order_distribution": tpch.q13_order_distribution,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
+        "q21_late_sole_shippers": tpch.q21_late_sole_shippers,
+        "q22_idle_customers": tpch.q22_idle_customers,
+    }.items():
+        offenders = unsafe_single_partition_exchanges(fn(spark, sf_dir))
+        assert not offenders, f"{name}: SinglePartition over fact scan {offenders}"
+
+
 def test_single_partition_detector_catches_bad_plan(spark, sf_dir):
     """The detector itself must flag the anti-pattern (guard against a
     regex that silently matches nothing)."""
