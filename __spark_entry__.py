@@ -69,6 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_pack_sequences": packing.q_doc_pack_sequences,
         # round-2 additions: extended TPC-H suite (new plan shapes)
         "q2_min_price_part": tpch.q2_min_price_part,
+        "q11_part_value_concentration": tpch.q11_part_value_concentration,
+        "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
+        "q16_supplier_part_variety": tpch.q16_supplier_part_variety,
+        "q20_excess_shippers": tpch.q20_excess_shippers,
         "q7_volume_shipping": tpch.q7_volume_shipping,
         "q8_market_share": tpch.q8_market_share,
         "q9_profit_by_nation": tpch.q9_profit_by_nation,
@@ -1638,5 +1642,64 @@ def oracle_sql() -> dict[str, str]:
                 AND p.p_retailprice = mn.min_price
         WHERE p.p_size <= 25
         ORDER BY p.p_type, partkey
+    """
+
+    sql["q11_part_value_concentration"] = """
+        WITH pp AS (
+            SELECT l_partkey AS partkey,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount))
+                              * 10000) AS BIGINT) AS v_tenk
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT partkey, v_tenk / 10000.0 AS value
+        FROM pp, (SELECT sum(v_tenk) AS tot, count(*) AS cnt FROM pp)
+        WHERE 2 * v_tenk * cnt > 3 * tot
+        ORDER BY value DESC, partkey
+    """
+
+    sql["q12_priority_by_returnflag"] = """
+        SELECT l.l_returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """
+
+    sql["q16_supplier_part_variety"] = """
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM ps JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+          AND ps.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """
+
+    sql["q20_excess_shippers"] = """
+        WITH sq AS (
+            SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS sq_qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '%gear%'
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        m AS (
+            SELECT *, sum(sq_qty) OVER (PARTITION BY l_partkey)
+                       AS part_total
+            FROM sq
+        )
+        SELECT s.s_suppkey AS suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM m WHERE sq_qty > 0.3 * part_total)
+        ORDER BY suppkey
     """
     return sql

@@ -462,6 +462,137 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted: parts whose revenue exceeds 1.5x the mean
+    per-part share of total revenue — per-group aggregate filtered
+    against a scalar aggregate over the SAME relation (Q11's
+    HAVING > fraction * SELECT sum). The mean-relative cutoff is
+    scale-free: Q11's fixed 0.0001 fraction goes vacuous as the part
+    count grows, this stays selective at every SF.
+
+    No ``partsupp`` table, so lineitem revenue stands in for stock
+    value; the plan shape (agg → 1-row scalar broadcast → HAVING
+    filter) is Q11's. The per-part revenue aggregate is computed once;
+    Catalyst reuses its shuffle output for the grand-total branch.
+
+    Parity: per-part sums are quantized to integer ten-thousandths
+    (exact on the 1e-4 money grid — see q9), so the grand total and
+    the ``2*value*cnt > 3*total`` cutoff comparison are pure BIGINT
+    arithmetic, immune to float divergence on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            * 10000
+        )
+        .cast("bigint")
+        .alias("_v_tenk")
+    )
+    total = per_part.agg(
+        F.sum("_v_tenk").alias("_tot"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(2 * F.col("_v_tenk") * F.col("_cnt") > 3 * F.col("_tot"))
+        .select(
+            "partkey",
+            (F.col("_v_tenk") / F.lit(10000.0)).alias("value"),
+        )
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: urgent-vs-other line counts per return flag
+    for a one-year ship-date slice (no ``l_shipmode`` column, so the
+    return flag is the grouping attribute; the CASE-pair conditional
+    count over the joined fact is Q12's exact shape)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted: distinct-supplier counts per (brand, type,
+    size) for a filtered part slice, excluding low-balance suppliers.
+
+    The (part, supplier) relation comes from ``SELECT DISTINCT`` over
+    lineitem (no ``partsupp``); the complaint-supplier ``NOT IN``
+    subquery becomes a left anti join (complaint proxy: bottom-decile
+    account balance, non-vacuous at every test SF)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1500
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .join(bad_supp, ps.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers who shipped more than 30% of the
+    total 1997 quantity of some 'gear' part — the nested
+    EXISTS(part)+quantity-threshold subquery pair, decorrelated into a
+    per-(part, supplier) aggregate with a per-part window total and a
+    final semi join to supplier.
+
+    Parity: quantities are integer-valued doubles, so the per-part
+    total is exact and ``0.3 * total`` is the same IEEE product on both
+    engines — the threshold comparison cannot drift.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    part_f = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    sq = (
+        li.join(part_f, li.l_partkey == part_f.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq_qty"))
+    )
+    # window over the aggregated (part, supplier) relation — partitions
+    # on l_partkey, bounded by suppliers-per-part, never single-partition
+    w = Window.partitionBy("l_partkey")
+    flagged = (
+        sq.withColumn("part_total", F.sum("sq_qty").over(w))
+        .filter(F.col("sq_qty") > F.lit(0.3) * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(flagged, supp.s_suppkey == flagged.l_suppkey, "left_semi")
+        .select(
+            F.col("s_suppkey").alias("suppkey"), "s_name", "s_acctbal"
+        )
+        .orderBy("suppkey")
+    )
+
+
 def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 adapted: cheapest part per type within a size bound —
     min-per-group joined back on (group, exact min value), the
