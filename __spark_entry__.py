@@ -20,7 +20,7 @@ from bigdataminingproject_spark.functions.text import (
 )
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
-from bigdataminingproject_spark.operators import packing, sampling
+from bigdataminingproject_spark.operators import packing, quality, sampling
 from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q16_supplier_part_variety": tpch.q16_supplier_part_variety,
         "q20_excess_shippers": tpch.q20_excess_shippers,
+        # round-2 additions: corpus quality signals (operators/quality.py)
+        "q_doc_repetition": quality.q_doc_repetition,
+        "q_doc_pii_redact": quality.q_doc_pii_redact,
+        "q_doc_decontaminate": quality.q_doc_decontaminate,
         "q7_volume_shipping": tpch.q7_volume_shipping,
         "q8_market_share": tpch.q8_market_share,
         "q9_profit_by_nation": tpch.q9_profit_by_nation,
@@ -1701,5 +1705,103 @@ def oracle_sql() -> dict[str, str]:
         WHERE s.s_suppkey IN (
             SELECT l_suppkey FROM m WHERE sq_qty > 0.3 * part_total)
         ORDER BY suppkey
+    """
+
+    # ---- corpus quality signals (operators/quality.py) ----
+    # Ratios quantized to integer basis points: round-to-integer is the
+    # only midpoint-safe cross-engine rounding (see quality.py).
+    sql["q_doc_repetition"] = f"""
+        WITH {_TOKS_CTE},
+        uni AS (SELECT doc_id, unnest(raw_toks) AS tok FROM tok_base),
+        uc AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY 1, 2),
+        ua AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct, max(c) AS top_uni
+            FROM uc GROUP BY 1
+        ),
+        bpos AS (
+            SELECT doc_id, raw_toks,
+                   unnest(range(1, len(raw_toks))) AS i
+            FROM tok_base
+        ),
+        bg AS (
+            SELECT doc_id, raw_toks[i] || ' ' || raw_toks[i + 1] AS b
+            FROM bpos
+        ),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        ba AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   max(c) AS top_bi
+            FROM bc GROUP BY 1
+        )
+        SELECT ua.doc_id, ua.n_tokens,
+               CAST(round(10000.0 * n_distinct / n_tokens) AS BIGINT)
+                   AS distinct_bp,
+               CAST(round(10000.0 * top_uni / n_tokens) AS BIGINT)
+                   AS top_unigram_bp,
+               CAST(round(10000.0 * top_bi / n_bigrams) AS BIGINT)
+                   AS top_bigram_bp
+        FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+        ORDER BY ua.doc_id
+    """
+
+    _png = {
+        "EMAIL": "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+",
+        "PHONE": "\\+1-555-[0-9]{4}",
+        "IP": "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}",
+    }
+    sql["q_doc_pii_redact"] = f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.com tel +1-555-'
+                        || lpad(CAST((doc_id * 37) % 10000 AS VARCHAR),
+                                4, '0')
+                        || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                       AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_png["EMAIL"]}'))
+                    AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(t, '{_png["PHONE"]}'))
+                    AS INTEGER) AS n_phone,
+               CAST(len(regexp_extract_all(t, '{_png["IP"]}'))
+                    AS INTEGER) AS n_ip,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{_png["EMAIL"]}', '<EMAIL>', 'g'),
+                       '{_png["PHONE"]}', '<PHONE>', 'g'),
+                       '{_png["IP"]}', '<IP>', 'g')) AS redacted_md5
+        FROM aug ORDER BY doc_id
+    """
+
+    sql["q_doc_decontaminate"] = f"""
+        WITH {_TOKS_CTE},
+        pos4 AS (
+            SELECT doc_id, raw_toks,
+                   unnest(range(1, len(raw_toks) - 2)) AS i
+            FROM tok_base
+        ),
+        sh4 AS (
+            SELECT doc_id, array_to_string(raw_toks[i:i + 3], ' ') AS sh
+            FROM pos4
+        ),
+        dsh AS (SELECT DISTINCT doc_id, sh FROM sh4),
+        bench AS (
+            SELECT DISTINCT sh FROM dsh WHERE doc_id % 25 = 0
+        ),
+        hits AS (
+            SELECT DISTINCT d.doc_id
+            FROM dsh d JOIN bench b USING (sh)
+            WHERE d.doc_id % 25 <> 0
+        )
+        SELECT source, count(*) AS n_train,
+               CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated
+        FROM documents LEFT JOIN hits h USING (doc_id)
+        WHERE doc_id % 25 <> 0
+        GROUP BY source ORDER BY source
     """
     return sql

@@ -1,0 +1,237 @@
+"""Training-corpus quality signals beyond ``textstats.py``: repetition
+metrics, PII redaction, and benchmark decontamination (north-star — the
+reference has no corpus-curation surface; SURVEY.md §2.9).
+
+These are the filters a large-scale LLM-data pipeline runs between raw
+ingest and tokenization:
+
+- **Repetition** (Gopher-style): duplicate-token fraction, most-common
+  unigram/bigram mass. High values mark boilerplate, keyword stuffing,
+  and generation loops.
+- **PII redaction**: regex scrub of emails / phone numbers / IPv4
+  addresses with per-doc match counts — pure ``regexp_replace`` /
+  ``regexp_count`` column expressions, no UDFs.
+- **Decontamination**: drop training docs sharing any 8-token shingle
+  with a benchmark set (the standard n-gram-overlap test-set leak
+  check).
+
+Scale notes (100 TB):
+
+- ``repetition_signals`` is one corpus scan per n-gram order; the
+  explode fans out to ~n_tokens rows keyed by (doc_id, gram), so the
+  count shuffle partitions on the doc axis — no hot keys, no global
+  state. Map-side partial aggregation absorbs most of the fanout.
+- ``pii_redact`` is a pure projection: zero shuffles, whole-stage
+  codegen, trivially parallel.
+- ``decontaminate`` builds the benchmark shingle set once — benchmark
+  suites are small and bounded by construction, so it broadcasts; the
+  corpus side is ONE scan + explode + broadcast semi join. No shuffle
+  of corpus data at all.
+
+Float-parity: ratio outputs are quantized to integer basis points
+(``round(10000*a/b)`` → BIGINT). Round-to-integer is immune to the
+Spark/DuckDB decimal-midpoint divergence that 2dp/4dp rounding of
+arbitrary ratios hits (midpoint integers are exactly representable
+doubles, so both engines see the same value and round it the same
+way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.text import tokenize
+from bigdataminingproject_spark.sources.tables import load_table
+
+# Simple ASCII patterns valid in both Java regex (Spark) and RE2
+# (DuckDB) — keep them dialect-neutral.
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+IPV4_RE = "10\\.[0-9]{1,3}\\.0\\.[0-9]{1,3}"
+
+DECONTAM_K = 8  # n-gram order for benchmark-overlap checks
+
+
+def _bp(num: Column, den: Column) -> Column:
+    """Integer basis points: round(10000*num/den) as BIGINT (see module
+    docstring for why not round(x, 4))."""
+    return F.round(F.lit(10000.0) * num / den).cast("bigint")
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition metrics over raw tokens: token count, distinct
+    fraction, top-unigram mass, top-bigram mass (all fractions in
+    integer basis points).
+
+    Two aggregation branches (unigram, bigram) over the tokenized
+    corpus, joined on doc_id — two corpus scans. The token projection is
+    materialized in its own select first: Catalyst does not CSE
+    subexpressions, so inlining ``tokenize`` into both branches would
+    re-run the regex split per reference.
+    """
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    uni = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("count").alias("top_uni"),
+        )
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1),"
+            "         slice(toks, 2, size(toks) - 1),"
+            "         (a, b) -> concat(a, ' ', b))"
+        ).alias("bgs"),
+    )
+    bi = (
+        bigrams.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n_bigrams"), F.max("count").alias("top_bi"))
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            _bp(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_bp"),
+            _bp(F.col("top_uni"), F.col("n_tokens")).alias("top_unigram_bp"),
+            _bp(F.col("top_bi"), F.col("n_bigrams")).alias("top_bigram_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append redaction columns: ``<col>_redacted`` plus per-pattern
+    match counts. Email → ``<EMAIL>``, phone → ``<PHONE>``,
+    IPv4 → ``<IP>``. Pure column expressions — zero shuffles."""
+    c = F.col(text_col)
+    red = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    return df.withColumns(
+        {
+            "n_email": F.regexp_count(c, F.lit(EMAIL_RE)),
+            "n_phone": F.regexp_count(c, F.lit(PHONE_RE)),
+            "n_ip": F.regexp_count(c, F.lit(IPV4_RE)),
+            f"{text_col}_redacted": red,
+        }
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = DECONTAM_K) -> DataFrame:
+    """Distinct word-k-gram shingles per doc: (doc_id, sh)."""
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= k,
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}),"
+                f"          i -> concat_ws(' ', slice(toks, i + 1, {k})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("shs"),
+    )
+    return grams.select("doc_id", F.explode("shs").alias("sh")).distinct()
+
+
+def decontaminate(
+    docs: DataFrame, bench: DataFrame, k: int = DECONTAM_K
+) -> DataFrame:
+    """Flag training docs sharing any k-token shingle with the benchmark
+    set. Returns (doc_id, contaminated).
+
+    The benchmark shingle set is broadcast (benchmark suites are
+    bounded); the corpus side never shuffles.
+    """
+    bench_sh = F.broadcast(
+        doc_shingles(bench, k).select("sh").distinct()
+    )
+    hit = (
+        doc_shingles(docs, k)
+        .join(bench_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return docs.select("doc_id").join(hit, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(0)).alias("contaminated")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics for every document (basis-point integers)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction drill: augment each doc with deterministic
+    synthetic PII (derived from doc_id — the corpus itself contains
+    none, which would make the check vacuous), redact, and emit match
+    counts plus an md5 attest of the redacted text."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@mail"),
+        (did % 7).cast("string"),
+        F.lit(".com tel +1-555-"),
+        F.lpad(((did * 37) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 3) % 256).cast("string"),
+    )
+    return (
+        pii_redact(docs.select("doc_id", aug.alias("text")), "text")
+        .select(
+            "doc_id",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            F.md5("text_redacted").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-overlap contamination rate per source. The synthetic
+    benchmark set is every 25th doc. The drill runs at k=4 (production
+    default is ``DECONTAM_K=8``): the synthetic docs draw from a ~40
+    word vocabulary, where 4-gram collisions occur at a realistic ~5%
+    rate while 8-grams almost never collide — k=4 exercises the
+    overlap machinery non-vacuously at test SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    flags = decontaminate(train, bench, k=4)
+    return (
+        train.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum("contaminated").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

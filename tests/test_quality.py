@@ -1,0 +1,117 @@
+"""Unit tests for operators/quality.py on constructed fixtures (the
+registry queries are oracle-checked separately; these pin the operator
+semantics on inputs with known answers)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.operators.quality import (
+    decontaminate,
+    doc_shingles,
+    pii_redact,
+    repetition_signals,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+class TestRepetitionSignals:
+    def test_unique_tokens_doc(self, spark):
+        out = repetition_signals(_docs(spark, ["alpha beta gamma delta"]))
+        r = out.collect()[0]
+        assert r.n_tokens == 4
+        assert r.distinct_bp == 10000  # all distinct
+        assert r.top_unigram_bp == 2500  # 1/4
+        assert r.top_bigram_bp == 3333  # 1/3 bigrams, all unique
+
+    def test_fully_repeated_doc(self, spark):
+        out = repetition_signals(_docs(spark, ["spam spam spam spam"]))
+        r = out.collect()[0]
+        assert r.distinct_bp == 2500  # 1 distinct / 4 tokens
+        assert r.top_unigram_bp == 10000
+        assert r.top_bigram_bp == 10000  # "spam spam" x3
+
+    def test_single_token_doc_has_null_bigram(self, spark):
+        r = repetition_signals(_docs(spark, ["lonely"])).collect()[0]
+        assert r.n_tokens == 1
+        assert r.top_bigram_bp is None
+
+    def test_tokenization_is_engine_standard(self, spark):
+        # non-letter runs split; case folded — same rule as tokenize()
+        r = repetition_signals(_docs(spark, ["Foo-BAR!! foo?bar"])).collect()[0]
+        assert r.n_tokens == 4
+        assert r.distinct_bp == 5000  # {foo, bar} / 4
+
+
+class TestPiiRedact:
+    def test_patterns_redacted_and_counted(self, spark):
+        df = _docs(
+            spark,
+            [
+                "mail a.user@site.org now tel +1-555-0199 host 10.1.0.200 end",
+                "no pii here at all",
+            ],
+        )
+        out = {r.doc_id: r for r in pii_redact(df).collect()}
+        assert out[0].n_email == 1
+        assert out[0].n_phone == 1
+        assert out[0].n_ip == 1
+        assert (
+            out[0].text_redacted
+            == "mail <EMAIL> now tel <PHONE> host <IP> end"
+        )
+        assert out[1].n_email == out[1].n_phone == out[1].n_ip == 0
+        assert out[1].text_redacted == "no pii here at all"
+
+    def test_multiple_matches_counted(self, spark):
+        df = _docs(spark, ["a@b.com c@d.net +1-555-0000 +1-555-9999"])
+        r = pii_redact(df).collect()[0]
+        assert r.n_email == 2 and r.n_phone == 2
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = pii_redact(_docs(spark, ["x"]))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection
+
+
+class TestDecontaminate:
+    def test_shared_shingle_flags_doc(self, spark):
+        bench = _docs(spark, ["the quick brown fox jumps over the lazy dog"])
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=10, text="prefix quick brown fox jumps suffix"),
+                Row(doc_id=11, text="totally different words entirely here"),
+            ]
+        )
+        flags = {
+            r.doc_id: r.contaminated
+            for r in decontaminate(docs, bench, k=4).collect()
+        }
+        assert flags == {10: 1, 11: 0}
+
+    def test_short_docs_never_match(self, spark):
+        bench = _docs(spark, ["one two three four five"])
+        docs = spark.createDataFrame([Row(doc_id=5, text="one two three")])
+        assert decontaminate(docs, bench, k=4).collect()[0].contaminated == 0
+
+    def test_doc_shingles_distinct_and_ordered_words(self, spark):
+        df = _docs(spark, ["a b c a b c a b"])
+        shs = {r.sh for r in doc_shingles(df, k=3).collect()}
+        assert shs == {"a b c", "b c a", "c a b"}
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        bench = _docs(spark, ["w x y z w x y z"])
+        docs = _docs(spark, ["w x y z q r s t"])
+        plan = (
+            decontaminate(docs, bench, k=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
