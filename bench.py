@@ -36,6 +36,10 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_knn_bruteforce",
     "q_embedding_neardup_lsh",
+    # round-2 additions: heaviest extended-TPC-H shapes + quality family
+    "q9_profit_by_nation",
+    "q18_large_orders",
+    "q_doc_repetition",
 ]
 
 
