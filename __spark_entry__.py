@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_repetition": quality.q_doc_repetition,
         "q_doc_pii_redact": quality.q_doc_pii_redact,
         "q_doc_decontaminate": quality.q_doc_decontaminate,
+        "q_doc_mixture_plan": sampling.q_doc_mixture_plan,
+        "q_doc_length_buckets": packing.q_doc_length_buckets,
         "q7_volume_shipping": tpch.q7_volume_shipping,
         "q8_market_share": tpch.q8_market_share,
         "q9_profit_by_nation": tpch.q9_profit_by_nation,
@@ -1803,5 +1805,39 @@ def oracle_sql() -> dict[str, str]:
         FROM documents LEFT JOIN hits h USING (doc_id)
         WHERE doc_id % 25 <> 0
         GROUP BY source ORDER BY source
+    """
+
+    sql["q_doc_mixture_plan"] = f"""
+        WITH {_TOKS_CTE},
+        per AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(raw_toks)) AS BIGINT) AS n_tokens,
+                   max((CAST(substr(source, 4) AS INTEGER) % 3) + 1)
+                       AS weight
+            FROM tok_base GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, weight,
+               CAST(round(10000.0 * weight / tw) AS BIGINT) AS target_bp,
+               CAST(round(10000.0 * weight * tt / (tw * n_tokens))
+                    AS BIGINT) AS rate_bp
+        FROM per, (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+                          CAST(sum(weight) AS BIGINT) AS tw FROM per)
+        ORDER BY source
+    """
+
+    _edges = (16, 24, 32, 48, 64, 96, 128)
+    _ladder = " ".join(
+        f"WHEN len(raw_toks) <= {e} THEN {e}" for e in _edges
+    )
+    sql["q_doc_length_buckets"] = f"""
+        WITH {_TOKS_CTE},
+        b AS (
+            SELECT CASE {_ladder} ELSE -1 END AS bucket,
+                   len(raw_toks) AS nt
+            FROM tok_base
+        )
+        SELECT bucket, count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens
+        FROM b GROUP BY bucket ORDER BY bucket
     """
     return sql

@@ -76,7 +76,44 @@ def sequence_summary(
     )
 
 
+LENGTH_BUCKET_EDGES = (16, 24, 32, 48, 64, 96, 128)
+
+
+def length_buckets(
+    docs: DataFrame,
+    edges: tuple[int, ...] = LENGTH_BUCKET_EDGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-length histogram: docs and token mass per length bucket
+    (bucket = smallest edge ≥ n_tokens; the overflow bucket is -1).
+    Drives packing-capacity and padding-waste decisions before a
+    training run. One scan + one tiny-key shuffle; the bucket ladder is
+    an explicit CASE chain, so both engines bucket identically (no
+    float log2 at bucket boundaries)."""
+    from bigdataminingproject_spark.functions.text import tokenize
+
+    n = F.size(tokenize(F.col(text_col)))
+    bucket = F.lit(-1)
+    for e in sorted(edges, reverse=True):
+        bucket = F.when(n <= e, F.lit(e)).otherwise(bucket)
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("_nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # --- query registry entry ---------------------------------------------------
+
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram of the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return length_buckets(docs)
+
 
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the documents corpus into 2048-token sequences in

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdataminingproject_spark.functions.text import tokenize
+from bigdataminingproject_spark.functions.text import shingles, tokenize
 from bigdataminingproject_spark.sources.tables import load_table
 
 # Simple ASCII patterns valid in both Java regex (Spark) and RE2
@@ -129,21 +129,13 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, k: int = DECONTAM_K) -> DataFrame:
-    """Distinct word-k-gram shingles per doc: (doc_id, sh)."""
+    """Distinct word-k-gram shingles per doc: (doc_id, sh). Built on
+    the engine-wide ``functions.text.shingles`` primitive (same one the
+    dedup family and ``dedup.benchmark_contamination`` use)."""
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
-    grams = toks.select(
-        "doc_id",
-        F.when(
-            F.size("toks") >= k,
-            F.expr(
-                f"transform(sequence(0, size(toks) - {k}),"
-                f"          i -> concat_ws(' ', slice(toks, i + 1, {k})))"
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("shs"),
-    )
-    return grams.select("doc_id", F.explode("shs").alias("sh")).distinct()
+    return toks.select(
+        "doc_id", F.explode(shingles(F.col("toks"), k)).alias("sh")
+    ).distinct()
 
 
 def decontaminate(
@@ -152,8 +144,12 @@ def decontaminate(
     """Flag training docs sharing any k-token shingle with the benchmark
     set. Returns (doc_id, contaminated).
 
-    The benchmark shingle set is broadcast (benchmark suites are
-    bounded); the corpus side never shuffles.
+    The train-doc-side view of benchmark overlap — the complementary
+    bench-doc-side report (which corpus docs hit each benchmark doc)
+    is ``dedup.benchmark_contamination``; both ride the same
+    ``functions.text.shingles`` primitive. The benchmark shingle set is
+    broadcast (benchmark suites are bounded); the corpus side never
+    shuffles.
     """
     bench_sh = F.broadcast(
         doc_shingles(bench, k).select("sh").distinct()

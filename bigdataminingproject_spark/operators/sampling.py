@@ -75,6 +75,68 @@ def sample_summary(
     )
 
 
+def mixture_plan(
+    docs: DataFrame,
+    weight: Column,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source epoch plan for a target data mixture: token mass per
+    source plus the sampling rate that hits the target share.
+
+    ``weight`` is a per-source target-weight expression. Output per
+    source: doc/token counts, the integer weight, ``target_bp`` (the
+    target share of the mixed corpus, basis points) and ``rate_bp``
+    (the per-source sampling rate achieving it — values over 10000 mean
+    the source must be up-sampled/repeated). One corpus scan, one
+    shuffle on the source key, and a broadcast of the 1-row totals —
+    the shape survives any corpus size.
+
+    Parity: weights and token counts are integers, so every ratio is
+    an integer-valued-double expression evaluated identically on both
+    engines before the midpoint-safe round-to-integer quantization.
+    """
+    from bigdataminingproject_spark.functions.text import tokenize
+
+    per = (
+        docs.select(
+            F.col(strata_col).alias("source"),
+            weight.alias("w"),
+            F.size(tokenize(F.col(text_col))).alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.max("w").alias("weight"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tt"), F.sum("weight").alias("_tw")
+    )
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.round(F.lit(10000.0) * F.col("weight") / F.col("_tw"))
+            .cast("bigint")
+            .alias("target_bp"),
+            F.round(
+                F.lit(10000.0)
+                * F.col("weight")
+                * F.col("_tt")
+                / (F.col("_tw") * F.col("n_tokens"))
+            )
+            .cast("bigint")
+            .alias("rate_bp"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- query registry entry ---------------------------------------------------
 
 # Per-source mixing rates for the registry query: a "books-heavy" mix —
@@ -88,3 +150,12 @@ def q_doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum; DuckDB recomputes the identical md5-derived variates."""
     docs = load_table(spark, sf_dir, "documents")
     return sample_summary(docs, MIX_RATES, MIX_DEFAULT)
+
+
+def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch mixture plan with a deterministic per-source target weight
+    (1 + source_index mod 3 — cycles the 20 sources through weights
+    1/2/3, exercising both up- and down-sampling rates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("CAST(substring(source, 4) AS INT) % 3 + 1")
+    return mixture_plan(docs, w)

@@ -126,3 +126,58 @@ def test_cohort_retention(spark):
         for r in cohort_retention(ev, max_offset=7).collect()
     }
     assert out == {(1, 0): 2, (1, 1): 1}  # day 9 beyond max_offset
+
+
+def test_mixture_plan_rates(spark):
+    from bigdataminingproject_spark.operators.sampling import mixture_plan
+
+    # src "a": 4 tokens weight 1; src "b": 12 tokens weight 3 →
+    # total 16 tokens, total weight 4.
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "w x y z"),
+            (1, "b", "p q r s t u"),
+            (2, "b", "p q r s t u"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    w = F.when(F.col("source") == "b", 3).otherwise(1)
+    out = {r.source: r for r in mixture_plan(docs, w).collect()}
+    assert out["a"].target_bp == 2500  # weight 1/4
+    assert out["b"].target_bp == 7500
+    # rate = target_share * total_tokens / source_tokens
+    assert out["a"].rate_bp == 10000  # 0.25 * 16 / 4 = 1.0
+    assert out["b"].rate_bp == 10000  # 0.75 * 16 / 12 = 1.0
+    assert out["b"].n_docs == 2 and out["b"].n_tokens == 12
+
+
+def test_mixture_plan_oversample(spark):
+    from bigdataminingproject_spark.operators.sampling import mixture_plan
+
+    # rare source with high weight must be up-sampled (> 10000 bp)
+    docs = spark.createDataFrame(
+        [(0, "rare", "a b"), (1, "big", " ".join("t%d" % i for i in range(18)))],
+        "doc_id long, source string, text string",
+    )
+    w = F.when(F.col("source") == "rare", 1).otherwise(1)
+    out = {r.source: r for r in mixture_plan(docs, w).collect()}
+    # rare: share 0.5 of 20 tokens = 10 target vs 2 present → 5x
+    assert out["rare"].rate_bp == 50000
+
+
+def test_length_buckets_edges(spark):
+    from bigdataminingproject_spark.operators.packing import length_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),                      # 3  → bucket 4
+            (1, "a b c d"),                    # 4  → bucket 4 (inclusive)
+            (2, "a b c d e"),                  # 5  → bucket 8
+            (3, " ".join(["t"] * 99)),         # 99 → overflow -1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.bucket: r for r in length_buckets(docs, edges=(4, 8)).collect()}
+    assert out[4].n_docs == 2 and out[4].n_tokens == 7
+    assert out[8].n_docs == 1
+    assert out[-1].n_docs == 1 and out[-1].n_tokens == 99
