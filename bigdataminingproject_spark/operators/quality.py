@@ -64,11 +64,22 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     fraction, top-unigram mass, top-bigram mass (all fractions in
     integer basis points).
 
-    Two aggregation branches (unigram, bigram) over the tokenized
-    corpus, joined on doc_id — two corpus scans. The token projection is
-    materialized in its own select first: Catalyst does not CSE
-    subexpressions, so inlining ``tokenize`` into both branches would
-    re-run the regex split per reference.
+    Two explode + two-level-aggregation branches (unigram, bigram)
+    joined on doc_id. The shuffles are keyed by (doc_id, gram) —
+    skew-free by construction (key cardinality grows with the corpus)
+    and mostly absorbed by map-side partial aggregation.
+
+    A shuffle-free alternative was implemented and MEASURED SLOWER:
+    the most-frequent-gram count equals the longest equal-run in the
+    sorted gram array, expressible as an ``F.aggregate`` fold — but
+    Spark evaluates higher-order-function lambdas interpreted, outside
+    whole-stage codegen, and the per-element struct fold cost more
+    than the shuffle it saved (10x-corpus probe: 2.59s vs 1.90s for
+    this version). Explode + hash aggregation stays.
+
+    The token projection is materialized in its own select first:
+    Catalyst does not CSE subexpressions, so inlining ``tokenize``
+    into both branches would re-run the regex split per reference.
     """
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
     uni = (
