@@ -115,3 +115,51 @@ class TestDecontaminate:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestStreamingTwin:
+    def test_pii_redaction_streams_identically(self, spark, sf_dir, tmp_path):
+        """The quality family is pure projection, so the SAME function
+        body runs unchanged on a streaming DataFrame — batch/stream
+        unification the reference's imperative loop cannot offer."""
+        from bigdataminingproject_spark.sources.tables import load_table
+        from bigdataminingproject_spark.streaming.replay import (
+            file_replay_source,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").limit(40)
+        batch = {
+            r.doc_id: (r.n_email, r.text_redacted)
+            for r in pii_redact(
+                docs.select(
+                    "doc_id",
+                    F.concat(
+                        F.col("text"), F.lit(" ping x@y.org")
+                    ).alias("text"),
+                )
+            ).collect()
+        }
+
+        stream = file_replay_source(
+            spark, docs, str(tmp_path / "stage"), chunks=4
+        )
+        redacted = pii_redact(
+            stream.select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" ping x@y.org")).alias("text"),
+            )
+        )
+        q = (
+            redacted.writeStream.format("memory")
+            .queryName("pii_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.doc_id: (r.n_email, r.text_redacted)
+            for r in spark.sql("SELECT * FROM pii_stream").collect()
+        }
+        assert got == batch
+        assert all(v[0] == 1 for v in got.values())
