@@ -142,6 +142,39 @@ def test_tpch_suite_no_single_partition_over_facts(spark, sf_dir):
         assert not offenders, f"{name}: SinglePartition over fact scan {offenders}"
 
 
+def test_registry_wide_plan_audit(spark, sf_dir):
+    """EVERY registry query's physical plan is audited for the two
+    shapes that cannot survive a 100x scale-up: an Exchange
+    SinglePartition over unaggregated fact rows, and a shuffle
+    CartesianProduct. Declared exceptions only:
+
+    - q_embedding_neardup: the exact all-pairs verifier — kept as the
+      LSH oracle anchor, documented non-scalable in its docstring.
+
+    (BroadcastNestedLoopJoin is allowed: in this engine it only ever
+    carries 1-row scalar-aggregate build sides — Q11/Q15/Q22 cutoffs,
+    mixture totals — or the declared-bounded kNN query set.)
+    """
+    import __spark_entry__ as entrymod
+
+    from bigdataminingproject_spark.plans.explain import (
+        formatted_plan,
+        unsafe_single_partition_exchanges,
+    )
+
+    declared_cartesian = {"q_embedding_neardup"}
+    failures = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        offenders = unsafe_single_partition_exchanges(df)
+        if offenders:
+            failures.append(f"{name}: SinglePartition over facts {offenders}")
+        if name not in declared_cartesian:
+            if "CartesianProduct" in formatted_plan(df):
+                failures.append(f"{name}: undeclared CartesianProduct")
+    assert not failures, "\n".join(failures)
+
+
 def test_single_partition_detector_catches_bad_plan(spark, sf_dir):
     """The detector itself must flag the anti-pattern (guard against a
     regex that silently matches nothing)."""
