@@ -67,3 +67,28 @@ def test_sql_window_rank_matches_dataframe(spark, sf_dir):
     """)
     df = relational.q_customer_order_rank(spark, sf_dir)
     assert _rows(sql.select(*df.columns)) == _rows(df)
+
+
+def test_sql_having_semijoin_matches_dataframe(spark, sf_dir):
+    """TPC-H Q18 family rep: the spark.sql HAVING-subquery formulation
+    must agree with the DataFrame operator's decorrelated plan."""
+    from bigdataminingproject_spark.operators import tpch
+
+    sql = spark.sql("""
+        SELECT c.c_name, c.c_custkey AS custkey,
+               o.o_orderkey AS orderkey, o.o_orderdate,
+               round(o.o_totalprice, 2) AS totalprice,
+               round(sum(l.l_quantity), 2) AS sum_qty
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+                 o.o_orderdate, o.o_totalprice
+        ORDER BY totalprice DESC, orderkey
+        LIMIT 100
+    """)
+    df = tpch.q18_large_orders(spark, sf_dir)
+    assert _rows(sql) == _rows(df)
