@@ -329,3 +329,63 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day cohort retention over the events stream."""
     ev = load_table(spark, sf_dir, "events")
     return cohort_retention(ev, max_offset=7)
+
+
+def anomalous_windows(
+    counts: DataFrame,
+    bucket_col: str = "bucket",
+    count_col: str = "x",
+    z: int = 2,
+) -> DataFrame:
+    """Flag time buckets whose count deviates more than ``z`` sample
+    standard deviations from the series mean — with EXACT integer
+    arithmetic, no float z-scores.
+
+    |x - mean| > z*sd is squared and cleared of divisions:
+
+        (n*x - sx)^2 * (n-1) > z^2 * n * (n*sxx - sx^2)
+
+    where n = bucket count, sx = Σx, sxx = Σx² are BIGINT aggregates.
+    Every quantity is an exact integer on any engine, so the oracle
+    comparison cannot drift at the flag boundary (a float z-score
+    would flip for counts sitting exactly on the threshold). Bounds:
+    with per-bucket counts up to ~10^6 and up to ~10^4 buckets the
+    largest term is ~10^4·10^4·10^12 ≈ 10^20 — beyond that scale,
+    promote to DECIMAL(38,0) before squaring.
+
+    Shape: the per-bucket relation is already aggregated (one row per
+    bucket); the 1-row (n, sx, sxx) aggregate broadcasts back over it.
+    One fact-table shuffle upstream, nothing single-partition.
+    """
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(count_col).alias("_sx"),
+        F.sum(F.col(count_col) * F.col(count_col)).alias("_sxx"),
+    )
+    x = F.col(count_col)
+    lhs = (
+        (F.col("_n") * x - F.col("_sx"))
+        * (F.col("_n") * x - F.col("_sx"))
+        * (F.col("_n") - 1)
+    )
+    rhs = (
+        F.lit(z * z)
+        * F.col("_n")
+        * (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .filter(lhs > rhs)
+        .select(bucket_col, count_col)
+        .orderBy(bucket_col)
+    )
+
+
+def q_events_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume is a >2-sigma outlier vs the whole
+    series — exact-integer z-test (see ``anomalous_windows``)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    return anomalous_windows(hourly)
