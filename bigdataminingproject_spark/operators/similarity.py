@@ -514,3 +514,103 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 5)
     return ivf_knn(vecs, queries, k=10)
+
+
+def _plane_lit(plane: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in plane])
+
+
+def cell_id(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit cell id of ``vec`` against constant hyperplanes.
+
+    A sequential JVM-side fold (``F.aggregate``) per plane — summation
+    order is index order, exactly matching DuckDB's ``list_dot_product``
+    loop, so the two engines compute bit-identical cells (unlike a numpy
+    matmul, whose pairwise summation can flip a sign within ~1e-13 of
+    zero). Stays inside whole-stage codegen: no Python, no shuffle.
+    """
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        out = out + F.when(
+            dot(vec, _plane_lit(plane)) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    return out.cast("int")
+
+
+def ivf_knn_det(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cell_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF kNN with a data-INdependent coarse quantizer (oracle twin).
+
+    Same inverted-file shape as ``ivf_knn`` — assign once, probe a few
+    cells, exact rerank inside them — but the quantizer is the
+    deterministic ±1 hyperplane family (``det_planes``) instead of
+    sampled k-means centroids, so a SQL oracle can recompute the entire
+    pipeline including cell assignment (k-means centroids are
+    data-dependent and unreproducible cross-engine; see VERDICT r2 #2).
+
+    * cell(v) = 6 sign bits -> 64 cells; computed JVM-side (`cell_id`).
+    * probe set = the query's cell plus each 1-bit flip (Hamming<=1
+      multi-probe, 7 of 64 cells) — the standard recall lever for
+      sign-bit quantizers; a vector's true neighbors concentrate in
+      cells whose codes differ in few bits.
+    * scoring = exact cosine on probed cells only: an equi-join on
+      ``cell`` replaces brute force's cross join, scanning ~7/64 of the
+      corpus per query. Scale: one broadcast of (query x 7 probes), one
+      shuffle-free scan of the assigned table, TakeOrdered per query.
+    """
+    planes = det_planes(dim, n_cell_planes)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    assigned = v.withColumn("cell", cell_id(F.col("vec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_vec"),
+    ).withColumn("q_cell", cell_id(F.col("q_vec"), planes))
+    offsets = [0] + [1 << b for b in range(n_cell_planes)]
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        "q_cell",
+        F.explode(
+            F.array(*[F.lit(o) for o in offsets])
+        ).alias("off"),
+    ).withColumn(
+        "cell", F.col("q_cell").bitwiseXOR(F.col("off")).cast("int")
+    ).select("query_id", "q_vec", "cell")
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("vec")), 6)
+        )
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-quantizer IVF kNN for the first 5 vectors.
+
+    The driver's DuckDB oracle recomputes cells, probes, and rerank from
+    the same inlined plane constants — the oracle-checkable face of the
+    IVF family (``q_knn_ivf`` keeps the k-means quantizer under
+    recall-vs-bruteforce pytest)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return ivf_knn_det(vecs, queries, k=10)

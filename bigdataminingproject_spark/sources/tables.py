@@ -19,16 +19,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects natively; read the physical INT64 nanos and
-        # downcast to microsecond TimestampType (DuckDB/pandas truncate to
-        # micros the same way, so oracle comparisons line up).
+        # The driver has shipped events.ts under several parquet
+        # encodings across rounds; normalize every one of them to
+        # session-TZ (UTC) TimestampType so downstream operators see one
+        # type:
+        #   * TIMESTAMP(NANOS): rejected by Spark's reader natively —
+        #     read the physical INT64 nanos via the legacy conf and
+        #     integer-DIV down to micros (nanos exceed 2^53, so float
+        #     division would corrupt timestamps; DuckDB/pandas truncate
+        #     to micros the same way).
+        #   * TIMESTAMP(MICROS, isAdjustedToUTC=false): read as
+        #     TIMESTAMP_NTZ — cast to TIMESTAMP; with the session TZ
+        #     pinned to UTC (session.py) the cast is value-preserving
+        #     and matches the DuckDB naive-UTC oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            # integer DIV keeps full precision (nanos exceed 2^53, so
-            # float division would corrupt timestamps)
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
