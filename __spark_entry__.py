@@ -51,6 +51,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_det": similarity.q_knn_ivf_det,
         "q_events_anomalous_hours": events.q_events_anomalous_hours,
         "q_events_time_rollup": events.q_events_time_rollup,
+        "q_doc_tfidf_topk": frequency.q_doc_tfidf_topk,
+        "q_doc_domain_cap": sampling.q_doc_domain_cap,
+        "q_doc_token_budget": sampling.q_doc_token_budget,
+        "q_doc_shards": sampling.q_doc_shards,
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q_media_features": multimodal.q_media_features,
         # tier 1: oracle-ized in round 2 (previously rows-only)
@@ -1922,5 +1926,89 @@ def oracle_sql() -> dict[str, str]:
         SELECT bucket, count(*) AS n_docs,
                CAST(sum(nt) AS BIGINT) AS n_tokens
         FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+    # q_doc_tfidf_topk: tf/df/N are exact integers; the single float
+    # (smoothed ln) is rounded to 4 dp on BOTH engines BEFORE ranking,
+    # so rank order is a deterministic function of (score, token).
+    sql["q_doc_tfidf_topk"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM tok_clean),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                   round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 4)
+                       AS tfidf
+            FROM tf JOIN dfreq USING (token), n
+        ),
+        ranked AS (
+            SELECT doc_id, token, tf, df, tfidf,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, token, tf, df, tfidf, rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY doc_id, rnk
+    """
+
+    sql["q_doc_domain_cap"] = """
+        WITH ranked AS (
+            SELECT source, doc_id, CAST(length(text) AS BIGINT) AS score,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY length(text) DESC, doc_id
+                   ) AS rnk
+            FROM documents
+        )
+        SELECT source, doc_id, score, rnk
+        FROM ranked WHERE rnk <= 10
+        ORDER BY source, rnk
+    """
+
+    sql["q_doc_token_budget"] = f"""
+        WITH {_TOKS_CTE},
+        nt AS (
+            SELECT source, doc_id,
+                   CAST(len(raw_toks) AS BIGINT) AS n_tokens,
+                   md5(CAST(doc_id AS VARCHAR)) AS ok
+            FROM tok_base
+        ),
+        cum AS (
+            SELECT source, doc_id, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY ok, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM nt
+        )
+        SELECT source, doc_id, n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM cum WHERE cum_tokens <= 400
+        ORDER BY source, cum_tokens
+    """
+
+    sql["q_doc_shards"] = f"""
+        WITH {_TOKS_CTE},
+        base AS (
+            SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 8 AS shard,
+                   CAST(len(raw_toks) AS BIGINT) AS nt,
+                   doc_id
+            FROM tok_base
+        )
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM base GROUP BY shard ORDER BY shard
     """
     return sql

@@ -109,6 +109,69 @@ def q_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smoothed idf).
+
+    score = tf * ln((N+1)/(df+1)), tf = in-doc occurrences after
+    reference preprocessing, df = docs containing the term, N = corpus
+    size. The classic salient-term extractor for corpus exploration /
+    keyword labeling.
+
+    Scale shape: explode -> hash-agg to (doc, term) tf [one shuffle],
+    re-agg to term docfreq [second shuffle over the much smaller
+    (doc,term) relation], join back on term (vocabulary-sized — Spark
+    picks shuffle-hash/SMJ; never driver-side), 1-row N broadcast, then
+    a per-doc rank window partitioned on doc_id. No global windows, no
+    collect.
+
+    Parity: tf/df/N are exact integers; the only float is the final
+    ln(), rounded to 4 dp on BOTH engines BEFORE ranking, so rank order
+    is a deterministic function of (rounded score, token) — a 1-ulp
+    libm-vs-JVM log difference flips a rank only if a true score sits
+    within ~1e-12 of a 0.00005 rounding boundary.
+    """
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0))
+                    / (F.col("df") + F.lit(1.0))
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (corpus keyword extraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3)
+
+
 def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: token volume, exact distinct count,
     type-token ratio (A12 exact; the HLL variant lives in sketches.py)."""

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.sources.tables import load_table
 
@@ -137,6 +138,123 @@ def mixture_plan(
     )
 
 
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 50,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    score: Column | None = None,
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb/C4-style host balancing).
+
+    Web corpora are dominated by a few giant hosts; capping documents
+    per domain keeps any single source from owning the mixture. Keeps
+    the ``cap`` best documents per stratum ranked by ``score`` (default:
+    text length — swap in a model-based quality column in production),
+    ties broken by id so the kept set is unique and reproducible.
+
+    Scale: ONE shuffle on the stratum key + a partitioned rank window —
+    never a global window. A pathologically hot stratum (one domain =
+    half the corpus) would skew its window task; the fix at that shape
+    is pre-filtering with an approximate per-domain count (broadcast)
+    before ranking only oversized domains.
+    """
+    if score is None:
+        score = F.length(F.col("text"))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    return (
+        docs.withColumn("_score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= cap)
+        .select(
+            F.col(strata_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.col("_score").cast("bigint").alias("score"),
+            "rnk",
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int = 10_000,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill a per-source token budget in deterministic pseudo-random
+    order: docs are taken in md5(id) order, accumulating token counts,
+    until the next doc would stay within ``budget``.
+
+    The standard "give me ~N tokens per source" primitive for mixture
+    construction. md5 order makes the scan order — and therefore the
+    kept set — a pure function of the data (same result on any layout,
+    any retry); the cumulative sum is a window partitioned by source,
+    so no global ordering exists anywhere in the plan.
+
+    Integer-exact end to end: token counts and cumsums are BIGINTs.
+    """
+    from bigdataminingproject_spark.functions.text import tokenize
+
+    n_tok = F.size(tokenize(F.col(text_col))).cast("bigint")
+    order_key = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.select(
+            F.col(strata_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .orderBy("source", "cum_tokens")
+    )
+
+
+def doc_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic shard assignment + per-shard manifest.
+
+    Training jobs want the corpus cut into a fixed number of shards with
+    stable membership (md5(id) mod n — layout-independent, rerun-safe).
+    Emits one manifest row per shard: doc count, token mass, and an
+    id-sum checksum so an oracle verifies exact membership, not just
+    counts. One scan, one shuffle on the shard key.
+    """
+    from bigdataminingproject_spark.functions.text import tokenize
+
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_shards
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            F.col(id_col).alias("_id"),
+            F.size(tokenize(F.col(text_col))).cast("bigint").alias("_nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.sum("_id").alias("id_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
 # --- query registry entry ---------------------------------------------------
 
 # Per-source mixing rates for the registry query: a "books-heavy" mix —
@@ -159,3 +277,21 @@ def q_doc_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = F.expr("CAST(substring(source, 4) AS INT) % 3 + 1")
     return mixture_plan(docs, w)
+
+
+def q_doc_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 docs per source by text length (host-balancing cap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_cap(docs, cap=10)
+
+
+def q_doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 400-token budget per source in deterministic md5 order."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(docs, budget=400)
+
+
+def q_doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-way deterministic shard manifest with membership checksums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_shards(docs, n_shards=8)

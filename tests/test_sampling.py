@@ -181,3 +181,72 @@ def test_length_buckets_edges(spark):
     assert out[4].n_docs == 2 and out[4].n_tokens == 7
     assert out[8].n_docs == 1
     assert out[-1].n_docs == 1 and out[-1].n_tokens == 99
+
+
+def test_domain_cap_keeps_best_per_source(spark):
+    from bigdataminingproject_spark.operators.sampling import domain_cap
+
+    rows = [
+        (1, "a", "x" * 50),
+        (2, "a", "x" * 90),
+        (3, "a", "x" * 70),
+        (4, "b", "x" * 10),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_cap(docs, cap=2).collect()
+    got = [(r["source"], r["doc_id"], r["rnk"]) for r in out]
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1)]
+
+
+def test_domain_cap_tiebreak_is_id(spark):
+    from bigdataminingproject_spark.operators.sampling import domain_cap
+
+    rows = [(i, "a", "same length") for i in (5, 3, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = domain_cap(docs, cap=2).collect()
+    assert [r["doc_id"] for r in out] == [3, 5]
+
+
+def test_token_budget_sample_respects_budget_and_md5_order(spark):
+    import hashlib
+
+    from bigdataminingproject_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a", "tok " * 10) for i in range(20)]  # 10 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = token_budget_sample(docs, budget=35).collect()
+    # 10-token docs into a 35 budget -> exactly 3 docs kept
+    assert [r["cum_tokens"] for r in out] == [10, 20, 30]
+    expected = sorted(range(20), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:3]
+    assert [r["doc_id"] for r in out] == expected
+
+
+def test_doc_shards_partitions_everything_exactly_once(spark, sf_dir):
+    from bigdataminingproject_spark.operators.sampling import doc_shards
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    ids = docs.agg(F.sum("doc_id")).collect()[0][0]
+    out = doc_shards(docs, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in out) == total
+    assert sum(r["id_checksum"] for r in out) == ids
+    assert len(out) <= 8 and len({r["shard"] for r in out}) == len(out)
+
+
+def test_tfidf_topk_ranks_rare_terms_first(spark):
+    from bigdataminingproject_spark.operators.frequency import tfidf_topk
+
+    rows = [
+        (1, "a", "zebra zebra common"),
+        (2, "a", "common filler words"),
+        (3, "a", "common words again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = tfidf_topk(docs, k=1).collect()
+    top = {r["doc_id"]: r["token"] for r in out}
+    # 'zebra' (df=1, tf=2) dominates doc 1; 'common' (df=3) never wins
+    assert top[1] == "zebra"
+    assert all(t != "common" for t in top.values())
