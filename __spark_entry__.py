@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_domain_cap": sampling.q_doc_domain_cap,
         "q_doc_token_budget": sampling.q_doc_token_budget,
         "q_doc_shards": sampling.q_doc_shards,
+        "q_events_latest_state": events.q_events_latest_state,
+        "q_events_rolling_7d": events.q_events_rolling_7d,
+        "q_events_active_users": events.q_events_active_users,
+        "q_media_frames": multimodal.q_media_frames,
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q_media_features": multimodal.q_media_features,
         # tier 1: oracle-ized in round 2 (previously rows-only)
@@ -1995,6 +1999,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(cum_tokens AS BIGINT) AS cum_tokens
         FROM cum WHERE cum_tokens <= 400
         ORDER BY source, cum_tokens
+    """
+
+    sql["q_events_latest_state"] = """
+        SELECT user_id, event_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts, value
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        ORDER BY user_id
+    """
+
+    # RANGE framing over an integer day index — calendar-correct even
+    # with gap days (a ROWS frame would span 7 observed rows instead).
+    sql["q_events_rolling_7d"] = """
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type AS key,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   sum(value) AS v
+            FROM events GROUP BY 1, 2
+        )
+        SELECT key, day, n_events,
+               round(v, 2) AS day_value,
+               CAST(sum(n_events) OVER w AS BIGINT) AS events_7d,
+               round(sum(v) OVER w, 2) AS value_7d
+        FROM daily
+        WINDOW w AS (
+            PARTITION BY key
+            ORDER BY date_diff('day', TIMESTAMP '2024-01-01', day)
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY key, day
+    """
+
+    sql["q_events_active_users"] = """
+        WITH du AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       AS u_day,
+                   user_id AS u
+            FROM events
+        ),
+        days AS (SELECT DISTINCT u_day AS day FROM du)
+        SELECT d.day,
+               count(DISTINCT CASE WHEN du.u_day = d.day THEN du.u END)
+                   AS dau,
+               count(DISTINCT du.u) AS wau
+        FROM days d
+        JOIN du ON du.u_day >= d.day - INTERVAL 6 DAY
+               AND du.u_day <= d.day
+        GROUP BY d.day
+        ORDER BY d.day
+    """
+
+    # q_media_frames: arithmetic re-derivation of the frame sampler —
+    # ceil-div frame counts, 12-byte header per emitted frame, and the
+    # 0..n-1 index arithmetic sum (corpus is ASCII: chars == bytes).
+    sql["q_media_frames"] = """
+        SELECT doc_id AS media_id,
+               CAST((strlen(text) + 63) // 64 AS BIGINT) AS n_frames,
+               CAST(12 * ((strlen(text) + 63) // 64)
+                    + strlen(text) AS BIGINT) AS frame_bytes,
+               CAST(((strlen(text) + 63) // 64)
+                    * (((strlen(text) + 63) // 64) - 1) // 2
+                    AS BIGINT) AS frame_index_sum
+        FROM documents
+        WHERE strlen(text) > 0
+        ORDER BY media_id
     """
 
     sql["q_doc_shards"] = f"""

@@ -395,3 +395,129 @@ def q_events_anomalous_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("x"))
     return anomalous_windows(hourly)
+
+
+def latest_by_key(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """CDC-style log compaction: the latest record per key.
+
+    The upsert/merge primitive every incremental ingest needs — replayed
+    change streams compact to current state by keeping, per key, the row
+    with the greatest (ts, tiebreak). One shuffle on the key, a rank
+    window inside each key partition, no global ordering. At 100 TB this
+    is the standard "compact the changelog" job shape (Delta/Hudi/
+    Iceberg MERGE express the same thing); hot keys skew their window
+    task, which AQE's skew-split handles for joins but not windows — the
+    mitigation is a pre-aggregation of max(ts) per key joined back,
+    which trades one extra shuffle for no windows at all.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q_events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current state per user: the most recent event (changelog
+    compaction; ties broken by event_id descending)."""
+    ev = load_table(spark, sf_dir, "events")
+    return latest_by_key(ev).select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    ).orderBy("user_id")
+
+
+def rolling_daily(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key daily totals with a trailing calendar-day rolling window.
+
+    RANGE (not ROWS) framing over an integer day index, so a key with
+    gap days still aggregates exactly the last ``window_days`` CALENDAR
+    days — a ROWS frame would silently span 7 *observed* days instead.
+    The window runs over the already-aggregated daily relation (days x
+    keys — thousands of rows at any corpus size), so the fact table is
+    shuffled once for the groupBy and never windowed directly.
+    """
+    daily = events.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(key_col).alias("key"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("_v"),
+    )
+    day_idx = F.datediff(F.col("day"), F.lit("2024-01-01"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy(day_idx)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "key",
+        "day",
+        "n_events",
+        F.round(F.col("_v"), 2).alias("day_value"),
+        F.sum("n_events").over(w).alias("events_7d"),
+        F.round(F.sum("_v").over(w), 2).alias("value_7d"),
+    ).orderBy("key", "day")
+
+
+def q_events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event volume per type with trailing-7-calendar-day totals."""
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_daily(ev, window_days=7)
+
+
+def active_users_window(
+    events: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """DAU + trailing WAU per day (growth-analytics headline metrics).
+
+    Exact distinct counts: dedup to (day, user) once [the only
+    fact-table shuffle], broadcast the tiny distinct-days relation,
+    range-join each day to its trailing window, then one aggregate
+    computes DAU (distinct users on the day itself, via conditional
+    count) and WAU (distinct users across the window) together. Join
+    fan-out is bounded by window_days x |day-user pairs| of
+    pre-deduplicated rows — never raw events.
+    """
+    du = events.select(
+        F.date_trunc("day", F.col(ts_col)).alias("u_day"),
+        F.col(user_col).alias("user"),
+    ).distinct()
+    days = du.select(F.col("u_day").alias("day")).distinct()
+    lo = F.col("day") - F.expr(f"INTERVAL {window_days - 1} DAYS")
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("u_day") >= lo) & (F.col("u_day") <= F.col("day")),
+    )
+    return (
+        joined.groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("u_day") == F.col("day"), F.col("user"))
+            ).alias("dau"),
+            F.count_distinct("user").alias("wau"),
+        )
+        .orderBy("day")
+    )
+
+
+def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU for every active day."""
+    ev = load_table(spark, sf_dir, "events")
+    return active_users_window(ev, window_days=7)

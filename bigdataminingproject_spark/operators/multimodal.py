@@ -233,3 +233,30 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("width_bucket")
     )
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing, oracle-checked with exact integers.
+
+    synthesize binary media -> Arrow-UDF frame sampler (64-byte strides)
+    -> per-media frame manifest. Every output column is an integer the
+    DuckDB oracle re-derives ARITHMETICALLY from the documents fixture:
+    n_frames = ceil(len/64), total frame bytes = 12*n_frames + len
+    (each emitted frame re-wraps its slice in the 12-byte FAKE header),
+    frame_index_sum = n*(n-1)/2 — so slicing offsets, header packing,
+    and the mapInPandas fan-out are all pinned, not just row counts.
+    """
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_documents(docs)
+    frames = sample_frames(media, every_n_bytes=64)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.octet_length("frame")).alias("frame_bytes"),
+            F.sum("frame_index").alias("frame_index_sum"),
+        )
+        .orderBy("media_id")
+    )

@@ -73,3 +73,21 @@ def test_media_features_query_end_to_end(spark, sf_dir):
     out = m.queries()["q_media_features"](spark, sf_dir).collect()
     assert len(out) == 8  # width % 8 buckets
     assert sum(r["n_media"] for r in out) == 500
+
+
+def test_sample_frames_slicing_and_headers(spark):
+    from bigdataminingproject_spark.operators.multimodal import (
+        make_fake_media,
+        sample_frames,
+    )
+
+    payload = bytes(range(130 % 256)) + bytes(130 - (130 % 256))  # 130 B
+    media = spark.createDataFrame(
+        [(1, make_fake_media(5, 7, payload))], "media_id long, content binary"
+    )
+    out = sample_frames(media, every_n_bytes=64).collect()
+    assert [r["frame_index"] for r in out] == [0, 1, 2]
+    sizes = [len(r["frame"]) for r in out]
+    assert sizes == [12 + 64, 12 + 64, 12 + 2]
+    # every emitted frame re-wraps its slice with the original dims
+    assert all(bytes(r["frame"])[:4] == b"FAKE" for r in out)

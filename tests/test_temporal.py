@@ -238,3 +238,72 @@ def test_anomalous_windows_threshold_boundary(spark):
         [(0, 9), (1, 10), (2, 11)], "bucket int, x long"
     )
     assert anomalous_windows(counts).count() == 0
+
+
+def test_latest_by_key_compacts_changelog(spark):
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import latest_by_key
+
+    t = datetime.datetime
+    rows = [
+        (1, t(2024, 1, 1, 10), 7, "a", 1.0, ""),
+        (2, t(2024, 1, 1, 12), 7, "b", 2.0, ""),  # latest for user 7
+        (3, t(2024, 1, 1, 12), 8, "c", 3.0, ""),
+        (4, t(2024, 1, 1, 12), 8, "d", 4.0, ""),  # same ts: id wins
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["user_id"]: r["event_id"] for r in latest_by_key(ev).collect()}
+    assert out == {7: 2, 8: 4}
+
+
+def test_rolling_daily_uses_calendar_days_not_rows(spark):
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import rolling_daily
+
+    t = datetime.datetime
+    # key 'x': events on day 1, day 2, then a gap to day 10
+    rows = [
+        (1, t(2024, 1, 1), 1, "x", 1.0, ""),
+        (2, t(2024, 1, 2), 1, "x", 1.0, ""),
+        (3, t(2024, 1, 10), 1, "x", 1.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["day"].day: r["events_7d"] for r in rolling_daily(ev).collect()}
+    # day 10's trailing 7 calendar days (Jan 4-10) exclude days 1-2; a
+    # ROWS frame would have counted all three observed rows
+    assert out[10] == 1
+    assert out[2] == 2
+
+
+def test_active_users_window_dau_wau(spark):
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import (
+        active_users_window,
+    )
+
+    t = datetime.datetime
+    rows = [
+        (1, t(2024, 1, 1), 100, "a", 0.0, ""),
+        (2, t(2024, 1, 1), 200, "a", 0.0, ""),
+        (3, t(2024, 1, 5), 100, "a", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["day"].day: (r["dau"], r["wau"]) for r in
+           active_users_window(ev, window_days=7).collect()}
+    assert out[1] == (2, 2)
+    assert out[5] == (1, 2)  # day-5 DAU is user 100; WAU spans both
