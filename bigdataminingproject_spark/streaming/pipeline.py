@@ -100,6 +100,29 @@ def streaming_exact_dedup(
     return out.dropDuplicates(["fingerprint"])
 
 
+def _score_shingle_batch(
+    shingle: str, seen: bool, ids: list[int]
+) -> list[tuple[str, int, bool]]:
+    """Shared per-(shingle, batch) scoring kernel for BOTH stateful APIs
+    (applyInPandasWithState and transformWithStateInPandas).
+
+    check-then-insert at message granularity: a message's repeats of a
+    shingle it introduced do NOT self-hit (reference
+    duplicate_detector.py:57-61); later messages in the same batch, and
+    any message once state says seen, do.
+    """
+    ids = sorted(ids)
+    rows: list[tuple[str, int, bool]] = []
+    prev: int | None = None
+    seen_before_msg = seen
+    for m in ids:
+        if prev is not None and m != prev:
+            seen_before_msg = True
+        rows.append((shingle, m, seen_before_msg))
+        prev = m
+    return rows
+
+
 def streaming_duplicate_scores(
     stream: DataFrame,
     msg_col: str = "msg_id",
@@ -153,18 +176,7 @@ def streaming_duplicate_scores(
         ids: list[int] = []
         for pdf in pdfs:
             ids.extend(int(m) for m in pdf["msg_id"])
-        # check-then-insert at message granularity: a message's repeats of
-        # a shingle it introduced do NOT self-hit (duplicate_detector.py
-        # 57-61); later messages in the same batch do.
-        ids.sort()
-        rows = []
-        prev: int | None = None
-        seen_before_msg = seen
-        for m in ids:
-            if prev is not None and m != prev:
-                seen_before_msg = True
-            rows.append((shingle, m, seen_before_msg))
-            prev = m
+        rows = _score_shingle_batch(shingle, seen, ids)
         if ids:
             state.update((True,))
         yield pd.DataFrame(rows, columns=["shingle", "msg_id", "hit"])
@@ -175,6 +187,88 @@ def streaming_duplicate_scores(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_duplicate_scores_tws(
+    stream: DataFrame,
+    msg_col: str = "msg_id",
+    text_col: str = "body",
+    k: int = 3,
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    ``streaming_duplicate_scores`` — identical semantics on Spark 4.x's
+    successor stateful API (arbitrary named state, timers, TTL support;
+    requires the RocksDB state store provider).
+
+    Kept alongside the applyInPandasWithState operator because the two
+    APIs have different operational envelopes at scale: TWS state lives
+    in RocksDB (spillable, point-lookup — right for a shingle store
+    that outgrows executor heaps), while GroupState is heap-bound.
+    A pytest pins that both produce identical hit sets on a replayed
+    stream.
+
+    ENVIRONMENT BOUNDARY: executing TWS requires ``google.protobuf``
+    (the state-server wire protocol) plus the RocksDB state store
+    provider. protobuf is absent in this container, so the equivalence
+    test skip-gates on it (same pattern as the NLTK lemmatizer path);
+    the operator itself is the production code path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from bigdataminingproject_spark.functions.text import shingles
+
+    toks = tokenize(F.col(text_col))
+    sh = stream.select(
+        F.col(msg_col).alias("msg_id"),
+        F.explode(shingles(toks, k)).alias("shingle"),
+    )
+    out_schema = StructType(
+        [
+            StructField("shingle", StringType()),
+            StructField("msg_id", LongType()),
+            StructField("hit", BooleanType()),
+        ]
+    )
+
+    class ShingleSeenProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", StructType([StructField("seen", BooleanType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (shingle,) = key
+            cur = self._seen.get() if self._seen.exists() else None
+            seen = bool(cur[0]) if cur is not None else False
+            ids: list[int] = []
+            for pdf in rows:
+                ids.extend(int(m) for m in pdf["msg_id"])
+            out = _score_shingle_batch(shingle, seen, ids)
+            if ids:
+                self._seen.update((True,))
+            yield pd.DataFrame(out, columns=["shingle", "msg_id", "hit"])
+
+        def close(self) -> None:
+            pass
+
+    return sh.groupBy("shingle").transformWithStateInPandas(
+        statefulProcessor=ShingleSeenProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="None",
     )
 
 

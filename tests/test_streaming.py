@@ -210,3 +210,89 @@ def test_streaming_minute_counts_match_batch_rollup(spark, sf_dir, tmp_path):
     ).filter(got.event_count != expect.event_count)
     assert expect.count() == got.count()
     assert diff.count() == 0
+
+
+def test_tws_duplicate_scores_matches_groupstate_twin(spark, tmp_path):
+    """transformWithStateInPandas twin must reproduce the GroupState
+    operator's exact hit set across batches (cross-batch state, RocksDB
+    provider). Skip-gated: the TWS state protocol needs google.protobuf,
+    absent in this container (documented boundary in the operator)."""
+    pytest.importorskip("google.protobuf")
+    from bigdataminingproject_spark.streaming.pipeline import (
+        streaming_duplicate_scores_tws,
+    )
+
+    rows = [(1, "alpha beta gamma delta"), (2, "totally different text body")]
+    rows += [(3, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "msg_id long, body string")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_replay_source(
+            spark,
+            df,
+            str(tmp_path / "tws_stage"),
+            chunks=3,
+            files_per_trigger=1,
+            order_col="msg_id",
+        )
+        hits = streaming_duplicate_scores_tws(stream)
+        run_to_memory(hits, "tws_hits", output_mode="append")
+        got = {
+            (r["shingle"], r["msg_id"], r["hit"])
+            for r in spark.table("tws_hits").collect()
+        }
+        stream2 = file_replay_source(
+            spark,
+            df,
+            str(tmp_path / "gs_stage"),
+            chunks=3,
+            files_per_trigger=1,
+            order_col="msg_id",
+        )
+        run_to_memory(
+            streaming_duplicate_scores(stream2), "gs_hits",
+            output_mode="append",
+        )
+        want = {
+            (r["shingle"], r["msg_id"], r["hit"])
+            for r in spark.table("gs_hits").collect()
+        }
+        assert got == want and got  # identical, non-empty
+        per_msg = {}
+        for _, m, h in got:
+            per_msg.setdefault(m, []).append(h)
+        assert all(not any(per_msg[m]) for m in (1, 2))
+        assert all(per_msg[3])  # full cross-batch overlap flagged
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+def test_score_shingle_batch_kernel():
+    """The shared stateful-scoring kernel (used by both the GroupState
+    and TWS operators) — pure-Python, so it tests the TWS body even
+    where protobuf blocks TWS execution."""
+    from bigdataminingproject_spark.streaming.pipeline import (
+        _score_shingle_batch,
+    )
+
+    # fresh shingle, one message repeating it: no self-hit
+    assert _score_shingle_batch("s", False, [7, 7]) == [
+        ("s", 7, False), ("s", 7, False),
+    ]
+    # second message in the same batch hits
+    assert _score_shingle_batch("s", False, [8, 7]) == [
+        ("s", 7, False), ("s", 8, True),
+    ]
+    # state says seen: everything hits
+    assert _score_shingle_batch("s", True, [9]) == [("s", 9, True)]
+    assert _score_shingle_batch("s", False, []) == []

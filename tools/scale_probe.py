@@ -53,6 +53,13 @@ PROBE_QUERIES = [
     # output grows ~clones² per original — candidate generation must
     # grow with output size, not corpus²)
     "q_embedding_neardup_lsh",
+    # round-3 additions: grouping-sets rollup (one scan for all grains),
+    # deterministic-cell IVF (equi-join probe), tfidf (two-shuffle +
+    # vocab join), DAU/WAU (dedup + bounded range join)
+    "q_events_time_rollup",
+    "q_knn_ivf_det",
+    "q_doc_tfidf_topk",
+    "q_events_active_users",
 ]
 
 
