@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_domain_cap": sampling.q_doc_domain_cap,
         "q_doc_token_budget": sampling.q_doc_token_budget,
         "q_doc_shards": sampling.q_doc_shards,
+        "q_doc_unigram_nll": quality.q_doc_unigram_nll,
+        "q_doc_winnow": quality.q_doc_winnow,
         "q_events_latest_state": events.q_events_latest_state,
         "q_events_rolling_7d": events.q_events_rolling_7d,
         "q_events_active_users": events.q_events_active_users,
@@ -1999,6 +2001,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(cum_tokens AS BIGINT) AS cum_tokens
         FROM cum WHERE cum_tokens <= 400
         ORDER BY source, cum_tokens
+    """
+
+    # q_doc_unigram_nll: integer unigram counts; the per-doc sum of logs
+    # is rounded to 4 dp on both engines (re-association error ~1e-13
+    # against the 5e-5 quantum).
+    sql["q_doc_unigram_nll"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(raw_toks) AS token FROM tok_base),
+        counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY token
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(-sum(ln(CAST(c.cnt AS DOUBLE) / tot.total))
+                     / count(*), 4) AS nll
+        FROM tok t JOIN counts c USING (token), tot
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """
+
+    # q_doc_winnow: md5-derived 48-bit k-gram hashes, min over each
+    # w-window of consecutive positions (SIGMOD'03 winnowing), distinct
+    # per doc, verified via count/min/sum checksums. Reuses the 3-gram
+    # CTE's (doc_id, pos, shingle) relation.
+    sql["q_doc_winnow"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        hashed AS (
+            SELECT doc_id, pos,
+                   CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+            FROM sh
+        ),
+        framed AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING
+                   ) AS win_min,
+                   max(pos) OVER (PARTITION BY doc_id) AS n_grams
+            FROM hashed
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, win_min
+            FROM framed WHERE pos <= n_grams - 4
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(min(win_min) AS BIGINT) AS min_fp,
+               CAST(sum(win_min) AS BIGINT) AS fp_checksum
+        FROM fp GROUP BY doc_id ORDER BY doc_id
     """
 
     sql["q_events_latest_state"] = """

@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.functions.text import shingles, tokenize
 from bigdataminingproject_spark.sources.tables import load_table
@@ -242,3 +243,117 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean unigram negative log-likelihood (perplexity proxy).
+
+    The CCNet/CC-style LM quality filter reduced to its scalable core:
+    score each document by how surprising its tokens are under the
+    corpus's own unigram distribution, nll = -(1/n) sum ln(cnt/total).
+    High-nll docs are gibberish/rare-token soup; low-nll docs are
+    boilerplate. (A real KenLM scorer drops into the same plan shape as
+    a pandas_udf — this column-expression form needs no model file.)
+
+    Scale: token explode -> hash-agg vocabulary [shuffle 1] -> join
+    token stream to vocabulary counts [shuffle 2, vocab-sized build
+    side] -> per-doc aggregate [shuffle 3 on doc_id]. The 1-row total
+    broadcasts. Integer counts; the ln/divide floats are summed per doc
+    and rounded to 4 dp on both engines (sum re-association error
+    ~1e-13 against a 5e-5 rounding quantum).
+    """
+    toks = tokenize(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        tok.join(counts, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("cnt") / F.col("total")))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal score per document (quality filter input)."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm), aggregated to a per-doc manifest.
+
+    Robust partial-overlap fingerprinting: hash every k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum.
+    Guarantees any shared run of >= w+k-1 tokens between two documents
+    shares at least one fingerprint — the substring-level complement to
+    set-level MinHash (which only sees bag-of-shingles overlap).
+
+    Output per doc: distinct-fingerprint count, min fingerprint, and a
+    sum checksum, so an oracle verifies the selected set exactly.
+
+    Scale: one shuffle on doc_id; the sliding min is a bounded ROWS
+    frame inside each doc partition (per-doc sequential work is
+    inherent to winnowing — position order is the algorithm). Hashes
+    are md5-derived 48-bit ints, identical in DuckDB.
+    """
+    toks = tokenize(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(shingles(toks, k)).alias("pos0", "gram"),
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "gram"
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    hashed = grams.select("doc_id", "pos", h.alias("h"))
+    by_doc = Window.partitionBy("doc_id")
+    frame = by_doc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    fp = (
+        hashed.withColumn("n_grams", F.max("pos").over(by_doc))
+        .withColumn("win_min", F.min("h").over(frame))
+        .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.min("win_min").alias("min_fp"),
+            F.sum("win_min").alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint manifest per document (k=3 grams, w=5)."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs)

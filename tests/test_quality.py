@@ -163,3 +163,69 @@ class TestStreamingTwin:
         }
         assert got == batch
         assert all(v[0] == 1 for v in got.values())
+
+
+def test_unigram_nll_orders_surprisal(spark):
+    """Rare-token docs must score higher nll than common-token docs."""
+    from bigdataminingproject_spark.operators.quality import unigram_logprob
+
+    rows = [(i, "src", "common words appear here") for i in range(9)]
+    rows.append((9, "src", "zyzzyva quokka axolotl tarsier"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {r["doc_id"]: r["nll"] for r in unigram_logprob(docs).collect()}
+    assert out[9] > out[0]
+    # identical docs score identically
+    assert len({out[i] for i in range(9)}) == 1
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w+k-1 tokens
+    (7 here) share at least one fingerprint; disjoint docs share none."""
+    from bigdataminingproject_spark.operators.quality import (
+        winnow_fingerprints,
+    )
+    from bigdataminingproject_spark.functions.text import (
+        shingles,
+        tokenize,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    shared = "one two three four five six seven"
+    rows = [
+        (1, "s", f"prefix alpha {shared} beta suffix tail"),
+        (2, "s", f"totally other start {shared} closing words"),
+        (3, "s", "completely disjoint vocabulary nothing matching at all"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    # recompute the distinct fingerprint SETS via the same internals
+    grams = docs.select(
+        "doc_id", F.posexplode(shingles(tokenize(F.col("text")), 3))
+        .alias("pos0", "gram")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    h = F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint")
+    hashed = grams.select("doc_id", "pos", h.alias("h"))
+    frame = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    fps = (
+        hashed.withColumn(
+            "n", F.max("pos").over(W.partitionBy("doc_id"))
+        )
+        .withColumn("m", F.min("h").over(frame))
+        .filter(F.col("pos") <= F.col("n") - 4)
+        .select("doc_id", "m")
+        .distinct()
+        .collect()
+    )
+    sets: dict[int, set] = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["m"])
+    assert sets[1] & sets[2], "shared 7-token run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    # and the manifest agrees with the recomputed sets
+    man = {r["doc_id"]: r["n_fingerprints"]
+           for r in winnow_fingerprints(docs).collect()}
+    assert man == {d: len(s) for d, s in sets.items()}
