@@ -40,6 +40,11 @@ HEADLINE = [
     "q9_profit_by_nation",
     "q18_large_orders",
     "q_doc_repetition",
+    # round-3 additions: deterministic-cell IVF, tfidf vocabulary join,
+    # winnowing window pipeline
+    "q_knn_ivf_det",
+    "q_doc_tfidf_topk",
+    "q_doc_winnow",
 ]
 
 

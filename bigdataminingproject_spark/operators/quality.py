@@ -320,22 +320,39 @@ def winnow_fingerprints(
     inherent to winnowing — position order is the algorithm). Hashes
     are md5-derived 48-bit ints, identical in DuckDB.
     """
-    toks = tokenize(F.col(text_col))
-    grams = docs.select(
+    # TWO materialization steps, both load-bearing: tokens first (the
+    # shingle transform references its input per ELEMENT, so an inlined
+    # regex tokenizer re-runs per shingle — measured ~6s of a 10s wall
+    # at sf0.1), then the gram array (its size is taken pre-explode,
+    # avoiding a second max(pos) window over the exploded relation).
+    tk = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(shingles(toks, k)).alias("pos0", "gram"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    arr = tk.select(
+        "doc_id", shingles(F.col("_toks"), k).alias("_sh")
+    )
+    grams = arr.select(
+        "doc_id",
+        F.size("_sh").alias("n_grams"),
+        F.posexplode("_sh").alias("pos0", "gram"),
     ).select(
-        "doc_id", (F.col("pos0") + 1).alias("pos"), "gram"
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("pos"),
+        "gram",
     )
     h = F.conv(F.substring(F.md5(F.col("gram")), 1, 12), 16, 10).cast(
         "bigint"
     )
-    hashed = grams.select("doc_id", "pos", h.alias("h"))
-    by_doc = Window.partitionBy("doc_id")
-    frame = by_doc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    hashed = grams.select("doc_id", "n_grams", "pos", h.alias("h"))
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
     fp = (
-        hashed.withColumn("n_grams", F.max("pos").over(by_doc))
-        .withColumn("win_min", F.min("h").over(frame))
+        hashed.withColumn("win_min", F.min("h").over(frame))
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
         .select("doc_id", "win_min")
         .distinct()
