@@ -63,53 +63,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_frames": multimodal.q_media_frames,
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q_media_features": multimodal.q_media_features,
-        # tier 1: oracle-ized in round 2 (previously rows-only)
-        # (q12/q_media_features moved up: their oracles gained the
-        # CAST-to-BIGINT fix for DuckDB HUGEINT widening, VERDICT r2 #1)
-        "q_minhash_lsh": minhash.q_minhash_lsh,
-        "q_simhash_neardup": minhash.q_simhash_neardup,
-        "q_embedding_neardup_lsh": similarity.q_embedding_neardup_lsh,
-        # live Structured Streaming topology (applyInPandasWithState),
-        # batch-replayed to a memory sink; same oracle as q_doc_snapshots
-        "q_stream_snapshots": streaming_pipeline.q_stream_snapshots,
-        # tier 2: had no driver row in round 1 (all pass locally)
-        "q_corpus_curation": curation.q_corpus_curation,
-        "q_doc_quality": textstats.q_doc_quality,
-        "q_doc_token_counts": textstats.q_doc_token_counts,
-        "q_doc_snapshots": snapshots.q_doc_snapshots,
-        "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
-        "q_doc_burst": snapshots.q_doc_burst,
-        "q_knn_bruteforce": similarity.q_knn_bruteforce,
-        "q_embedding_neardup": similarity.q_embedding_neardup,
-        # round-2 additions: data-mixing, decontamination, retention
-        "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
-        "q_benchmark_contamination": dedup.q_benchmark_contamination,
+        # tier 0b (round 3): every events-table query's INPUT PATH
+        # changed this round — the driver regenerated events.parquet as
+        # TIMESTAMP(MICROS)/NTZ and sources/tables.py::load_table gained
+        # the normalization branch — so their r1 rows are stale.
+        "q_events_hourly": events.q_events_hourly,
+        "q_events_burst": events.q_events_burst,
+        "q_events_sessionize": events.q_events_sessionize,
+        "q_events_attribution": temporal.q_events_attribution,
+        "q_events_error_context": temporal.q_events_error_context,
+        "q_events_funnel": events.q_events_funnel,
+        "q_events_top_users": events.q_events_top_users,
+        "q_events_props": events.q_events_props,
+        "q_events_session_native": events.q_events_session_native,
+        "q_events_daily_users": relational.q_events_daily_users,
+        "q_user_gap_stats": relational.q_user_gap_stats,
         "q_events_retention": events.q_events_retention,
-        "q_dedup_clusters": dedup.q_dedup_clusters,
-        "q_doc_pack_sequences": packing.q_doc_pack_sequences,
-        # round-2 additions: extended TPC-H suite (new plan shapes)
-        "q2_min_price_part": tpch.q2_min_price_part,
-        "q11_part_value_concentration": tpch.q11_part_value_concentration,
-        "q16_supplier_part_variety": tpch.q16_supplier_part_variety,
-        "q20_excess_shippers": tpch.q20_excess_shippers,
-        # round-2 additions: corpus quality signals (operators/quality.py)
-        "q_doc_repetition": quality.q_doc_repetition,
-        "q_doc_pii_redact": quality.q_doc_pii_redact,
-        "q_doc_decontaminate": quality.q_doc_decontaminate,
-        "q_doc_mixture_plan": sampling.q_doc_mixture_plan,
-        "q_doc_length_buckets": packing.q_doc_length_buckets,
-        "q7_volume_shipping": tpch.q7_volume_shipping,
-        "q8_market_share": tpch.q8_market_share,
-        "q9_profit_by_nation": tpch.q9_profit_by_nation,
-        "q13_order_distribution": tpch.q13_order_distribution,
-        "q14_promo_share": tpch.q14_promo_share,
-        "q15_top_supplier": tpch.q15_top_supplier,
-        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
-        "q18_large_orders": tpch.q18_large_orders,
-        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
-        "q21_late_sole_shippers": tpch.q21_late_sole_shippers,
-        "q22_idle_customers": tpch.q22_idle_customers,
-        # tier 3: attested green in round 1, original order
+        # tier 1: attested in ROUND 1 only — oldest rows, re-attest next
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_region_revenue": relational.q5_region_revenue,
@@ -130,38 +100,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_brands_shipped": relational.q_brands_shipped,
         "q_custkeys_1997_not_1998": relational.q_custkeys_1997_not_1998,
         "q_late_ship_priority": relational.q_late_ship_priority,
-        "q_events_daily_users": relational.q_events_daily_users,
         "q6_discount_revenue": relational.q6_discount_revenue,
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q_status_price_quantiles": relational.q_status_price_quantiles,
-        "q_user_gap_stats": relational.q_user_gap_stats,
-        # event-stream analytics (reference W3/W5 on event-time)
-        "q_events_hourly": events.q_events_hourly,
-        "q_events_burst": events.q_events_burst,
-        "q_events_sessionize": events.q_events_sessionize,
-        "q_events_attribution": temporal.q_events_attribution,
-        "q_events_error_context": temporal.q_events_error_context,
-        "q_events_funnel": events.q_events_funnel,
         "q_media_dims": multimodal.q_media_dims,
-        "q_events_top_users": events.q_events_top_users,
-        "q_events_props": events.q_events_props,
-        "q_events_session_native": events.q_events_session_native,
-        # frequency / top-k (reference A7-A9, A12-A13)
+        # frequency / top-k / dedup / text analysis (r1-attested)
         "q_doc_tokens_topk": frequency.q_doc_tokens_topk,
         "q_doc_term_estimates": frequency.q_doc_term_estimates,
         "q_doc_source_topk": frequency.q_doc_source_topk,
         "q_doc_bigrams": frequency.q_doc_bigrams,
         "q_doc_vocab_stats": frequency.q_doc_vocab_stats,
-        # dedup family (reference A10 + north-star)
         "q_dup_scores": dedup.q_dup_scores,
         "q_dup_summary": dedup.q_dup_summary,
         "q_exact_duplicates": dedup.q_exact_duplicates,
         "q_ngram_jaccard": dedup.q_ngram_jaccard,
-        # text analysis (north-star)
         "q_doc_stats": textstats.q_doc_stats,
         "q_doc_fingerprints": textstats.q_doc_fingerprints,
         "q_doc_lang_stats": textstats.q_doc_lang_stats,
         "q_doc_lang_id": textstats.q_doc_lang_id,
+        # tier 2: attested green in ROUND 2 (freshest rows — last)
+        "q_minhash_lsh": minhash.q_minhash_lsh,
+        "q_simhash_neardup": minhash.q_simhash_neardup,
+        "q_embedding_neardup_lsh": similarity.q_embedding_neardup_lsh,
+        # live Structured Streaming topology (applyInPandasWithState),
+        # batch-replayed to a memory sink; same oracle as q_doc_snapshots
+        "q_stream_snapshots": streaming_pipeline.q_stream_snapshots,
+        "q_corpus_curation": curation.q_corpus_curation,
+        "q_doc_quality": textstats.q_doc_quality,
+        "q_doc_token_counts": textstats.q_doc_token_counts,
+        "q_doc_snapshots": snapshots.q_doc_snapshots,
+        "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
+        "q_doc_burst": snapshots.q_doc_burst,
+        "q_knn_bruteforce": similarity.q_knn_bruteforce,
+        "q_embedding_neardup": similarity.q_embedding_neardup,
+        "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
+        "q_benchmark_contamination": dedup.q_benchmark_contamination,
+        "q_dedup_clusters": dedup.q_dedup_clusters,
+        "q_doc_pack_sequences": packing.q_doc_pack_sequences,
+        "q2_min_price_part": tpch.q2_min_price_part,
+        "q11_part_value_concentration": tpch.q11_part_value_concentration,
+        "q16_supplier_part_variety": tpch.q16_supplier_part_variety,
+        "q20_excess_shippers": tpch.q20_excess_shippers,
+        "q_doc_repetition": quality.q_doc_repetition,
+        "q_doc_pii_redact": quality.q_doc_pii_redact,
+        "q_doc_decontaminate": quality.q_doc_decontaminate,
+        "q_doc_mixture_plan": sampling.q_doc_mixture_plan,
+        "q_doc_length_buckets": packing.q_doc_length_buckets,
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q8_market_share": tpch.q8_market_share,
+        "q9_profit_by_nation": tpch.q9_profit_by_nation,
+        "q13_order_distribution": tpch.q13_order_distribution,
+        "q14_promo_share": tpch.q14_promo_share,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
+        "q18_large_orders": tpch.q18_large_orders,
+        "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
+        "q21_late_sole_shippers": tpch.q21_late_sole_shippers,
+        "q22_idle_customers": tpch.q22_idle_customers,
         # tail: declared rows-only (k-means quantizer is data-dependent,
         # so no SQL twin exists — its oracle face is q_knn_ivf_det above;
         # recall-vs-bruteforce is pinned by pytest). Last so it never
