@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_shards": sampling.q_doc_shards,
         "q_doc_unigram_nll": quality.q_doc_unigram_nll,
         "q_doc_winnow": quality.q_doc_winnow,
+        "q_source_contamination": quality.q_source_contamination,
         "q_events_latest_state": events.q_events_latest_state,
         "q_events_rolling_7d": events.q_events_rolling_7d,
         "q_events_active_users": events.q_events_active_users,
@@ -2048,6 +2049,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(win_min) AS BIGINT) AS min_fp,
                CAST(sum(win_min) AS BIGINT) AS fp_checksum
         FROM fp GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # q_source_contamination: distinct (source, 3-shingle) sets,
+    # self-joined on shingle — integer shared counts, Jaccard in basis
+    # points (integer round, midpoint-safe).
+    sql["q_source_contamination"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        ssh AS (
+            SELECT DISTINCT d.source, s.shingle
+            FROM sh s JOIN tok_base d USING (doc_id)
+        ),
+        sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS set_size
+            FROM ssh GROUP BY source
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS shared_shingles
+            FROM ssh a JOIN ssh b ON a.shingle = b.shingle
+            WHERE a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, shared_shingles,
+               CAST(round(10000.0 * shared_shingles
+                          / (sa.set_size + sb.set_size - shared_shingles))
+                    AS BIGINT) AS jaccard_bp
+        FROM shared
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+        ORDER BY source_a, source_b
     """
 
     sql["q_events_latest_state"] = """

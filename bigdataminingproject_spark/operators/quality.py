@@ -374,3 +374,72 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs)
+
+
+def source_contamination_matrix(
+    docs: DataFrame,
+    k: int = 3,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise content overlap BETWEEN sources: which corpora copy
+    from each other (mirror sites, cross-posted boilerplate, scraped
+    aggregators). For every source pair: shared distinct k-shingles and
+    the shingle-set Jaccard in basis points.
+
+    Scale: the key move is deduplicating to distinct (source, shingle)
+    BEFORE the self-join — per shingle the join fan-out is then bounded
+    by C(#sources, 2) pairs regardless of how many documents contain
+    it, so a boilerplate shingle in a billion docs costs the same as a
+    rare one. One shuffle to dedup, one equi-join on shingle, one
+    aggregate to the (tiny) pair matrix; per-source set sizes broadcast
+    back. Integer counts; Jaccard quantized to basis points.
+    """
+    toks = docs.select(
+        F.col(strata_col).alias("source"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    ssh = toks.select(
+        "source", F.explode(shingles(F.col("_toks"), k)).alias("sh")
+    ).distinct()
+    sizes = ssh.groupBy("source").agg(F.count(F.lit(1)).alias("set_size"))
+    a = ssh.select(F.col("source").alias("source_a"), "sh")
+    b = ssh.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            F.round(
+                F.lit(10000.0)
+                * F.col("shared_shingles")
+                / (
+                    F.col("size_a") + F.col("size_b")
+                    - F.col("shared_shingles")
+                )
+            )
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair shingle-overlap matrix (cross-corpus contamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_contamination_matrix(docs)

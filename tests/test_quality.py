@@ -229,3 +229,43 @@ def test_winnow_shared_run_shares_fingerprint(spark):
     man = {r["doc_id"]: r["n_fingerprints"]
            for r in winnow_fingerprints(docs).collect()}
     assert man == {d: len(s) for d, s in sets.items()}
+
+
+def test_source_contamination_matrix_exact(spark):
+    """Hand-checked overlap: sources A and B share exactly one
+    3-shingle; C shares nothing. Jaccard_bp = 10000*1/(2+2-1)."""
+    from bigdataminingproject_spark.operators.quality import (
+        source_contamination_matrix,
+    )
+
+    rows = [
+        (1, "A", "one two three four"),      # shingles {1-2-3, 2-3-4}
+        (2, "B", "zero one two three"),      # {0-1-2, 1-2-3}
+        (3, "C", "five six seven eight"),    # disjoint
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["shared_shingles"], r["jaccard_bp"])
+        for r in source_contamination_matrix(docs).collect()
+    }
+    assert out == {("A", "B"): (1, 3333)}
+
+
+def test_source_contamination_fanout_bounded_by_sources(spark):
+    """A shingle present in MANY docs of the same source pair must fan
+    out once per source pair, not per doc pair (the dedup-first design):
+    shared count stays 1 regardless of replication."""
+    from bigdataminingproject_spark.operators.quality import (
+        source_contamination_matrix,
+    )
+
+    rows = [(i, "A", "common text here now") for i in range(50)]
+    rows += [(100 + i, "B", "common text here now") for i in range(50)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = source_contamination_matrix(docs).collect()
+    assert len(out) == 1
+    assert out[0]["jaccard_bp"] == 10000  # identical sets
