@@ -86,11 +86,15 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; timing below still runs
         best, rows = None, 0
-        # Steady-state timing: best of 2 runs — the first execution of a
+        # Steady-state timing: best of 3 runs — the first execution of a
         # plan shape pays one-time whole-stage-codegen JIT compilation,
-        # which a long-running deployment amortizes to zero. A JVM GC
-        # between queries keeps one query's garbage off the next's clock.
-        for _ in range(2):
+        # which a long-running deployment amortizes to zero, and later
+        # queries in the 22-query sequence inherit JVM heap/codegen-cache
+        # pressure that a third run rides out (measured: jaccard 2.1s
+        # minimal-context vs 4-8s after 15 queries with only 2 runs). A
+        # JVM GC between queries keeps one query's garbage off the next's
+        # clock.
+        for _ in range(3):
             start = time.perf_counter()
             # Materialize fully: small results → collect is fair and
             # forces every stage, incl. final sort/limit.
@@ -109,7 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 2,
+                "runs_per_query": 3,
                 "aggregation": "min",
             }
         )
