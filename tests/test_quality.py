@@ -269,3 +269,54 @@ def test_source_contamination_fanout_bounded_by_sources(spark):
     out = source_contamination_matrix(docs).collect()
     assert len(out) == 1
     assert out[0]["jaccard_bp"] == 10000  # identical sets
+
+
+def test_new_ops_edge_cases_empty_and_short_docs(spark):
+    """Degenerate corpora must not crash or mis-count: empty text,
+    sub-k-token docs, unicode tokens."""
+    from bigdataminingproject_spark.operators.frequency import tfidf_topk
+    from bigdataminingproject_spark.operators.quality import (
+        source_contamination_matrix,
+        unigram_logprob,
+        winnow_fingerprints,
+    )
+    from bigdataminingproject_spark.operators.sampling import (
+        doc_shards,
+        domain_cap,
+        token_budget_sample,
+    )
+
+    rows = [
+        (1, "a", ""),                       # empty
+        (2, "a", "solo"),                   # single token
+        (3, "a", "two tokens"),             # < k for 3-shingles
+        (4, "b", "héllo wörld naïve café"),  # unicode letters
+        (5, "b", "one two three four five six seven eight"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    # tokenize is \p{L}-based: unicode letters survive as tokens
+    tf = tfidf_topk(docs, k=2).collect()
+    assert {r["doc_id"] for r in tf} == {2, 3, 4, 5}  # doc 1 has no tokens
+    assert any(r["token"] == "héllo" for r in tf)
+
+    nll = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert 1 not in nll and nll[2]["n_tokens"] == 1
+
+    # winnowing needs >= w+k-1 = 7 tokens for a full window: only doc 5
+    wf = winnow_fingerprints(docs).collect()
+    assert [r["doc_id"] for r in wf] == [5]
+
+    # empty docs still count for caps/shards (0 tokens, length 0)
+    assert domain_cap(docs, cap=10).count() == 5
+    sh = doc_shards(docs, n_shards=4).collect()
+    assert sum(r["n_docs"] for r in sh) == 5
+    # budget smaller than every doc's token count -> only 0-token and
+    # within-budget docs survive the cumsum filter
+    tb = token_budget_sample(docs, budget=2).collect()
+    assert all(r["cum_tokens"] <= 2 for r in tb)
+
+    # contamination matrix: sources share nothing at 3-gram level except
+    # possibly none at all -> must not error on empty shingle sets
+    assert source_contamination_matrix(docs).count() == 0
