@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_unigram_nll": quality.q_doc_unigram_nll,
         "q_doc_winnow": quality.q_doc_winnow,
         "q_source_contamination": quality.q_source_contamination,
+        "q_doc_winnow_pairs": quality.q_doc_winnow_pairs,
         "q_events_latest_state": events.q_events_latest_state,
         "q_events_rolling_7d": events.q_events_rolling_7d,
         "q_events_active_users": events.q_events_active_users,
@@ -2080,6 +2081,46 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.source = source_a
         JOIN sizes sb ON sb.source = source_b
         ORDER BY source_a, source_b
+    """
+
+    # q_doc_winnow_pairs: clone candidates from shared winnowing
+    # fingerprints; boilerplate fingerprints (docfreq > 100) dropped
+    # pre-join exactly as in the Spark plan. Reuses q_doc_winnow's CTEs.
+    sql["q_doc_winnow_pairs"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        hashed AS (
+            SELECT doc_id, pos,
+                   CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+            FROM sh
+        ),
+        framed AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING
+                   ) AS win_min,
+                   max(pos) OVER (PARTITION BY doc_id) AS n_grams
+            FROM hashed
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, win_min
+            FROM framed WHERE pos <= n_grams - 4
+        ),
+        rare AS (
+            SELECT doc_id, win_min FROM (
+                SELECT doc_id, win_min,
+                       count(*) OVER (PARTITION BY win_min) AS dfreq
+                FROM fp
+            ) WHERE dfreq <= 100
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_fingerprints
+        FROM rare a JOIN rare b
+          ON a.win_min = b.win_min AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+        ORDER BY id_a, id_b
     """
 
     sql["q_events_latest_state"] = """

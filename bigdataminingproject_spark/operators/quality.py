@@ -296,24 +296,21 @@ def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
-def winnow_fingerprints(
+def _winnow_fp(
     docs: DataFrame,
     k: int = 3,
     w: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03 — the MOSS algorithm), aggregated to a per-doc manifest.
-
-    Robust partial-overlap fingerprinting: hash every k-gram, slide a
-    window of ``w`` consecutive hashes, keep each window's minimum.
-    Guarantees any shared run of >= w+k-1 tokens between two documents
-    shares at least one fingerprint — the substring-level complement to
-    set-level MinHash (which only sees bag-of-shingles overlap).
-
-    Output per doc: distinct-fingerprint count, min fingerprint, and a
-    sum checksum, so an oracle verifies the selected set exactly.
+    """Distinct (doc_id, win_min) winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): hash
+    every k-gram, slide a window of ``w`` consecutive hashes, keep each
+    window's minimum. Guarantees any shared run of >= w+k-1 tokens
+    between two documents shares at least one fingerprint — the
+    substring-level complement to set-level MinHash (which only sees
+    bag-of-shingles overlap). Shared core of ``winnow_fingerprints``
+    (per-doc manifest) and ``winnow_pairs`` (clone candidates).
 
     Scale: one shuffle on doc_id; the sliding min is a bounded ROWS
     frame inside each doc partition (per-doc sequential work is
@@ -351,12 +348,25 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    fp = (
+    return (
         hashed.withColumn("win_min", F.min("h").over(frame))
         .filter(F.col("pos") <= F.col("n_grams") - (w - 1))
         .select("doc_id", "win_min")
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc winnowing manifest: distinct-fingerprint count, min
+    fingerprint, and a sum checksum (exact-set oracle handles; see
+    ``_winnow_fp`` for the algorithm and scale notes)."""
+    fp = _winnow_fp(docs, k, w, text_col, id_col)
     return (
         fp.groupBy("doc_id")
         .agg(
@@ -368,12 +378,62 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 5,
+    min_shared: int = 2,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level clone candidates: doc pairs sharing >=
+    ``min_shared`` winnowing fingerprints.
+
+    The cross-doc face of winnowing — detects PARTIAL overlap (a copied
+    paragraph inside otherwise-different documents) that set-level
+    MinHash/Jaccard dilutes below threshold. Guarantee: two docs
+    sharing any token run of length >= w+k-1 share a fingerprint, so
+    every such clone pair is a candidate.
+
+    Scale: same hot-key discipline as the LSH families — fingerprints
+    with document frequency > ``max_df`` are boilerplate, carry no
+    discriminative signal, and would fan out quadratically; they are
+    dropped BEFORE the self-join (window-count + filter), bounding
+    per-fingerprint fan-out at C(max_df, 2). One equi-join on the
+    fingerprint, one aggregate to pairs.
+    """
+    fp = _winnow_fp(docs, k, w, text_col, id_col)
+    df_w = Window.partitionBy("win_min")
+    rare = fp.withColumn("_df", F.count(F.lit(1)).over(df_w)).filter(
+        F.col("_df") <= max_df
+    )
+    a = rare.select(F.col("doc_id").alias("id_a"), "win_min")
+    b = rare.select(F.col("doc_id").alias("id_b"), "win_min")
+    return (
+        a.join(b, "win_min")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint manifest per document (k=3 grams, w=5)."""
     from bigdataminingproject_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs)
+
+
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing >= 2 winnowing fingerprints (clone candidates)."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs, min_shared=2)
 
 
 def source_contamination_matrix(

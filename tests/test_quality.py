@@ -320,3 +320,25 @@ def test_new_ops_edge_cases_empty_and_short_docs(spark):
     # contamination matrix: sources share nothing at 3-gram level except
     # possibly none at all -> must not error on empty shingle sets
     assert source_contamination_matrix(docs).count() == 0
+
+
+def test_winnow_pairs_detects_partial_clone(spark):
+    """A copied 8-token run inside otherwise-different docs must be a
+    clone candidate; boilerplate fingerprints above max_df are dropped."""
+    from bigdataminingproject_spark.operators.quality import winnow_pairs
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "s", f"first document opening words {run} first closing"),
+        (2, "s", f"second totally different intro {run} second ending"),
+        (3, "s", "unrelated content with no copied paragraph present"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = winnow_pairs(docs, min_shared=1).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    # with max_df=1 every shared fingerprint is "boilerplate": no pairs
+    assert winnow_pairs(docs, min_shared=1, max_df=1).count() == 0
