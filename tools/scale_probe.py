@@ -60,6 +60,13 @@ PROBE_QUERIES = [
     "q_knn_ivf_det",
     "q_doc_tfidf_topk",
     "q_events_active_users",
+    # round-3 additions, second batch: winnowing (replicated docs are
+    # verbatim clones — pair output explodes by design), unigram LM,
+    # source-pair contamination (fanout bounded by #sources)
+    "q_doc_winnow",
+    "q_doc_winnow_pairs",
+    "q_doc_unigram_nll",
+    "q_source_contamination",
 ]
 
 
