@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_winnow": quality.q_doc_winnow,
         "q_source_contamination": quality.q_source_contamination,
         "q_doc_winnow_pairs": quality.q_doc_winnow_pairs,
+        "q_embedding_shard_stats": similarity.q_embedding_shard_stats,
         "q_events_latest_state": events.q_events_latest_state,
         "q_events_rolling_7d": events.q_events_rolling_7d,
         "q_events_active_users": events.q_events_active_users,
@@ -1270,6 +1271,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cosine_sim, rank
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
+    """
+
+    # q_embedding_shard_stats: md5-derived shards; the oracle recomputes
+    # the grouped-applyInPandas statistics relationally (per-dim means
+    # via unnest, norms via list_dot_product). numpy's pairwise vs
+    # DuckDB's sequential summation differ ~1e-16 relative — far under
+    # the round-4 quantum.
+    sql["q_embedding_shard_stats"] = """
+        WITH v AS (
+            SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 8 AS shard,
+                   CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT shard,
+                   unnest(vec) AS x,
+                   unnest(range(1, len(vec) + 1)) AS d
+            FROM v
+        ),
+        meanvec AS (
+            SELECT shard, d, avg(x) AS m FROM dims GROUP BY 1, 2
+        ),
+        mv AS (
+            SELECT shard, round(sqrt(sum(m * m)), 4) AS mean_vector_norm
+            FROM meanvec GROUP BY shard
+        ),
+        mn AS (
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(avg(sqrt(list_dot_product(vec, vec))), 4)
+                       AS mean_norm
+            FROM v GROUP BY shard
+        )
+        SELECT shard, n_vectors, mean_vector_norm, mean_norm
+        FROM mn JOIN mv USING (shard)
+        ORDER BY shard
     """
 
     # q_minhash_lsh runs LSH candidate generation (64 bands × 2 rows —

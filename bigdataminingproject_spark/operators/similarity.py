@@ -614,3 +614,76 @@ def q_knn_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 5)
     return ivf_knn_det(vecs, queries, k=10)
+
+
+def shard_embedding_stats(
+    vectors: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-shard embedding statistics via grouped ``applyInPandas`` —
+    the batch grouped-map UDF flavor (the engine's other Python
+    crossings are pandas_udf, mapInPandas, and applyInPandasWithState;
+    this completes the surface with a real operator, not a demo).
+
+    Shards are md5-derived (layout/retry-invariant, same key as
+    ``sampling.doc_shards``); each group computes its vector count, the
+    L2 norm of its mean vector, and the mean per-vector norm in one
+    numpy pass over the group's Arrow batch. The canonical shape for
+    per-partition model statistics (feature means, normalization
+    constants, PCA inputs) where the per-group math genuinely needs a
+    matrix library.
+
+    Scale: ONE shuffle on the shard key; group sizes are corpus/n_shards
+    by construction (md5 is uniform), so no skewed group. Floats are
+    rounded to 4 dp; summation within a group is numpy (pairwise) vs the
+    oracle's sequential fold — both sum exactly-representable float32
+    values promoted to float64, and the round-4 quantum (5e-5) dwarfs
+    the ~1e-13 re-association error.
+    """
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % n_shards
+    )
+    v = vectors.select(
+        shard.alias("shard"), _as_double(F.col(vec_col)).alias("vec")
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        mean_vec = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "mean_vector_norm": [
+                    round(float(np.sqrt((mean_vec**2).sum())), 4)
+                ],
+                "mean_norm": [
+                    round(
+                        float(np.sqrt((mat**2).sum(axis=1)).mean()), 4
+                    )
+                ],
+            }
+        )
+
+    return (
+        v.groupBy("shard")
+        .applyInPandas(
+            stats,
+            schema=(
+                "shard long, n_vectors long, mean_vector_norm double, "
+                "mean_norm double"
+            ),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_embedding_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard embedding statistics (grouped applyInPandas surface)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return shard_embedding_stats(vecs)

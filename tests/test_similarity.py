@@ -177,3 +177,34 @@ def test_ivf_det_cell_assignment_jvm_side(spark, sf_dir):
     cells = [r["cell"] for r in assigned.collect()]
     assert all(0 <= c < 64 for c in cells)
     assert len(set(cells)) > 8  # vectors actually spread across cells
+
+
+def test_shard_embedding_stats_applyinpandas(spark, sf_dir):
+    """Grouped applyInPandas surface: shard partition is exhaustive and
+    the per-shard stats match a driver-side numpy recomputation."""
+    import hashlib
+
+    import numpy as np
+
+    from bigdataminingproject_spark.operators.similarity import (
+        shard_embedding_stats,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    rows = vecs.collect()
+    out = {r["shard"]: r for r in shard_embedding_stats(vecs).collect()}
+    groups: dict[int, list] = {}
+    for r in rows:
+        s = int(hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:8], 16) % 8
+        groups.setdefault(s, []).append(r["embedding"])
+    assert set(out) == set(groups)
+    for s, vs in groups.items():
+        mat = np.array(vs, dtype=np.float64)
+        assert out[s]["n_vectors"] == len(vs)
+        assert out[s]["mean_vector_norm"] == round(
+            float(np.sqrt((mat.mean(axis=0) ** 2).sum())), 4
+        )
+        assert out[s]["mean_norm"] == round(
+            float(np.sqrt((mat**2).sum(axis=1)).mean()), 4
+        )
