@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_contamination": quality.q_source_contamination,
         "q_doc_winnow_pairs": quality.q_doc_winnow_pairs,
         "q_embedding_shard_stats": similarity.q_embedding_shard_stats,
+        "q_corpus_curation_v2": curation.q_corpus_curation_v2,
         "q_events_latest_state": events.q_events_latest_state,
         "q_events_rolling_7d": events.q_events_rolling_7d,
         "q_events_active_users": events.q_events_active_users,
@@ -2158,6 +2159,80 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
         HAVING count(*) >= 2
         ORDER BY id_a, id_b
+    """
+
+    # q_corpus_curation_v2: domain cap -> winnowing clone prune (over
+    # survivors only — docfreqs recomputed on the restricted set, same
+    # as the Spark plan) -> unigram-surprisal band with a mean+2sd cut
+    # over the 4dp-rounded per-doc nll values.
+    sql["q_corpus_curation_v2"] = f"""
+        WITH {_TOKS_CTE},
+        {_SHINGLE_CTE},
+        capped AS (
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY length(text) DESC, doc_id
+                       ) AS rnk
+                FROM documents
+            ) WHERE rnk <= 40
+        ),
+        hashed AS (
+            SELECT s.doc_id, s.pos,
+                   CAST('0x' || substr(md5(s.shingle), 1, 12) AS BIGINT)
+                       AS h
+            FROM sh s JOIN capped USING (doc_id)
+        ),
+        framed AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING
+                   ) AS win_min,
+                   max(pos) OVER (PARTITION BY doc_id) AS n_grams
+            FROM hashed
+        ),
+        fp AS (
+            SELECT DISTINCT doc_id, win_min
+            FROM framed WHERE pos <= n_grams - 4
+        ),
+        rare AS (
+            SELECT doc_id, win_min FROM (
+                SELECT doc_id, win_min,
+                       count(*) OVER (PARTITION BY win_min) AS dfreq
+                FROM fp
+            ) WHERE dfreq <= 100
+        ),
+        clone_pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM rare a JOIN rare b
+              ON a.win_min = b.win_min AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        clone_losers AS (SELECT DISTINCT id_b AS doc_id FROM clone_pairs),
+        tok AS (SELECT doc_id, unnest(raw_toks) AS token FROM tok_base),
+        counts AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY token
+        ),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        nll AS (
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(-sum(ln(CAST(c.cnt AS DOUBLE) / tot.total))
+                         / count(*), 4) AS nll
+            FROM tok t JOIN counts c USING (token), tot
+            GROUP BY t.doc_id
+        ),
+        cut AS (
+            SELECT avg(nll) + 2.0 * stddev_samp(nll) AS c FROM nll
+        )
+        SELECT capped.doc_id, capped.source, nll.n_tokens, nll.nll
+        FROM capped
+        JOIN nll USING (doc_id), cut
+        WHERE capped.doc_id NOT IN (SELECT doc_id FROM clone_losers)
+          AND nll.nll <= cut.c
+        ORDER BY capped.doc_id
     """
 
     sql["q_events_latest_state"] = """

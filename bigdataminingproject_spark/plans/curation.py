@@ -115,3 +115,62 @@ def q_corpus_curation(spark, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .orderBy("doc_id")
     )
+
+
+def curate_corpus_v2(
+    docs: DataFrame,
+    cap_per_source: int = 40,
+    clone_min_shared: int = 2,
+    nll_sigma: float = 2.0,
+) -> DataFrame:
+    """Round-3 curation pass: the modern corpus signals composed into
+    one lazy plan.
+
+    1. **Domain cap** (host balancing): keep the ``cap_per_source``
+       longest docs per source — one partitioned rank window.
+    2. **Clone prune** (winnowing): among survivors, drop the higher id
+       of every pair sharing >= ``clone_min_shared`` winnowing
+       fingerprints — catches copied PARAGRAPHS that whole-doc Jaccard
+       dilutes (the v1 pipeline's blind spot).
+    3. **Surprisal band** (unigram LM): score every doc against the
+       FULL corpus's unigram distribution (the fixed-LM stance) and
+       drop survivors more than ``nll_sigma`` sample standard
+       deviations above the corpus mean nll — gibberish/rare-token
+       soup. The cut is a 1-row broadcast aggregate, never a global
+       rank over the scaling per-doc relation.
+
+    Output: surviving (doc_id, source, n_tokens, nll) manifest. Every
+    stage is an oracle-checked operator; q_corpus_curation_v2 is the
+    composed oracle query.
+    """
+    from bigdataminingproject_spark.operators.quality import (
+        unigram_logprob,
+        winnow_pairs,
+    )
+    from bigdataminingproject_spark.operators.sampling import domain_cap
+
+    capped = domain_cap(docs, cap=cap_per_source).select("doc_id", "source")
+    kept_docs = docs.join(capped.select("doc_id"), "doc_id", "left_semi")
+    clones = winnow_pairs(kept_docs, min_shared=clone_min_shared)
+    clone_losers = clones.select(F.col("id_b").alias("doc_id")).distinct()
+    pruned = capped.join(clone_losers, "doc_id", "left_anti")
+    nll = unigram_logprob(docs)  # full-corpus LM, not survivor-only
+    cut = nll.agg(
+        (F.avg("nll") + F.lit(nll_sigma) * F.stddev_samp("nll")).alias("_cut")
+    )
+    return (
+        pruned.join(nll, "doc_id")
+        .join(F.broadcast(cut))
+        .filter(F.col("nll") <= F.col("_cut"))
+        .select("doc_id", "source", "n_tokens", "nll")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_curation_v2(spark, sf_dir: str) -> DataFrame:
+    """Composed round-3 curation: domain cap -> winnowing clone prune ->
+    unigram-surprisal band. Returns the surviving doc manifest."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus_v2(docs)

@@ -52,3 +52,41 @@ def test_curation_on_real_documents(spark, sf_dir):
     assert stats["input_docs"] == 500
     assert stats["after_neardup_prune"] == curated.count()
     assert 0 < stats["retention_rate"] <= 1.0
+
+
+def test_curate_v2_composition_matches_stagewise(spark, sf_dir):
+    """The composed v2 pipeline must equal the three stage operators
+    applied independently: domain cap, winnowing clone prune over the
+    capped survivors, and the corpus-wide mean+2sd surprisal cut."""
+    import statistics
+
+    from bigdataminingproject_spark.operators.quality import (
+        unigram_logprob,
+        winnow_pairs,
+    )
+    from bigdataminingproject_spark.operators.sampling import domain_cap
+    from bigdataminingproject_spark.plans.curation import (
+        curate_corpus_v2,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = {
+        r["doc_id"] for r in domain_cap(docs, cap=40).select("doc_id").collect()
+    }
+    kept = docs.filter(docs.doc_id.isin(list(capped)))
+    losers = {
+        r["id_b"] for r in winnow_pairs(kept, min_shared=2).collect()
+    }
+    nll = {
+        r["doc_id"]: r["nll"] for r in unigram_logprob(docs).collect()
+    }
+    cut = statistics.mean(nll.values()) + 2 * statistics.stdev(nll.values())
+    expected = {
+        d for d in capped - losers if d in nll and nll[d] <= cut
+    }
+    got = {
+        r["doc_id"]
+        for r in curate_corpus_v2(docs, cap_per_source=40).collect()
+    }
+    assert got == expected and got
