@@ -67,6 +67,8 @@ PROBE_QUERIES = [
     "q_doc_winnow_pairs",
     "q_doc_unigram_nll",
     "q_source_contamination",
+    # composed curation pipeline (cap -> clone prune -> surprisal band)
+    "q_corpus_curation_v2",
 ]
 
 
