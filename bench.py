@@ -6,18 +6,28 @@ Prints exactly ONE JSON line:
 Each query is executed to completion (count of the result) — results are
 small aggregates/top-ks, so timing is dominated by the distributed work,
 not driver collection.
+
+ISOLATION (round 4): every headline query runs in its OWN subprocess
+with a fresh SparkSession/JVM. Round-3 measurements showed that late
+queries in a 20+-query same-JVM sequence inherit heap and codegen-cache
+pressure that min-of-3 cannot ride out (q_ngram_jaccard: 2.1 s measured
+solo vs 5.3 s reported in-sequence — a 2.5x phantom regression with the
+code bit-identical). Per-query JVMs trade ~10 s of untimed startup per
+query for numbers that track plan quality instead of sequence position.
+Each child still pays its own warmup (generic codegen + a best-effort
+sf0.001 execution of the query's plan shape) before the timed runs, so
+the timings remain steady-state, JIT-amortized.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from bigdataminingproject_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -45,24 +55,27 @@ HEADLINE = [
     "q_knn_ivf_det",
     "q_doc_tfidf_topk",
     "q_doc_winnow",
+    # round-4 additions: the two most expensive green queries (winnowing
+    # self-join, composed curation) plus the full-gate v3 composition
+    "q_doc_winnow_pairs",
+    "q_corpus_curation_v2",
+    "q_corpus_curation_v3",
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        sf = -1.0
+def run_one(name: str, sf_dir: str) -> None:
+    """Child mode: fresh SparkSession, warm up, time one query, print
+    one JSON line on stdout."""
+    from bigdataminingproject_spark.session import get_spark
+
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
 
-    queries = entrymod.queries()
-    # JVM/codegen + Python-worker-pool warmup so the first timed query
-    # isn't charged for session startup (steady-state throughput is what
-    # BASELINE compares).
+    fn = entrymod.queries()[name]
+    # generic JVM/codegen + Python-worker-pool warmup so the timed runs
+    # aren't charged for session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     def _noop(batches):
@@ -71,39 +84,49 @@ def main() -> None:
     spark.range(1000).selectExpr("id", "CAST(id AS double) d").mapInPandas(
         _noop, "id long, d double"
     ).count()
-    # Per-query codegen/JIT warmup at the smallest SF: the generated
-    # whole-stage code depends only on the plan shape, not the data dir,
-    # so one cheap sf0.001 execution compiles (and C2-JITs) the same
-    # classes the timed sf0.1 runs will hit. Without this, even the
-    # second timed run of codegen-heavy queries (regex tokenize +
-    # shingle pipelines) still pays multi-second JIT tails.
-    warm_dir = "/root/testdata/sf0.001"
+    # per-query codegen/JIT warmup at the smallest SF: whole-stage code
+    # depends only on the plan shape, so one cheap sf0.001 execution
+    # compiles (and C2-JITs) the classes the timed sf0.1 runs will hit
+    try:
+        fn(spark, "/root/testdata/sf0.001").collect()
+    except Exception:
+        pass  # warmup is best-effort; timing below still runs
+    best, rows = None, 0
+    # best-of-3: the first run of a plan shape can still pay residual
+    # one-time costs a long-running deployment amortizes to zero
+    for _ in range(3):
+        start = time.perf_counter()
+        # Materialize fully: small results → collect is fair and forces
+        # every stage, incl. final sort/limit.
+        rows = len(fn(spark, sf_dir).collect())
+        elapsed = time.perf_counter() - start
+        best = elapsed if best is None else min(best, elapsed)
+    print(json.dumps({"query": name, "sec": round(best, 3), "rows": rows}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2], sf_dir)
+        return
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        try:
-            fn(spark, warm_dir).collect()
-        except Exception:
-            pass  # warmup is best-effort; timing below still runs
-        best, rows = None, 0
-        # Steady-state timing: best of 3 runs — the first execution of a
-        # plan shape pays one-time whole-stage-codegen JIT compilation,
-        # which a long-running deployment amortizes to zero, and later
-        # queries in the 22-query sequence inherit JVM heap/codegen-cache
-        # pressure that a third run rides out (measured: jaccard 2.1s
-        # minimal-context vs 4-8s after 15 queries with only 2 runs). A
-        # JVM GC between queries keeps one query's garbage off the next's
-        # clock.
-        for _ in range(3):
-            start = time.perf_counter()
-            # Materialize fully: small results → collect is fair and
-            # forces every stage, incl. final sort/limit.
-            rows = len(fn(spark, sf_dir).collect())
-            elapsed = time.perf_counter() - start
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({rows} rows)", file=sys.stderr)
-        spark.sparkContext._jvm.System.gc()
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"bench child failed for {name}")
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        timings[name] = rec["sec"]
+        print(f"# {name}: {rec['sec']:.3f}s ({rec['rows']} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -115,6 +138,7 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": 3,
                 "aggregation": "min",
+                "isolation": "subprocess-per-query",
             }
         )
     )

@@ -402,19 +402,39 @@ def latest_by_key(
     key_cols: tuple[str, ...] = ("user_id",),
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
+    hot_keys: bool = False,
 ) -> DataFrame:
     """CDC-style log compaction: the latest record per key.
 
     The upsert/merge primitive every incremental ingest needs — replayed
     change streams compact to current state by keeping, per key, the row
-    with the greatest (ts, tiebreak). One shuffle on the key, a rank
-    window inside each key partition, no global ordering. At 100 TB this
-    is the standard "compact the changelog" job shape (Delta/Hudi/
-    Iceberg MERGE express the same thing); hot keys skew their window
-    task, which AQE's skew-split handles for joins but not windows — the
-    mitigation is a pre-aggregation of max(ts) per key joined back,
-    which trades one extra shuffle for no windows at all.
+    with the greatest (ts, tiebreak). Default path: one shuffle on the
+    key, a rank window inside each key partition, no global ordering. At
+    100 TB this is the standard "compact the changelog" job shape
+    (Delta/Hudi/Iceberg MERGE express the same thing).
+
+    ``hot_keys=True`` swaps the window for an aggregate-and-join-back:
+    hot keys skew their window task (AQE skew-splits joins but not
+    windows), whereas ``max(struct(ts, tiebreak))`` per key partially
+    aggregates MAP-SIDE — a key owning half the log contributes one row
+    per input partition to the shuffle instead of all its rows to one
+    sort task — and the left-semi join back hashes on the full
+    (key, ts, tiebreak), which no single value dominates. Identical
+    output to the window path provided ``tiebreak_col`` is unique per
+    key (its job); with a duplicated (ts, tiebreak) the window keeps an
+    arbitrary one of the tied rows while this path keeps all of them.
     """
+    if hot_keys:
+        top = events.groupBy(*key_cols).agg(
+            F.max(F.struct(ts_col, tiebreak_col)).alias("_m")
+        ).select(
+            *key_cols,
+            F.col(f"_m.{ts_col}").alias(ts_col),
+            F.col(f"_m.{tiebreak_col}").alias(tiebreak_col),
+        )
+        return events.join(
+            top, [*key_cols, ts_col, tiebreak_col], "left_semi"
+        )
     w = Window.partitionBy(*key_cols).orderBy(
         F.desc(ts_col), F.desc(tiebreak_col)
     )

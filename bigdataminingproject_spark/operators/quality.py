@@ -189,15 +189,17 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs)
 
 
-def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction drill: augment each doc with deterministic
-    synthetic PII (derived from doc_id — the corpus itself contains
-    none, which would make the check vacuous), redact, and emit match
-    counts plus an md5 attest of the redacted text."""
-    docs = load_table(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    aug = F.concat(
-        F.col("text"),
+def synthetic_pii_text(
+    text: Column | str = "text", id_col: Column | str = "doc_id"
+) -> Column:
+    """Deterministic synthetic-PII augmentation: append an email, a
+    phone number, and an IPv4 derived from the doc id. The test corpus
+    contains no real PII, which would make any redaction check vacuous —
+    the drills (q_doc_pii_redact, q_corpus_curation_v3) redact this
+    augmented text instead, so the regex parity is exercised for real."""
+    did = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.concat(
+        F.col(text) if isinstance(text, str) else text,
         F.lit(" contact user"),
         did.cast("string"),
         F.lit("@mail"),
@@ -209,6 +211,15 @@ def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".0."),
         ((did * 3) % 256).cast("string"),
     )
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction drill: augment each doc with deterministic
+    synthetic PII (derived from doc_id — the corpus itself contains
+    none, which would make the check vacuous), redact, and emit match
+    counts plus an md5 attest of the redacted text."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = synthetic_pii_text()
     return (
         pii_redact(docs.select("doc_id", aug.alias("text")), "text")
         .select(

@@ -138,12 +138,27 @@ def mixture_plan(
     )
 
 
+def _cap_rank(
+    scored: DataFrame, cap: int, strata_col: str, id_col: str
+) -> DataFrame:
+    """Rank rows within each stratum by (_score desc, id asc), keep the
+    top ``cap``. Shared by the direct and hot-stratum domain_cap paths."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.desc("_score"), F.asc(id_col)
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= cap
+    )
+
+
 def domain_cap(
     docs: DataFrame,
     cap: int = 50,
     strata_col: str = "source",
     id_col: str = "doc_id",
     score: Column | None = None,
+    hot_threshold: int | None = None,
+    salt_buckets: int = 16,
 ) -> DataFrame:
     """Per-domain document cap (RefinedWeb/C4-style host balancing).
 
@@ -154,28 +169,61 @@ def domain_cap(
     ties broken by id so the kept set is unique and reproducible.
 
     Scale: ONE shuffle on the stratum key + a partitioned rank window —
-    never a global window. A pathologically hot stratum (one domain =
-    half the corpus) would skew its window task; the fix at that shape
-    is pre-filtering with an approximate per-domain count (broadcast)
-    before ranking only oversized domains.
+    never a global window. A pathologically hot stratum (one host = half
+    the corpus) skews its window task: set ``hot_threshold`` to route
+    oversized strata through a salted two-phase top-k instead. Per-
+    stratum counts (map-side combined — the shuffled relation is one row
+    per stratum) are broadcast to split the input: strata over the
+    threshold rank within ``salt_buckets`` md5-derived sub-groups first
+    (each task bounded at stratum_rows/salt_buckets, keeping ≤ cap per
+    bucket), then the ≤ salt_buckets·cap survivors take the exact final
+    rank — identical output to the direct window, because every row of
+    the true per-stratum top-cap is also in its own bucket's top-cap.
+    Cold strata pay the single window they always did.
     """
     if score is None:
         score = F.length(F.col("text"))
-    w = Window.partitionBy(strata_col).orderBy(
-        F.desc("_score"), F.asc(id_col)
-    )
-    return (
-        docs.withColumn("_score", score)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= cap)
-        .select(
-            F.col(strata_col).alias("source"),
-            F.col(id_col).alias("doc_id"),
-            F.col("_score").cast("bigint").alias("score"),
-            "rnk",
+    scored = docs.withColumn("_score", score)
+    if hot_threshold is None:
+        ranked = _cap_rank(scored, cap, strata_col, id_col)
+    else:
+        counts = scored.groupBy(strata_col).agg(
+            F.count(F.lit(1)).alias("_n")
         )
-        .orderBy("source", "rnk")
-    )
+        hot = counts.filter(F.col("_n") > hot_threshold).select(strata_col)
+        cold_ranked = _cap_rank(
+            scored.join(F.broadcast(hot), strata_col, "left_anti"),
+            cap,
+            strata_col,
+            id_col,
+        )
+        salt = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % salt_buckets
+        )
+        ws = Window.partitionBy(strata_col, "_salt").orderBy(
+            F.desc("_score"), F.asc(id_col)
+        )
+        candidates = (
+            scored.join(F.broadcast(hot), strata_col, "left_semi")
+            .withColumn("_salt", salt)
+            .withColumn("_srnk", F.row_number().over(ws))
+            .filter(F.col("_srnk") <= cap)
+            .drop("_salt", "_srnk")
+        )
+        ranked = cold_ranked.unionByName(
+            _cap_rank(candidates, cap, strata_col, id_col)
+        )
+    return ranked.select(
+        F.col(strata_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.col("_score").cast("bigint").alias("score"),
+        "rnk",
+    ).orderBy("source", "rnk")
 
 
 def token_budget_sample(
@@ -214,7 +262,9 @@ def token_budget_sample(
         )
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= budget)
-        .orderBy("source", "cum_tokens")
+        # doc_id tiebreak: zero-token docs share a cum_tokens value, so
+        # (source, cum_tokens) alone is not a total order.
+        .orderBy("source", "cum_tokens", "doc_id")
     )
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdataminingproject_spark.functions.text import tokenize
@@ -155,8 +155,14 @@ def curate_corpus_v2(
     clone_losers = clones.select(F.col("id_b").alias("doc_id")).distinct()
     pruned = capped.join(clone_losers, "doc_id", "left_anti")
     nll = unigram_logprob(docs)  # full-corpus LM, not survivor-only
+    # The cut is rounded to the same 4dp quantum as the per-doc nll it is
+    # compared against: avg/stddev accumulate in engine-specific order, so
+    # the unrounded cut differs by ~1e-15 between Spark and an oracle and
+    # could flip membership of a doc sitting exactly at the threshold.
     cut = nll.agg(
-        (F.avg("nll") + F.lit(nll_sigma) * F.stddev_samp("nll")).alias("_cut")
+        F.round(
+            F.avg("nll") + F.lit(nll_sigma) * F.stddev_samp("nll"), 4
+        ).alias("_cut")
     )
     return (
         pruned.join(nll, "doc_id")
@@ -174,3 +180,97 @@ def q_corpus_curation_v2(spark, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return curate_corpus_v2(docs)
+
+
+def curate_corpus_v3(
+    docs: DataFrame,
+    bench: DataFrame,
+    cap_per_source: int = 40,
+    clone_min_shared: int = 2,
+    nll_sigma: float = 2.0,
+    decontam_k: int = 4,
+    redact_text: Column | None = None,
+) -> DataFrame:
+    """The full ingest→tokenize gate: every quality family in ONE lazy
+    plan.
+
+    1. **Benchmark decontamination** (first — leakage removal shrinks
+       everything downstream): drop any doc sharing a ``decontam_k``-
+       token shingle with the benchmark set. The benchmark shingle set
+       is broadcast; the corpus side never shuffles for it.
+    2. **Curation v2** over the clean corpus: domain cap → winnowing
+       clone prune → unigram-surprisal band (the LM is fit on the
+       DECONTAMINATED corpus — a leaked benchmark doc must not shape
+       the probability model either).
+    3. **PII redaction** (last — only survivors pay the regex pass):
+       per-pattern match counts plus an md5 attest of the redacted
+       text. ``redact_text`` overrides the text the redactor sees
+       (the registry drill feeds synthetic-PII-augmented text, since
+       the test corpus contains none).
+
+    Output: (doc_id, source, n_tokens, nll, n_email, n_phone, n_ip,
+    redacted_md5) — the curated-manifest superset of v2's. Stage order
+    is load-bearing for scale: decontamination is a broadcast semi-join
+    over the full corpus (cheap), the cap bounds the winnowing join,
+    and redaction — the only regex-heavy projection — touches only the
+    final survivor set.
+    """
+    from bigdataminingproject_spark.operators.quality import (
+        decontaminate,
+        pii_redact,
+    )
+
+    contaminated = (
+        decontaminate(docs, bench, k=decontam_k)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    clean = docs.join(contaminated, "doc_id", "left_anti")
+    manifest = curate_corpus_v2(
+        clean,
+        cap_per_source=cap_per_source,
+        clone_min_shared=clone_min_shared,
+        nll_sigma=nll_sigma,
+    )
+    text = redact_text if redact_text is not None else F.col("text")
+    red = pii_redact(
+        docs.select("doc_id", text.alias("text")), "text"
+    ).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+    return (
+        manifest.join(red, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "nll",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            "redacted_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_curation_v3(spark, sf_dir: str) -> DataFrame:
+    """The complete curation gate: benchmark decontamination (every
+    25th doc is the held-out benchmark) -> curation v2 (cap -> clone
+    prune -> surprisal band) -> PII redaction of the survivors
+    (synthetic-PII-augmented text, as in q_doc_pii_redact)."""
+    from bigdataminingproject_spark.operators.quality import (
+        synthetic_pii_text,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return curate_corpus_v3(
+        train, bench, redact_text=synthetic_pii_text()
+    )

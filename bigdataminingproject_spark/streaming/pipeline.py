@@ -190,6 +190,57 @@ def streaming_duplicate_scores(
     )
 
 
+class ShingleSeenProcessor:
+    """The ``transformWithStateInPandas`` stateful processor behind
+    ``streaming_duplicate_scores_tws`` — module-level (not nested in the
+    operator) so its ``init``/``handleInputRows`` contract is directly
+    unit-testable with a fake handle while the environment lacks the
+    protobuf runtime TWS needs to execute.
+
+    Mixed in under ``StatefulProcessor`` at operator-construction time
+    (``_tws_processor()``): the class itself stays base-class-free so a
+    plain instance can be driven in tests without any Spark runtime.
+    State contract: one boolean ValueState "seen" per shingle key —
+    "was this shingle seen in any PREVIOUS batch"; within a batch the
+    shared ``_score_shingle_batch`` kernel preserves check-then-insert
+    order at batch granularity.
+    """
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        self._seen = handle.getValueState(
+            "seen", StructType([StructField("seen", BooleanType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        (shingle,) = key
+        cur = self._seen.get() if self._seen.exists() else None
+        seen = bool(cur[0]) if cur is not None else False
+        ids: list[int] = []
+        for pdf in rows:
+            ids.extend(int(m) for m in pdf["msg_id"])
+        out = _score_shingle_batch(shingle, seen, ids)
+        if ids:
+            self._seen.update((True,))
+        yield pd.DataFrame(out, columns=["shingle", "msg_id", "hit"])
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_processor():
+    """ShingleSeenProcessor subclassed under the real StatefulProcessor
+    base (which pyspark requires of the operator argument)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type(
+        "ShingleSeenProcessorTWS", (ShingleSeenProcessor, StatefulProcessor), {}
+    )()
+
+
 def streaming_duplicate_scores_tws(
     stream: DataFrame,
     msg_col: str = "msg_id",
@@ -214,10 +265,6 @@ def streaming_duplicate_scores_tws(
     test skip-gates on it (same pattern as the NLTK lemmatizer path);
     the operator itself is the production code path.
     """
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
     from pyspark.sql.types import (
         BooleanType,
         LongType,
@@ -241,31 +288,8 @@ def streaming_duplicate_scores_tws(
         ]
     )
 
-    class ShingleSeenProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._seen = handle.getValueState(
-                "seen", StructType([StructField("seen", BooleanType())])
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            import pandas as pd
-
-            (shingle,) = key
-            cur = self._seen.get() if self._seen.exists() else None
-            seen = bool(cur[0]) if cur is not None else False
-            ids: list[int] = []
-            for pdf in rows:
-                ids.extend(int(m) for m in pdf["msg_id"])
-            out = _score_shingle_batch(shingle, seen, ids)
-            if ids:
-                self._seen.update((True,))
-            yield pd.DataFrame(out, columns=["shingle", "msg_id", "hit"])
-
-        def close(self) -> None:
-            pass
-
     return sh.groupBy("shingle").transformWithStateInPandas(
-        statefulProcessor=ShingleSeenProcessor(),
+        statefulProcessor=_tws_processor(),
         outputStructType=out_schema,
         outputMode="append",
         timeMode="None",

@@ -81,7 +81,12 @@ def test_curate_v2_composition_matches_stagewise(spark, sf_dir):
     nll = {
         r["doc_id"]: r["nll"] for r in unigram_logprob(docs).collect()
     }
-    cut = statistics.mean(nll.values()) + 2 * statistics.stdev(nll.values())
+    # the composed plan rounds the cut to the 4dp nll quantum (parity
+    # with the oracle) — mirror that here
+    cut = round(
+        statistics.mean(nll.values()) + 2 * statistics.stdev(nll.values()),
+        4,
+    )
     expected = {
         d for d in capped - losers if d in nll and nll[d] <= cut
     }
@@ -90,3 +95,86 @@ def test_curate_v2_composition_matches_stagewise(spark, sf_dir):
         for r in curate_corpus_v2(docs, cap_per_source=40).collect()
     }
     assert got == expected and got
+
+
+def test_curate_v3_composition_matches_stagewise(spark, sf_dir):
+    """The full-gate v3 pipeline must equal its stages applied
+    independently: decontaminate -> curate_corpus_v2 over the clean
+    corpus -> PII redaction of the survivors."""
+    from bigdataminingproject_spark.operators.quality import (
+        decontaminate,
+        pii_redact,
+        synthetic_pii_text,
+    )
+    from bigdataminingproject_spark.plans.curation import (
+        curate_corpus_v2,
+        curate_corpus_v3,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+
+    flagged = {
+        r["doc_id"]
+        for r in decontaminate(train, bench, k=4)
+        .filter("contaminated = 1")
+        .collect()
+    }
+    clean = train.filter(~train.doc_id.isin(list(flagged)))
+    v2_rows = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["nll"])
+        for r in curate_corpus_v2(clean).collect()
+    }
+    red_rows = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ip"])
+        for r in pii_redact(
+            train.select("doc_id", synthetic_pii_text().alias("text")),
+            "text",
+        ).collect()
+    }
+    expected = {
+        d: v2_rows[d] + red_rows[d] for d in v2_rows
+    }
+
+    got_df = curate_corpus_v3(
+        train, bench, redact_text=synthetic_pii_text()
+    )
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["n_tokens"],
+            r["nll"],
+            r["n_email"],
+            r["n_phone"],
+            r["n_ip"],
+        )
+        for r in got_df.collect()
+    }
+    assert got == expected and got
+    # the synthetic augmentation guarantees the PII stage is non-vacuous
+    assert all(r[3] >= 1 and r[4] >= 1 and r[5] >= 1 for r in got.values())
+
+
+def test_curate_v3_drops_contaminated_docs(spark):
+    """A doc verbatim-sharing a 4-shingle with the benchmark never
+    survives, even if it would pass every other stage."""
+    from bigdataminingproject_spark.plans.curation import curate_corpus_v3
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        (1, "src0", leak + " extra tail words here for length"),
+        (2, "src0", "completely unrelated words about spark planning"),
+        (3, "src1", "another clean document talking about benchmarks"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    bench = spark.createDataFrame(
+        [(100, "bench", leak)], "doc_id long, source string, text string"
+    )
+    kept = {
+        r["doc_id"] for r in curate_corpus_v3(docs, bench, nll_sigma=50.0).collect()
+    }
+    assert 1 not in kept
+    assert {2, 3} <= kept

@@ -9,11 +9,10 @@ def test_queries_and_oracles_aligned():
     q = entrymod.queries()
     o = entrymod.oracle_sql()
     assert set(o) <= set(q), "oracle without a query"
-    # the only non-oracled query left is IVF kNN: its coarse centroids
-    # are data-dependent driver-side constants, so no static SQL twin
-    # exists (recall is pytest-checked against q_knn_bruteforce instead)
-    rows_only = set(q) - set(o)
-    assert rows_only == {"q_knn_ivf"}
+    # round 4: every registry query has a DuckDB oracle — the one
+    # rows-only entry (k-means IVF, data-dependent centroids) was
+    # retired to a library function under its recall pytest
+    assert set(q) == set(o)
 
 
 def test_entry_returns_rows(spark):

@@ -296,3 +296,95 @@ def test_score_shingle_batch_kernel():
     # state says seen: everything hits
     assert _score_shingle_batch("s", True, [9]) == [("s", 9, True)]
     assert _score_shingle_batch("s", False, []) == []
+
+
+def test_tws_processor_direct_drive_with_fake_state():
+    """Drive ShingleSeenProcessor.handleInputRows directly — the
+    processor CLASS, not just its shared kernel — with a fake value-
+    state handle, so the init/exists/get/update contract is exercised
+    without the protobuf runtime TWS needs to execute on Spark."""
+    import pandas as pd
+
+    from bigdataminingproject_spark.streaming.pipeline import (
+        ShingleSeenProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = ShingleSeenProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+
+    def drive(msg_ids):
+        (out,) = list(
+            proc.handleInputRows(
+                ("sh",), [pd.DataFrame({"msg_id": msg_ids})], None
+            )
+        )
+        return [tuple(r) for r in out.itertuples(index=False)]
+
+    # batch 1: fresh shingle — first msg no hit, second msg hits in-batch
+    assert drive([5, 6]) == [("sh", 5, False), ("sh", 6, True)]
+    # state persisted: batch 2 is all hits
+    assert handle.states["seen"].get() == (True,)
+    assert drive([7]) == [("sh", 7, True)]
+    # empty batch: no output, state untouched
+    assert drive([]) == []
+    assert handle.states["seen"].get() == (True,)
+    proc.close()
+
+
+def test_tws_processor_empty_batch_leaves_state_unset():
+    """An empty first batch must NOT mark the shingle as seen."""
+    import pandas as pd
+
+    from bigdataminingproject_spark.streaming.pipeline import (
+        ShingleSeenProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def getValueState(self, name, schema):
+            self.state = FakeValueState()
+            return self.state
+
+    proc = ShingleSeenProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    list(proc.handleInputRows(("sh",), [pd.DataFrame({"msg_id": []})], None))
+    assert not handle.state.exists()
+    # a later real batch then sees "unseen" semantics
+    (out,) = list(
+        proc.handleInputRows(("sh",), [pd.DataFrame({"msg_id": [1]})], None)
+    )
+    assert [tuple(r) for r in out.itertuples(index=False)] == [("sh", 1, False)]
