@@ -411,15 +411,20 @@ def latest_by_key(
     with the greatest (ts, tiebreak). Default path: one shuffle on the
     key, a rank window inside each key partition, no global ordering. At
     100 TB this is the standard "compact the changelog" job shape
-    (Delta/Hudi/Iceberg MERGE express the same thing).
+    (Delta/Hudi/Iceberg MERGE express the same thing). Skew note: for
+    this row_number=1 filter shape Catalyst inserts a PARTIAL
+    WindowGroupLimit before the exchange (Spark 3.5+), so a hot key
+    ships one row per map partition to its final window task — measured
+    flat (0.4 s) from 1M to 10M rows with one user owning 50% of the
+    log (tools/skew_probe.py).
 
-    ``hot_keys=True`` swaps the window for an aggregate-and-join-back:
-    hot keys skew their window task (AQE skew-splits joins but not
-    windows), whereas ``max(struct(ts, tiebreak))`` per key partially
-    aggregates MAP-SIDE — a key owning half the log contributes one row
-    per input partition to the shuffle instead of all its rows to one
-    sort task — and the left-semi join back hashes on the full
-    (key, ts, tiebreak), which no single value dominates. Identical
+    ``hot_keys=True`` swaps the window for an aggregate-and-join-back,
+    for engines/shapes where the group-limit inference cannot fire:
+    ``max(struct(ts, tiebreak))`` per key partially aggregates
+    MAP-SIDE — a key owning half the log contributes one row per input
+    partition to the shuffle instead of all its rows to one sort task —
+    and the left-semi join back hashes on the full (key, ts, tiebreak),
+    which no single value dominates. Identical
     output to the window path provided ``tiebreak_col`` is unique per
     key (its job); with a duplicated (ts, tiebreak) the window keeps an
     arbitrary one of the tied rows while this path keeps all of them.

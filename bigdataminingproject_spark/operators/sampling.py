@@ -169,17 +169,26 @@ def domain_cap(
     ties broken by id so the kept set is unique and reproducible.
 
     Scale: ONE shuffle on the stratum key + a partitioned rank window —
-    never a global window. A pathologically hot stratum (one host = half
-    the corpus) skews its window task: set ``hot_threshold`` to route
-    oversized strata through a salted two-phase top-k instead. Per-
-    stratum counts (map-side combined — the shuffled relation is one row
-    per stratum) are broadcast to split the input: strata over the
-    threshold rank within ``salt_buckets`` md5-derived sub-groups first
-    (each task bounded at stratum_rows/salt_buckets, keeping ≤ cap per
-    bucket), then the ≤ salt_buckets·cap survivors take the exact final
-    rank — identical output to the direct window, because every row of
-    the true per-stratum top-cap is also in its own bucket's top-cap.
-    Cold strata pay the single window they always did.
+    never a global window. Catalyst's InferWindowGroupLimit (Spark
+    3.5+) inserts a PARTIAL group-limit before the exchange for this
+    row_number-filter shape, so even a pathologically hot stratum (one
+    host = half the corpus) ships at most cap rows per map partition to
+    its final window task — measured flat (0.4 s) from 50k to 500k rows
+    with a 50%-hot distribution (tools/skew_probe.py; the Partial/Final
+    WindowGroupLimit pair is pinned by tests/test_plan_quality.py).
+
+    ``hot_threshold`` routes oversized strata through an explicit
+    salted two-phase top-k instead — for rank shapes the group-limit
+    rule cannot infer (a non-rank score filter, an engine without the
+    rule). Per-stratum counts (map-side combined — the shuffled
+    relation is one row per stratum) are broadcast to split the input:
+    strata over the threshold rank within ``salt_buckets`` md5-derived
+    sub-groups first (each task bounded at stratum_rows/salt_buckets,
+    keeping ≤ cap per bucket), then the ≤ salt_buckets·cap survivors
+    take the exact final rank — identical output to the direct window,
+    because every row of the true per-stratum top-cap is also in its
+    own bucket's top-cap (pinned by tests/test_skew.py). Cold strata
+    pay the single window they always did.
     """
     if score is None:
         score = F.length(F.col("text"))

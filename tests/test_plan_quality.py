@@ -207,3 +207,25 @@ def test_time_rollup_one_scan_one_agg_exchange(spark, sf_dir):
     n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_exchange <= 2, f"{n_exchange} exchanges; expected <=2"
     assert "Expand" in plan  # grouping-sets expand, not a union
+
+
+def test_rank_filters_get_partial_window_group_limit(spark, sf_dir):
+    """domain_cap and latest_by_key rely on Catalyst's
+    InferWindowGroupLimit for their skew envelope: the PARTIAL
+    group-limit before the exchange caps what a hot stratum/key ships
+    to its final window task at (cap x map partitions) rows,
+    independent of the hot key's size (measured flat at 10x with a
+    50%-hot key — tools/skew_probe.py). This pins the Partial/Final
+    pair so a config or shape change that silently disables the rule
+    fails loudly."""
+    from bigdataminingproject_spark.operators.events import (
+        q_events_latest_state,
+    )
+    from bigdataminingproject_spark.operators.sampling import (
+        q_doc_domain_cap,
+    )
+
+    for q in (q_doc_domain_cap, q_events_latest_state):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, q.__name__
+        assert "Partial" in plan and "Final" in plan, q.__name__
