@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # tier 0 (round 4): new or semantics-changed this round
         "q_corpus_curation_v3": curation.q_corpus_curation_v3,
+        "q_doc_bm25_topk": frequency.q_doc_bm25_topk,
+        "q_doc_bigram_nll": quality.q_doc_bigram_nll,
+        "q_doc_dsir_weights": sampling.q_doc_dsir_weights,
         "q_corpus_curation_v2": curation.q_corpus_curation_v2,
         "q_doc_token_budget": sampling.q_doc_token_budget,
         # tier 1: never attested under the round-3+ optimizer config
@@ -2370,6 +2373,127 @@ def oracle_sql() -> dict[str, str]:
         WHERE capped.doc_id NOT IN (SELECT doc_id FROM clone_losers)
           AND nll.nll <= cut.c
         ORDER BY capped.doc_id
+    """
+
+    # q_doc_bm25_topk: Okapi BM25 over raw tokens; derived constants
+    # (k1+1, 1-b) computed engine-side from the same literals as the
+    # Spark plan; score rounded to 4 dp before the (score, doc_id)
+    # total-order top-k cut.
+    _bm25_terms = ", ".join(f"'{t}'" for t in frequency.BM25_QUERY_TERMS)
+    sql["q_doc_bm25_topk"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(raw_toks) AS token FROM tok_base),
+        dl AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok WHERE token IN ({_bm25_terms})
+            GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ),
+        stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                       AS n_docs,
+                   (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS tot_dl
+        )
+        SELECT doc_id,
+               round(sum(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * dl * n_docs / tot_dl))
+               ), 4) AS bm25,
+               CAST(count(*) AS BIGINT) AS n_matched_terms,
+               CAST(max(dl) AS BIGINT) AS dl
+        FROM tf
+        JOIN dfreq USING (token)
+        JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 20
+    """
+
+    # q_doc_bigram_nll: interpolated bigram LM; the position self-join
+    # mirrors the Spark equi-join on (doc_id, pos+1); weights are the
+    # same explicit literals (0.7 / 0.3) on both engines.
+    sql["q_doc_bigram_nll"] = f"""
+        WITH {_TOKS_CTE},
+        tp AS (
+            SELECT doc_id,
+                   unnest(raw_toks) AS token,
+                   unnest(range(1, len(raw_toks) + 1)) AS pos
+            FROM tok_base
+        ),
+        uni AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS uc
+            FROM tp GROUP BY token
+        ),
+        tot AS (SELECT CAST(sum(uc) AS BIGINT) AS total FROM uni),
+        bg AS (
+            SELECT a.doc_id, a.token AS w1, b.token AS w2
+            FROM tp a JOIN tp b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        bc AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+            FROM bg GROUP BY 1, 2
+        )
+        SELECT g.doc_id,
+               CAST(count(*) + 1 AS BIGINT) AS n_tokens,
+               round(-sum(ln(0.7 * c.bc / u1.uc
+                             + 0.3 * u2.uc / tot.total))
+                     / count(*), 4) AS bigram_nll
+        FROM bg g
+        JOIN bc c ON c.w1 = g.w1 AND c.w2 = g.w2
+        JOIN uni u1 ON u1.token = g.w1
+        JOIN uni u2 ON u2.token = g.w2, tot
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """
+
+    # q_doc_dsir_weights: add-1-smoothed target-vs-corpus unigram LM
+    # log ratio, averaged per doc.
+    _dsir_targets = ", ".join(
+        f"'{s}'" for s in sampling.DSIR_TARGET_SOURCES
+    )
+    sql["q_doc_dsir_weights"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (
+            SELECT doc_id, source, unnest(raw_toks) AS token
+            FROM tok_base
+        ),
+        corpus AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS rc
+            FROM tok GROUP BY token
+        ),
+        tgt AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS tc
+            FROM tok WHERE source IN ({_dsir_targets})
+            GROUP BY token
+        ),
+        tots AS (
+            SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM corpus)
+                       AS r_total,
+                   (SELECT CAST(count(*) AS BIGINT) FROM corpus)
+                       AS vocab,
+                   (SELECT CAST(sum(tc) AS BIGINT) FROM tgt) AS t_total
+        )
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(
+                   ln((coalesce(tc, 0) + 1.0) / (t_total + vocab))
+                   - ln((rc + 1.0) / (r_total + vocab))
+               ) / count(*), 4) + 0.0 AS logw
+        FROM tok
+        JOIN corpus USING (token)
+        LEFT JOIN tgt USING (token), tots
+        GROUP BY doc_id, source
+        ORDER BY doc_id
     """
 
     sql["q_events_latest_state"] = """

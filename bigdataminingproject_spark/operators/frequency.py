@@ -172,6 +172,91 @@ def q_doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=3)
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: the top-``k`` documents for a bag-of-terms
+    query — the lexical-retrieval primitive a training-data pipeline
+    uses for targeted corpus search and RAG-index QA.
+
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5))  (Robertson/Sparck Jones).
+
+    Scale shape: ONE token explode -> per-doc length [hash-agg on the
+    id] and per-(doc, term) tf RESTRICTED to the query terms (the
+    isin filter prunes the explode output to |Q| terms before the
+    aggregation); df per query term from the tf relation [tiny]; N and
+    avgdl from the doc-length relation [1-row broadcast]. The final
+    top-k is orderBy+limit — Spark plans TakeOrdered (per-partition
+    heap + driver merge of k rows), never a global sort.
+
+    Parity: tf/df/dl/N are integers; avgdl is one integer division and
+    the score's ln/divides are rounded to 4 dp on BOTH engines before
+    the (score desc, doc_id) total order cuts the top-k. Derived
+    constants (k1+1, 1-b) are computed ENGINE-side from the same
+    literals, never in Python — a Python-side k1+1.0 can differ from
+    the SQL literal by 1 ulp and shift a score across the rounding
+    boundary.
+    """
+    toks = tokenize(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        tok.filter(F.col("token").isin(query_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).join(
+        dl.agg(F.sum("dl").alias("_tot_dl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b))
+        + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("_tot_dl")
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (F.lit(k1) + F.lit(1.0))
+        / (F.col("tf") + norm)
+    )
+    return (
+        tf.join(dfreq, "token")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 4).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+            F.max("dl").alias("dl"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(k)
+    )
+
+
+BM25_QUERY_TERMS = ["join", "vector", "stream"]
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a 3-term query under Okapi BM25."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
+
+
 def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: token volume, exact distinct count,
     type-token ratio (A12 exact; the HLL variant lives in sketches.py)."""

@@ -307,6 +307,82 @@ def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.7,
+    lam_uni: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc mean interpolated-bigram negative log-likelihood — the
+    next step up from ``unigram_logprob`` toward the KenLM-style
+    fluency filters production corpus pipelines run.
+
+    p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1}) +
+    lam_uni * c(w_i)/total; nll = -(1/(n-1)) sum_{i>=2} ln p. The
+    weights are two EXPLICIT literals (not lam and Python-computed
+    1-lam: a Python-side subtraction can differ from the oracle's
+    literal by 1 ulp). The
+    bigram term catches word-salad that unigram surprisal cannot (all
+    common words, impossible transitions); the unigram interpolation
+    keeps unseen bigrams finite without Katz/KN backoff machinery.
+    Only docs with >= 2 tokens appear (no transitions otherwise).
+
+    Scale: ONE positioned-token projection feeds (a) the bigram
+    relation via a within-doc position self-join — equi-join on
+    (doc_id, pos+1), co-partitioned, no window — (b) unigram counts
+    [hash-agg], (c) bigram counts [hash-agg]. Score assembly is two
+    vocabulary-sized joins plus a 1-row total broadcast; the per-doc
+    aggregate is the only doc-keyed shuffle. Integer counts end-to-end;
+    the single float sum is rounded to 4 dp on both engines.
+    """
+    toks = tokenize(F.col(text_col))
+    tok_pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "token"),
+    )
+    uni = tok_pos.groupBy("token").agg(F.count(F.lit(1)).alias("uc"))
+    total = uni.agg(F.sum("uc").alias("total"))
+    a = tok_pos.select("doc_id", "pos", F.col("token").alias("w1"))
+    bsd = tok_pos.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("token").alias("w2")
+    )
+    bigrams = a.join(bsd, ["doc_id", "pos"])
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    p = (
+        F.lit(lam) * F.col("bc") / F.col("uc")
+        + F.lit(lam_uni) * F.col("uc2") / F.col("total")
+    )
+    return (
+        bigrams.join(bc, ["w1", "w2"])
+        .join(uni, F.col("w1") == F.col("token"))
+        .drop("token")
+        .join(
+            uni.select(
+                F.col("token").alias("_t2"), F.col("uc").alias("uc2")
+            ),
+            F.col("w2") == F.col("_t2"),
+        )
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) + F.lit(1)).alias("n_tokens"),
+            F.round(-F.sum(F.log(p)) / F.count(F.lit(1)), 4).alias(
+                "bigram_nll"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM surprisal per document (fluency filter)."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
 def _winnow_fp(
     docs: DataFrame,
     k: int = 3,

@@ -314,6 +314,73 @@ def doc_shards(
     )
 
 
+def dsir_logweights(
+    docs: DataFrame,
+    target_sources: list[str],
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, reduced to
+    unigram features): score every document by how much more likely its
+    tokens are under a TARGET distribution (docs from
+    ``target_sources`` — the high-quality slice you want more of) than
+    under the raw-corpus distribution.
+
+    logw(d) = (1/n) sum_w [ln p_t(w) - ln p_r(w)], with add-1
+    smoothing over the corpus vocabulary on both LMs so target-unseen
+    tokens stay finite: p(w) = (cnt+1)/(total+V). Resampling the
+    corpus proportionally to exp(logw) tilts the mixture toward the
+    target domain — the standard importance-resampling step between
+    "have a small clean corpus" and "select from a 100 TB raw one".
+
+    Scale: one token explode; corpus counts [hash-agg], target counts
+    [hash-agg over the filtered slice], a vocabulary-sized left join of
+    the token stream to both count relations, a 1-row broadcast of
+    (totals, V), and one doc-keyed aggregate. Integer counts
+    end-to-end; the single float sum is rounded to 4 dp on both
+    engines.
+    """
+    from bigdataminingproject_spark.functions.text import tokenize
+
+    toks = tokenize(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("source"),
+        F.explode(toks).alias("token"),
+    )
+    corpus = tok.groupBy("token").agg(F.count(F.lit(1)).alias("rc"))
+    target = (
+        tok.filter(F.col("source").isin(target_sources))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    totals = corpus.agg(
+        F.sum("rc").alias("r_total"),
+        F.count(F.lit(1)).alias("vocab"),
+    ).join(target.agg(F.sum("tc").alias("t_total")))
+    log_ratio = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+        / (F.col("t_total") + F.col("vocab"))
+    ) - F.log(
+        (F.col("rc") + F.lit(1.0)) / (F.col("r_total") + F.col("vocab"))
+    )
+    return (
+        tok.join(corpus, "token")
+        .join(target, "token", "left")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # + 0.0 canonicalizes IEEE -0.0 (a doc whose ratio rounds
+            # to zero from below) to +0.0 on both engines
+            (F.round(F.sum(log_ratio) / F.count(F.lit(1)), 4) + F.lit(0.0))
+            .alias("logw"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- query registry entry ---------------------------------------------------
 
 # Per-source mixing rates for the registry query: a "books-heavy" mix —
@@ -354,3 +421,12 @@ def q_doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-way deterministic shard manifest with membership checksums."""
     docs = load_table(spark, sf_dir, "documents")
     return doc_shards(docs, n_shards=8)
+
+
+DSIR_TARGET_SOURCES = ["src0", "src1"]
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights with src0/src1 as the target slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, DSIR_TARGET_SOURCES)

@@ -342,3 +342,62 @@ def test_winnow_pairs_detects_partial_clone(spark):
     assert not any(3 in p for p in pairs)
     # with max_df=1 every shared fingerprint is "boilerplate": no pairs
     assert winnow_pairs(docs, min_shared=1, max_df=1).count() == 0
+
+
+def test_bigram_logprob_matches_python_recompute(spark):
+    """Exact recompute of the interpolated bigram LM on a 4-doc corpus
+    (one doc has a single token and must be excluded: no transitions)."""
+    import math
+    from collections import Counter
+
+    from bigdataminingproject_spark.operators.quality import bigram_logprob
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "mat the cat",
+        4: "solo",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    toks = {i: t.split() for i, t in texts.items()}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    total = sum(uni.values())
+    big = Counter(
+        (ws[j], ws[j + 1])
+        for ws in toks.values()
+        for j in range(len(ws) - 1)
+    )
+
+    def nll(ws):
+        s = sum(
+            math.log(
+                0.7 * big[(ws[j], ws[j + 1])] / uni[ws[j]]
+                + 0.3 * uni[ws[j + 1]] / total
+            )
+            for j in range(len(ws) - 1)
+        )
+        return round(-s / (len(ws) - 1), 4)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bigram_nll"])
+        for r in bigram_logprob(docs).collect()
+    }
+    assert set(got) == {1, 2, 3}  # doc 4 has no transitions
+    for d in (1, 2, 3):
+        assert got[d] == (len(toks[d]), nll(toks[d])), d
+
+
+def test_bigram_nll_flags_word_salad(spark):
+    """Docs made of common words in never-seen transitions must score
+    worse than docs repeating common transitions."""
+    from bigdataminingproject_spark.operators.quality import bigram_logprob
+
+    fluent = "the cat sat on the mat and the cat sat on the mat again"
+    rows = [(i, fluent) for i in range(8)]
+    # word salad: same vocabulary, shuffled transitions
+    rows.append((99, "mat the on sat cat the again and mat on the"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["bigram_nll"] for r in bigram_logprob(docs).collect()}
+    assert out[99] > out[0]

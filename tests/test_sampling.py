@@ -10,6 +10,7 @@ corpus-vs-benchmark; retention is the canonical events rollup.
 from __future__ import annotations
 
 import datetime
+import pytest
 import hashlib
 
 from pyspark.sql import functions as F
@@ -250,3 +251,100 @@ def test_tfidf_topk_ranks_rare_terms_first(spark):
     # 'zebra' (df=1, tf=2) dominates doc 1; 'common' (df=3) never wins
     assert top[1] == "zebra"
     assert all(t != "common" for t in top.values())
+
+
+def test_bm25_matches_python_recompute(spark):
+    """Exact recompute of Okapi BM25 on a small corpus."""
+    import math
+    from collections import Counter
+
+    from bigdataminingproject_spark.operators.frequency import bm25_topk
+
+    texts = {
+        1: "join join join vector",
+        2: "stream filter scan sort",
+        3: "vector vector stream join extra words here",
+        4: "no matching terms at all",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    q = ["join", "vector", "stream"]
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(toks)
+    tot_dl = sum(len(ws) for ws in toks.values())
+    df = Counter(t for t in q for ws in toks.values() if t in ws)
+
+    def score(ws):
+        dl, tf = len(ws), Counter(ws)
+        s = 0.0
+        for t in q:
+            if tf[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf[t] * 2.2 / (
+                tf[t] + 1.2 * (0.25 + 0.75 * dl * n / tot_dl)
+            )
+        return round(s, 4)
+
+    got = [
+        (r["doc_id"], r["bm25"], r["n_matched_terms"], r["dl"])
+        for r in bm25_topk(docs, q, k=10).collect()
+    ]
+    assert [g[0] for g in got] == sorted(
+        (d for d in toks if d != 4),
+        key=lambda d: (-score(toks[d]), d),
+    )
+    for d, s, m, dl in got:
+        assert s == pytest.approx(score(toks[d]), abs=1e-9)
+        assert m == sum(1 for t in q if t in toks[d])
+        assert dl == len(toks[d])
+
+
+def test_bm25_topk_cut_is_deterministic(spark):
+    """Boundary ties cut by doc_id: equal-scoring docs keep the lower id."""
+    from bigdataminingproject_spark.operators.frequency import bm25_topk
+
+    rows = [(i, "join vector pad pad pad") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [r["doc_id"] for r in bm25_topk(docs, ["join"], k=4).collect()]
+    assert got == [0, 1, 2, 3]
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    """Docs resembling the target slice score higher than docs from the
+    background distribution; recompute one doc exactly."""
+    import math
+    from collections import Counter
+
+    from bigdataminingproject_spark.operators.sampling import dsir_logweights
+
+    target_text = "clean prose about careful reasoning and clear writing"
+    noise_text = "zz xx qq ww vv uu tt ss rr"
+    rows = (
+        [(i, "tgt", target_text) for i in range(5)]
+        + [(10 + i, "raw", target_text) for i in range(3)]  # target-like
+        + [(20 + i, "raw", noise_text) for i in range(3)]  # background
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {r["doc_id"]: r["logw"] for r in dsir_logweights(docs, ["tgt"]).collect()}
+    assert out[10] > out[20]  # target-like raw doc outranks noise doc
+
+    # exact recompute for doc 20 (pure background)
+    all_toks = [t for _, _, txt in rows for t in txt.split()]
+    tgt_toks = [t for _, s, txt in rows if s == "tgt" for t in txt.split()]
+    rc, tc = Counter(all_toks), Counter(tgt_toks)
+    v, rt, tt = len(rc), len(all_toks), len(tgt_toks)
+    ws = noise_text.split()
+    expect = round(
+        sum(
+            math.log((tc[w] + 1.0) / (tt + v))
+            - math.log((rc[w] + 1.0) / (rt + v))
+            for w in ws
+        )
+        / len(ws),
+        4,
+    )
+    assert out[20] == pytest.approx(expect, abs=1e-9)
