@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # down is this round's rotation priority (VERDICT r3 #4).
     return {
         # tier 0 (round 4): new or semantics-changed this round
+        "q_doc_blocklist": quality.q_doc_blocklist,
+        "q_doc_quality_classifier": quality.q_doc_quality_classifier,
+        "q_doc_chunks": packing.q_doc_chunks,
+        "q_doc_pmi_collocations": frequency.q_doc_pmi_collocations,
+        "q_semantic_dedup": similarity.q_semantic_dedup,
+        "q_doc_leakage_split": sampling.q_doc_leakage_split,
         "q_corpus_curation_v3": curation.q_corpus_curation_v3,
         "q_doc_bm25_topk": frequency.q_doc_bm25_topk,
         "q_doc_bigram_nll": quality.q_doc_bigram_nll,
@@ -2581,5 +2587,183 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nt) AS BIGINT) AS n_tokens,
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM base GROUP BY shard ORDER BY shard
+    """
+
+    # q_doc_blocklist: C4-style blocked-token fraction over raw tokens;
+    # the list and threshold are interpolated from the SAME constants
+    # the Spark plan embeds. Basis points via the repo-wide integer
+    # quantization.
+    _bl_list = ", ".join(f"'{w}'" for w in quality.BLOCKLIST_DEFAULT)
+    sql["q_doc_blocklist"] = f"""
+        WITH {_TOKS_CTE},
+        sig AS (
+            SELECT doc_id, source,
+                   CAST(len(raw_toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(raw_toks,
+                            x -> x IN ({_bl_list}))) AS BIGINT)
+                       AS blocked_tokens
+            FROM tok_base
+        )
+        SELECT doc_id, source, n_tokens, blocked_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN CAST(round(10000.0 * blocked_tokens / n_tokens)
+                              AS BIGINT)
+                    ELSE 0 END AS blocked_bp,
+               (CASE WHEN n_tokens > 0
+                     THEN CAST(round(10000.0 * blocked_tokens / n_tokens)
+                               AS BIGINT)
+                     ELSE 0 END) <= {quality.BLOCKLIST_MAX_BP} AS keep
+        FROM sig
+        ORDER BY doc_id
+    """
+
+    # q_doc_quality_classifier: hashed-linear scorer — both engines
+    # derive bucket and pseudo-weight from the same md5 recipe, so the
+    # per-token weights are bit-identical; mean + sigmoid rounded 4dp.
+    _ncls = quality.CLASSIFIER_BUCKETS
+    sql["q_doc_quality_classifier"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(raw_toks) AS token FROM tok_base),
+        wt AS (
+            SELECT doc_id,
+                   ((CAST('0x' || substr(md5('w' || CAST(
+                         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT)
+                             % {_ncls} AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 2001) - 1000) / 1000.0 AS w
+            FROM tok
+        ),
+        per AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(w), 6) AS s6
+            FROM wt GROUP BY doc_id
+        )
+        SELECT tb.doc_id,
+               CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+               floor(coalesce(per.s6, 0.0) * 10000.0
+                     / greatest(coalesce(per.n_tokens, 0), 1) + 0.5)
+                   / 10000.0 AS margin,
+               round(1.0 / (1.0 + exp(-(coalesce(per.s6, 0.0)
+                     / greatest(coalesce(per.n_tokens, 0), 1)))), 4)
+                   AS quality_prob
+        FROM tok_base tb LEFT JOIN per USING (doc_id)
+        ORDER BY tb.doc_id
+    """
+
+    # q_doc_chunks: RAG chunker — ceil-div chunk count, 1-based
+    # inclusive list_slice mirrors F.slice(start, length) exactly.
+    _cs, _st = packing.CHUNK_SIZE, packing.CHUNK_STRIDE
+    sql["q_doc_chunks"] = f"""
+        WITH {_TOKS_CTE},
+        base AS (
+            SELECT doc_id, raw_toks, len(raw_toks) AS n
+            FROM tok_base WHERE len(raw_toks) > 0
+        ),
+        idx AS (
+            SELECT doc_id, raw_toks,
+                   unnest(range(0, (n + {_st - 1}) // {_st})) AS chunk_idx
+            FROM base
+        )
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+               CAST(len(list_slice(raw_toks, chunk_idx * {_st} + 1,
+                                   chunk_idx * {_st} + {_cs})) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(
+                   list_slice(raw_toks, chunk_idx * {_st} + 1,
+                              chunk_idx * {_st} + {_cs}), ' ')
+                   AS chunk_text
+        FROM idx
+        ORDER BY doc_id, chunk_idx
+    """
+
+    # q_doc_pmi_collocations: PMI over stopword-filtered adjacent
+    # bigrams; counts/totals are exact integers, the single ln is
+    # rounded 4dp BEFORE the (pmi, bigram) top-k order.
+    sql["q_doc_pmi_collocations"] = f"""
+        WITH {_TOKS_CTE},
+        tp AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM tok_clean
+        ),
+        uc AS (
+            SELECT tok AS w, CAST(count(*) AS BIGINT) AS c_w
+            FROM tp GROUP BY 1
+        ),
+        bg AS (
+            SELECT a.tok AS w1, b.tok AS w2,
+                   a.tok || ' ' || b.tok AS bigram
+            FROM tp a JOIN tp b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        ),
+        bc AS (
+            SELECT bigram, w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+            FROM bg GROUP BY 1, 2, 3
+            HAVING count(*) >= {frequency.PMI_MIN_COUNT}
+        ),
+        tots AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM tp) AS t_tokens,
+                   (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT)
+                    FROM tok_clean) AS t_bigrams
+        )
+        SELECT bigram, c_ab, u1.c_w AS c_a, u2.c_w AS c_b,
+               round(ln((c_ab / t_bigrams)
+                        / ((u1.c_w / t_tokens) * (u2.c_w / t_tokens))),
+                     4) AS pmi
+        FROM bc
+        JOIN uc u1 ON u1.w = bc.w1
+        JOIN uc u2 ON u2.w = bc.w2, tots
+        ORDER BY pmi DESC, bigram
+        LIMIT 25
+    """
+
+    # q_semantic_dedup: SemDeDup drop list — same 6-bit deterministic
+    # cells as the IVF oracle (_cell_terms), within-cell pairs, best
+    # surviving representative per dropped vector.
+    sql["q_semantic_dedup"] = f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, vec, {_cell_terms} AS cell FROM v
+        ),
+        pairs AS (
+            SELECT a.vec_id AS dup_id, b.vec_id AS rep_id,
+                   round(list_dot_product(a.vec, b.vec) /
+                         (sqrt(list_dot_product(a.vec, a.vec)) *
+                          sqrt(list_dot_product(b.vec, b.vec))), 6)
+                       AS cosine_sim
+            FROM cells a
+            JOIN cells b ON b.cell = a.cell AND b.vec_id < a.vec_id
+        ),
+        ranked AS (
+            SELECT dup_id, rep_id, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY dup_id
+                       ORDER BY cosine_sim DESC, rep_id
+                   ) AS rnk
+            FROM pairs
+            WHERE cosine_sim >= {similarity.SEMDEDUP_THRESHOLD}
+        )
+        SELECT dup_id, rep_id, cosine_sim
+        FROM ranked WHERE rnk = 1
+        ORDER BY dup_id
+    """
+
+    # q_doc_leakage_split: split variate = hash_uniform(md5(text)) —
+    # byte-identical docs share a variate, so they share a side.
+    sql["q_doc_leakage_split"] = f"""
+        WITH g AS (
+            SELECT doc_id, md5(text) AS gk,
+                   CAST('0x' || substr(md5(md5(text)), 1, 8) AS BIGINT)
+                       / 4294967296.0 AS u
+            FROM documents
+        )
+        SELECT CASE WHEN u < {sampling.TRAIN_FRAC} THEN 'train'
+                    ELSE 'val' END AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT gk) AS BIGINT) AS n_groups,
+               CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        FROM g GROUP BY 1 ORDER BY 1
     """
     return sql

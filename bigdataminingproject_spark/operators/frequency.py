@@ -257,6 +257,81 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
 
 
+PMI_MIN_COUNT = 5
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 25,
+    min_count: int = PMI_MIN_COUNT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information — the classic phrase-mining signal (Church & Hanks
+    1990) a data pipeline uses to promote multiword expressions to
+    single tokens before tokenizer training.
+
+    pmi(a,b) = ln( (c_ab / B) / ((c_a / T) * (c_b / T)) ) with c_ab the
+    adjacent-bigram count over stopword-filtered tokens, c_a/c_b the
+    unigram counts on the SAME token stream, B/T the bigram/token
+    totals. ``min_count`` prunes rare bigrams whose PMI is all variance.
+
+    Scale shape: one explode per n-gram order -> two hash-aggs (unigram,
+    bigram); the bigram relation joins the unigram counts twice on the
+    vocabulary key (never driver-side) and the two scalar totals arrive
+    via a single 1-row broadcast. The top-k is rounded-then-ranked
+    (round BEFORE orderBy, the repo-wide parity rule) and cut with
+    TakeOrdered. No windows, no cartesian anything.
+    """
+    from bigdataminingproject_spark.functions.text import shingles
+
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    tk = docs.select(toks.alias("_toks"))
+    uni = (
+        tk.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    big = (
+        tk.select(F.explode(shingles(F.col("_toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    totals = tk.select(
+        F.sum(F.size("_toks")).alias("t_tokens"),
+        F.sum(F.greatest(F.size("_toks") - 1, F.lit(0))).alias("t_bigrams"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab") / F.col("t_bigrams"))
+        / ((F.col("c_a") / F.col("t_tokens")) * (F.col("c_b") / F.col("t_tokens")))
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(totals))
+        .select(
+            "bigram",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(k)
+    )
+
+
+def q_doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 PMI collocations over the documents corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, k=25)
+
+
 def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics: token volume, exact distinct count,
     type-token ratio (A12 exact; the HLL variant lives in sketches.py)."""

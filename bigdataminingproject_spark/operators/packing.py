@@ -107,12 +107,71 @@ def length_buckets(
     )
 
 
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token chunks (the RAG
+    / embedding-index chunker: stride < chunk_size keeps a context
+    overlap so no span is cut at a hard boundary).
+
+    Chunk *i* covers tokens ``[i*stride, i*stride + chunk_size)``;
+    chunks start while ``i*stride < n_tokens`` (so a doc's tail is
+    always covered and a non-empty doc yields >= 1 chunk). Empty docs
+    yield no rows.
+
+    Plan: tokenize -> ``F.sequence`` over the chunk index range ->
+    ``posexplode`` -> ``F.slice`` — a pure per-row projection, ZERO
+    shuffles, fanout bounded by n_tokens/stride per doc. At 100 TB this
+    is the shape you want feeding an embedding model: map-only,
+    whole-stage codegen, output partitioning inherited from the scan.
+    """
+    toks = tokenize(F.col(text_col))
+    n_chunks = F.when(
+        F.size(toks) > 0,
+        (F.size(toks) + F.lit(stride - 1)) / F.lit(stride),
+    ).otherwise(F.lit(0)).cast("int")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("_idx"),
+    ).filter(F.size("_toks") > 0)
+    chunk_toks = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size
+    )
+    return (
+        base.select(
+            "doc_id", "_toks", F.explode("_idx").alias("chunk_idx")
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk_toks).alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 # --- query registry entry ---------------------------------------------------
 
 def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-length histogram of the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return length_buckets(docs)
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-token / stride-24 RAG chunks of every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs)
 
 
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

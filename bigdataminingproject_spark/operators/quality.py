@@ -590,3 +590,139 @@ def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-pair shingle-overlap matrix (cross-corpus contamination)."""
     docs = load_table(spark, sf_dir, "documents")
     return source_contamination_matrix(docs)
+
+
+# C4-style token blocklist (Raffel et al. 2020 filter family: drop or
+# flag documents whose blocked-token mass exceeds a threshold). The
+# production list would be the public "List of Dirty, Naughty ..." set;
+# the synthetic corpus has no profanity, so the shipped default is a
+# placeholder drawn from its vocabulary — the OPERATOR (broadcast list,
+# per-doc fraction, threshold flag) is the deliverable, the list is
+# config.
+BLOCKLIST_DEFAULT = ("dup", "slow", "scan")
+BLOCKLIST_MAX_BP = 800  # flag docs with > 8% blocked-token mass
+
+
+def blocklist_signals(
+    docs: DataFrame,
+    blocklist: tuple[str, ...] = BLOCKLIST_DEFAULT,
+    max_bp: int = BLOCKLIST_MAX_BP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document blocked-token count / fraction and a keep flag.
+
+    Pure projection over the tokenized text: ``F.filter`` with an
+    ``F.array_contains`` predicate on a literal array (the list is a
+    plan constant — for a list too big to inline, swap in a broadcast
+    semi-join on an exploded tokens relation; same output). ZERO
+    shuffles, whole-stage codegen, trivially parallel at 100 TB.
+
+    Fractions are integer basis points (see module docstring); empty
+    docs report 0 bp and keep=true.
+    """
+    toks = tokenize(F.col(text_col))
+    bl = F.array(*[F.lit(w) for w in blocklist])
+    blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+    total = F.size(toks)
+    bp = F.when(total > 0, _bp(blocked, total)).otherwise(F.lit(0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("source"),
+        total.alias("n_tokens"),
+        blocked.alias("blocked_tokens"),
+        bp.alias("blocked_bp"),
+        (bp <= F.lit(max_bp)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked-token fraction + keep flag per document (C4-style)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_signals(docs)
+
+
+# fastText-style hashed linear classifier (Joulin et al. 2016): the
+# standard cheap quality/domain classifier in LLM-data pipelines
+# (CCNet, GPT-3's WebText logistic filter, FineWeb-Edu's scorer all sit
+# on this shape). Features are hashed unigrams; the shipped weights are
+# md5-derived pseudo-weights standing in for a trained vector — the
+# SCORING PLUMBING (hash -> bucket -> weight lookup -> mean -> sigmoid)
+# is the deliverable and is exactly what a trained model would run.
+CLASSIFIER_BUCKETS = 4096
+
+
+def _hash_bucket(col: Column, n_buckets: int) -> Column:
+    """md5-derived feature bucket — layout/engine-invariant (same recipe
+    as sampling.doc_shards / similarity.shard_embedding_stats)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def _bucket_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-weight in [-1, 1]: md5('w' || bucket) mapped
+    to {-1000..1000}/1000. A trained model would replace this with a
+    broadcast-joined weight table — the plan shape is identical."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % 2001 - 1000).cast("double") / F.lit(1000.0)
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    n_buckets: int = CLASSIFIER_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-linear classifier score per document.
+
+    score = sigmoid(mean over token occurrences of w[h(token)]) — the
+    fastText mean-of-embeddings shape with a 1-d output. Tokens hash to
+    ``n_buckets`` feature buckets (md5, engine-invariant); the weight is
+    a pure expression of the bucket, so the whole scorer is explode ->
+    per-doc hash-agg — ONE shuffle on doc_id, no joins, no Python. With
+    trained weights the ``_bucket_weight`` expression becomes a
+    broadcast join against a (bucket, weight) table: still one shuffle.
+
+    Parity: weights are exact multiples of 1e-3, so the per-doc weight
+    sum rounded at 6 dp is shuffle-order-invariant; the mean uses the
+    engine-stable half-up division (``stable_round_div``, never
+    ``F.avg`` on doubles — repo parity rule) and the sigmoid is
+    computed from the SAME deterministic round(sum,6)/count double on
+    both engines before its own 4 dp rounding. Docs with zero tokens
+    are scored at sigmoid(0) = 0.5 exactly.
+    """
+    from bigdataminingproject_spark.functions.numeric import stable_round_div
+
+    toks = tokenize(F.col(text_col))
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode_outer(toks).alias("token")
+    )
+    w = F.when(
+        F.col("token").isNotNull(),
+        _bucket_weight(_hash_bucket(F.col("token"), n_buckets)),
+    )
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.col("token")).alias("n_tokens"),
+        F.coalesce(F.round(F.sum(w), 6), F.lit(0.0)).alias("_s6"),
+    )
+    denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    mean = F.col("_s6") / denom
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-mean))
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        stable_round_div(F.col("_s6"), denom, 4).alias("margin"),
+        F.round(sig, 4).alias("quality_prob"),
+    ).orderBy("doc_id")
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier probability per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_quality_score(docs)

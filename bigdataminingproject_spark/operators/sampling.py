@@ -314,6 +314,56 @@ def doc_shards(
     )
 
 
+TRAIN_FRAC = 0.9
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    train_frac: float = TRAIN_FRAC,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/validation split whose unit is the EXACT-DUPLICATE GROUP,
+    not the document: the split variate is ``hash_uniform(md5(text))``,
+    so byte-identical documents land on the same side by construction
+    and a val doc can never be a verbatim copy of a train doc — the
+    leak a naive split-by-doc-id commits on any corpus with duplicates
+    (Lee et al. 2021 measured ~1% verbatim train/test overlap in C4 from
+    exactly this).
+
+    The decision is embedded in the row (one scan, ZERO shuffles for
+    the assignment itself — same property as ``stratified_sample``);
+    near-dup-group splitting composes by substituting the
+    ``dedup.dedup_clusters`` representative for the md5 key. Emits a
+    per-split manifest (docs, distinct groups, id checksum) — the
+    distinct-count is the only shuffle.
+    """
+    group_key = F.md5(F.col(text_col))
+    side = F.when(
+        hash_uniform(group_key) < F.lit(train_frac), F.lit("train")
+    ).otherwise(F.lit("val"))
+    return (
+        docs.select(
+            side.alias("split"),
+            group_key.alias("_g"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("_g").alias("n_groups"),
+            F.sum("_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_doc_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group-keyed 90/10 split manifest of the documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return leakage_safe_split(docs)
+
+
 def dsir_logweights(
     docs: DataFrame,
     target_sources: list[str],

@@ -1,0 +1,245 @@
+"""Round-4 training-pipeline operators: blocklist signals, the hashed
+linear quality classifier, RAG chunking, PMI collocations, SemDeDup-style
+semantic dedup, and the leakage-safe split.
+
+All are north-star additions (no reference counterpart; the reference
+stops at per-message streaming analytics — SURVEY.md §2.9). Each test
+recomputes the operator's semantics independently in Python on a tiny
+explicit fixture, so a regression in the Spark plan can't hide behind
+the DuckDB oracle sharing its bug.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import re
+
+from bigdataminingproject_spark.operators.frequency import pmi_collocations
+from bigdataminingproject_spark.operators.packing import chunk_documents
+from bigdataminingproject_spark.operators.quality import (
+    BLOCKLIST_MAX_BP,
+    blocklist_signals,
+    linear_quality_score,
+)
+from bigdataminingproject_spark.operators.sampling import leakage_safe_split
+from bigdataminingproject_spark.operators.similarity import semantic_dedup
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Python twin of functions.text.tokenize (lowercase, split on
+    non-letter runs, drop empties); fixtures here are ASCII-only."""
+    return [t for t in re.split(r"[^a-z]+", text.lower()) if t]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "src%d" % (i % 2)) for i, t in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+# --- blocklist ---------------------------------------------------------------
+
+
+def test_blocklist_counts_and_flag(spark):
+    df = _docs(
+        spark,
+        [
+            "bad bad good good good good good good good good",  # 2/10 = 2000bp
+            "clean words only here",  # 0 bp
+            "bad worse bad",  # worse not listed: 2/3
+            "",
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in blocklist_signals(
+            df, blocklist=("bad", "worse"), max_bp=1000
+        ).collect()
+    }
+    assert out[0]["blocked_tokens"] == 2
+    assert out[0]["blocked_bp"] == 2000
+    assert out[0]["keep"] is False
+    assert out[1]["blocked_bp"] == 0 and out[1]["keep"] is True
+    assert out[2]["blocked_tokens"] == 3  # 'worse' IS listed
+    assert out[2]["blocked_bp"] == 10000
+    # empty doc: 0 tokens, 0 bp, kept
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["blocked_bp"] == 0 and out[3]["keep"] is True
+
+
+def test_blocklist_default_threshold_constant():
+    assert 0 < BLOCKLIST_MAX_BP < 10000
+
+
+# --- hashed linear classifier ------------------------------------------------
+
+
+def _py_weight(token: str, n_buckets: int = 4096) -> float:
+    b = int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % n_buckets
+    h = int(hashlib.md5(("w" + str(b)).encode()).hexdigest()[:8], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def test_linear_quality_score_matches_python(spark):
+    texts = ["spark join table", "slow scan dup dup", "", "one"]
+    df = _docs(spark, texts)
+    out = {r["doc_id"]: r for r in linear_quality_score(df).collect()}
+    for i, t in enumerate(texts):
+        toks = tokenize_py(t)
+        s6 = round(sum(_py_weight(w) for w in toks), 6) if toks else 0.0
+        n = max(len(toks), 1)
+        m = s6 / n
+        assert out[i]["n_tokens"] == len(toks)
+        # engine-stable half-up mean (stable_round_div's exact op order)
+        assert out[i]["margin"] == pytest.approx(
+            math.floor(s6 * 10000.0 / n + 0.5) / 10000.0, abs=1e-12
+        )
+        assert out[i]["quality_prob"] == pytest.approx(
+            round(1.0 / (1.0 + math.exp(-m)), 4), abs=1e-9
+        )
+    # empty doc scores exactly sigmoid(0)
+    assert out[2]["quality_prob"] == 0.5
+
+
+def test_linear_quality_score_is_layout_invariant(spark):
+    df = _docs(spark, [f"tok{i} tok{i+1} spark join" for i in range(40)])
+    a = sorted(map(tuple, linear_quality_score(df).collect()))
+    b = sorted(map(tuple, linear_quality_score(df.repartition(7)).collect()))
+    assert a == b
+
+
+# --- chunking ----------------------------------------------------------------
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    # 70 distinct letter-only tokens (the tokenizer drops digits)
+    vocab = [
+        f"w{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(70)
+    ]
+    words = " ".join(vocab)
+    df = _docs(spark, [words, "short text", ""])
+    rows = chunk_documents(df, chunk_size=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 70 tokens -> ceil(70/24) = 3 chunks at starts 0, 24, 48
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in c0] == [32, 32, 22]
+    assert c0[0]["chunk_text"].split()[:2] == vocab[:2]
+    assert c0[1]["chunk_text"].split()[0] == vocab[24]
+    assert c0[2]["chunk_text"].split()[-1] == vocab[69]
+    # consecutive chunks overlap by chunk_size - stride = 8 tokens
+    assert c0[0]["chunk_text"].split()[24:] == c0[1]["chunk_text"].split()[:8]
+    # every token of the doc appears in some chunk (coverage)
+    covered = set()
+    for r in c0:
+        covered.update(r["chunk_text"].split())
+    assert covered == set(words.split())
+    # doc 1: 2 tokens -> a single short chunk; doc 2: empty -> no rows
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [2]
+    assert 2 not in by_doc
+
+
+# --- PMI collocations --------------------------------------------------------
+
+
+def test_pmi_ranks_fixed_phrase_first(spark):
+    # "alpha beta" always adjacent (20x); filler tokens are shuffled
+    # deterministically so their pairings vary.
+    rows = []
+    fill = ["red", "green", "blue", "cyan"]
+    for i in range(20):
+        f = fill[i % 4], fill[(i + 1) % 4], fill[(i + 2) % 4]
+        rows.append(f"alpha beta {f[0]} {f[1]} {f[2]}")
+    df = _docs(spark, rows)
+    out = pmi_collocations(df, k=5, min_count=5).collect()
+    assert out[0]["bigram"] == "alpha beta"
+    assert out[0]["c_ab"] == 20
+    # exact PMI recompute: c_a = c_b = 20, T = 100 tokens, B = 80 bigrams
+    expect = round(math.log((20 / 80) / ((20 / 100) * (20 / 100))), 4)
+    assert out[0]["pmi"] == pytest.approx(expect, abs=1e-9)
+    # min_count prunes anything seen fewer than 5 times
+    assert all(r["c_ab"] >= 5 for r in out)
+
+
+# --- semantic dedup ----------------------------------------------------------
+
+
+def test_semantic_dedup_drops_near_identical_vectors(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 1e-6 for x in base]  # cosine ~ 1 with base
+    far = [-x for x in base]  # cosine -1
+    other = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, other)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup(df, threshold=0.9)
+    rows = {r["dup_id"]: r for r in out.collect()}
+    # vec 1 is dropped against representative 0; nothing else is
+    assert set(rows) == {1}
+    assert rows[1]["rep_id"] == 0
+    assert rows[1]["cosine_sim"] >= 0.999
+    # the kept corpus via anti-join has exactly 3 vectors
+    kept = df.join(out, df.vec_id == out.dup_id, "left_anti")
+    assert kept.count() == 3
+
+
+def test_semantic_dedup_rep_is_best_match(spark):
+    import random
+
+    rng = random.Random(11)
+    a = [rng.uniform(-1, 1) for _ in range(64)]
+    b = [x + 1e-6 for x in a]
+    c = [x + 1e-3 * rng.uniform(-1, 1) for x in a]
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "vec_id long, embedding array<double>"
+    )
+    rows = {r["dup_id"]: r for r in semantic_dedup(df, threshold=0.9).collect()}
+    # 1 and 2 both dup against 0's group; each names its most-similar
+    # lower-id vector
+    assert set(rows) == {1, 2}
+    assert rows[1]["rep_id"] == 0
+
+
+# --- leakage-safe split ------------------------------------------------------
+
+
+def test_leakage_split_keeps_duplicates_on_one_side(spark):
+    # 30 distinct texts, each duplicated 3x under different doc_ids
+    rows = []
+    did = 0
+    for g in range(30):
+        for _ in range(3):
+            rows.append((did, f"text body number {g}", "src0"))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # per-doc side assignment recomputed from the operator's definition
+    def side(text: str) -> str:
+        gk = hashlib.md5(text.encode()).hexdigest()
+        u = int(hashlib.md5(gk.encode()).hexdigest()[:8], 16) / 2**32
+        return "train" if u < 0.9 else "val"
+
+    expected: dict[str, list[int]] = {"train": [], "val": []}
+    for i, t, _ in rows:
+        expected[side(t)].append(i)
+    out = {r["split"]: r for r in leakage_safe_split(df).collect()}
+    for sp in ("train", "val"):
+        if not expected[sp]:
+            assert sp not in out
+            continue
+        assert out[sp]["n_docs"] == len(expected[sp])
+        assert out[sp]["id_checksum"] == sum(expected[sp])
+        # dup groups of 3 never straddle: doc count is a multiple of 3
+        assert out[sp]["n_docs"] % 3 == 0
+        assert out[sp]["n_groups"] == out[sp]["n_docs"] // 3
