@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_pmi_collocations": frequency.q_doc_pmi_collocations,
         "q_semantic_dedup": similarity.q_semantic_dedup,
         "q_doc_leakage_split": sampling.q_doc_leakage_split,
+        "q_doc_bpe_pairs": textstats.q_doc_bpe_pairs,
+        "q_label_centroid_stats": similarity.q_label_centroid_stats,
         "q_corpus_curation_v3": curation.q_corpus_curation_v3,
         "q_doc_bm25_topk": frequency.q_doc_bm25_topk,
         "q_doc_bigram_nll": quality.q_doc_bigram_nll,
@@ -2748,6 +2750,82 @@ def oracle_sql() -> dict[str, str]:
         SELECT dup_id, rep_id, cosine_sim
         FROM ranked WHERE rnk = 1
         ORDER BY dup_id
+    """
+
+    # q_doc_bpe_pairs: weighted adjacent char pairs over the DISTINCT
+    # word table (the corpus contributes one scan for word counts);
+    # all-integer output, no float surface.
+    sql["q_doc_bpe_pairs"] = f"""
+        WITH {_TOKS_CTE},
+        words AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS word_freq
+            FROM (SELECT unnest(raw_toks) AS word FROM tok_base)
+            GROUP BY word
+            HAVING length(word) >= 2
+        ),
+        pairs AS (
+            SELECT word, word_freq,
+                   substr(word, CAST(i AS INT), 2) AS pair
+            FROM words, unnest(range(1, length(word))) AS t(i)
+        )
+        SELECT pair,
+               CAST(sum(word_freq) AS BIGINT) AS pair_count,
+               CAST(count(DISTINCT word) AS BIGINT) AS n_words
+        FROM pairs
+        GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT 30
+    """
+
+    # q_label_centroid_stats: every cross-engine sum quantized before
+    # reuse — round(sum,6)/count centroid dims, round-8 norms, round-6
+    # dots/cosines, floor-half-up mean (stable_round_div twin).
+    sql["q_label_centroid_stats"] = """
+        WITH v AS (
+            SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        dims AS (
+            SELECT label, vec_id,
+                   unnest(vec) AS x,
+                   unnest(range(0, len(vec))) AS dim
+            FROM v
+        ),
+        cent AS (
+            SELECT label, dim, round(sum(x), 6) / count(*) AS m
+            FROM dims GROUP BY 1, 2
+        ),
+        cnorm AS (
+            SELECT label, round(sqrt(sum(m * m)), 8) AS c_norm
+            FROM cent GROUP BY label
+        ),
+        dots AS (
+            SELECT d.label, d.vec_id, round(sum(d.x * c.m), 6) AS dot_vc
+            FROM dims d JOIN cent c USING (label, dim)
+            GROUP BY 1, 2
+        ),
+        vnorm AS (
+            SELECT label, vec_id,
+                   round(sqrt(list_dot_product(vec, vec)), 8) AS v_norm
+            FROM v
+        ),
+        cosr AS (
+            SELECT d.label,
+                   round(dot_vc / (v_norm * c_norm), 6) AS c
+            FROM dots d
+            JOIN vnorm USING (label, vec_id)
+            JOIN cnorm USING (label)
+        ),
+        agg AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+                   floor(round(sum(c), 6) * 10000.0 / count(*) + 0.5)
+                       / 10000.0 AS mean_cos
+            FROM cosr GROUP BY label
+        )
+        SELECT label, n_vectors,
+               round(c_norm, 4) AS centroid_norm, mean_cos
+        FROM agg JOIN cnorm USING (label)
+        ORDER BY label
     """
 
     # q_doc_leakage_split: split variate = hash_uniform(md5(text)) —

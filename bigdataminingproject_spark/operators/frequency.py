@@ -276,11 +276,16 @@ def pmi_collocations(
     unigram counts on the SAME token stream, B/T the bigram/token
     totals. ``min_count`` prunes rare bigrams whose PMI is all variance.
 
-    Scale shape: one explode per n-gram order -> two hash-aggs (unigram,
-    bigram); the bigram relation joins the unigram counts twice on the
-    vocabulary key (never driver-side) and the two scalar totals arrive
-    via a single 1-row broadcast. The top-k is rounded-then-ranked
-    (round BEFORE orderBy, the repo-wide parity rule) and cut with
+    Scale shape: one tokenizing corpus scan per n-gram order -> two
+    hash-aggs; the scalar totals are re-aggregated from those same
+    count relations (sum of unigram counts == token total, sum of
+    pre-filter bigram counts == bigram total) instead of re-scanning
+    the corpus, and AQE's stage reuse materializes each aggregation
+    exchange once (ReusedExchange nodes verified in the executed plan).
+    The bigram relation joins the unigram counts twice on
+    the vocabulary key (never driver-side) and the totals arrive via a
+    single 1-row broadcast. The top-k is rounded-then-ranked (round
+    BEFORE orderBy, the repo-wide parity rule) and cut with
     TakeOrdered. No windows, no cartesian anything.
     """
     from bigdataminingproject_spark.functions.text import shingles
@@ -292,17 +297,18 @@ def pmi_collocations(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
     )
-    big = (
+    big_all = (
         tk.select(F.explode(shingles(F.col("_toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= min_count)
+    )
+    big = (
+        big_all.filter(F.col("c_ab") >= min_count)
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
     )
-    totals = tk.select(
-        F.sum(F.size("_toks")).alias("t_tokens"),
-        F.sum(F.greatest(F.size("_toks") - 1, F.lit(0))).alias("t_bigrams"),
+    totals = uni.agg(F.sum("c_w").alias("t_tokens")).join(
+        big_all.agg(F.sum("c_ab").alias("t_bigrams"))
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))

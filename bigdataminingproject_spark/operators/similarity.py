@@ -766,3 +766,87 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-dedup drop list over the embeddings table."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(vecs)
+
+
+def label_centroid_stats(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid norm and mean member-to-centroid cosine — the
+    cluster-cohesion audit for a labeled/clustered embedding corpus
+    (SemDeDup's cluster sanity check; also the standard embedding-drift
+    monitor between pipeline runs).
+
+    Fully relational two-pass shape (no grouped-map UDF, so no
+    one-task-per-label skew when labels are few and huge): posexplode
+    dims -> per-(label,dim) centroid [ONE shuffle, #labels x dim keys]
+    -> broadcast the tiny centroid relation back onto the exploded dims
+    for the dot products [shuffle on (label, vec_id)] -> per-label mean.
+    The ``shard_embedding_stats`` twin covers the applyInPandas flavor;
+    this is the plan you want when groups are skewed.
+
+    Parity: every cross-engine sum is quantized before reuse
+    (round(sum,6)/count for centroid dims, round 8 for norms, round 6
+    for dots/cosines, stable half-up division for the mean — never a
+    raw ``F.avg``), so both engines walk the same doubles.
+    """
+    from bigdataminingproject_spark.functions.numeric import stable_round_div
+
+    v = vectors.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    dims = v.select(
+        "label", "vec_id", F.posexplode("vec").alias("dim", "x")
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (F.round(F.sum("x"), 6) / F.count(F.lit(1))).alias("m")
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 8).alias("c_norm")
+    )
+    dots = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(F.round(F.sum(F.col("x") * F.col("m")), 6).alias("dot_vc"))
+    )
+    vnorm = v.select(
+        "label",
+        "vec_id",
+        F.round(F.sqrt(dot(F.col("vec"), F.col("vec"))), 8).alias("v_norm"),
+    )
+    cos = (
+        dots.join(vnorm, ["label", "vec_id"])
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "label",
+            F.round(
+                F.col("dot_vc") / (F.col("v_norm") * F.col("c_norm")), 6
+            ).alias("cos"),
+        )
+    )
+    agg = cos.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        stable_round_div(
+            F.round(F.sum("cos"), 6), F.count(F.lit(1)), 4
+        ).alias("mean_cos"),
+    )
+    return (
+        agg.join(F.broadcast(cnorm), "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round(F.col("c_norm"), 4).alias("centroid_norm"),
+            "mean_cos",
+        )
+        .orderBy("label")
+    )
+
+
+def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding cohesion audit (centroid norm, mean cosine)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return label_centroid_stats(vecs)

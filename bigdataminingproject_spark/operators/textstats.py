@@ -203,6 +203,62 @@ def rolling_fingerprint(tokens: Column, mod: int = 10**15, base: int = 31) -> Co
     )
 
 
+def bpe_pair_stats(
+    docs: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-weighted adjacent character-pair counts — the statistic
+    the FIRST merge step of BPE tokenizer training maximizes (Sennrich
+    et al. 2016: repeatedly merge the most frequent symbol pair).
+
+    The count shape is the important part: pair frequency is computed
+    over the (distinct word, corpus frequency) table, NOT by re-scanning
+    every token occurrence — i.e. the corpus contributes ONE scan to
+    build word counts (hash-agg with map-side combine), and all
+    character-level work (pair extraction, weighting) runs on the
+    vocabulary-sized relation. That ordering is what makes iterated BPE
+    training tractable at 100 TB: the corpus is touched once, the merge
+    loop touches only the vocabulary.
+
+    Emits the top-``k`` pairs by weighted count with the number of
+    distinct words containing each pair. All integers — no float parity
+    surface at all.
+    """
+    from bigdataminingproject_spark.functions.text import tokenize
+
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+        .filter(F.length("word") >= 2)
+    )
+    # adjacent char pairs of each distinct word: substr positions
+    # 1..len-1, 2 chars each (Column.substr takes Column args)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("word") - 1),
+        lambda i: F.col("word").substr(i, F.lit(2)),
+    )
+    return (
+        words.select(
+            "word", "word_freq", F.explode(pairs).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(
+            F.sum("word_freq").alias("pair_count"),
+            F.count_distinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(k)
+    )
+
+
+def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 BPE merge candidates (weighted adjacent char pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_stats(docs, k=30)
+
+
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting two ways (north-star: whitespace + BPE-ish regex).
 

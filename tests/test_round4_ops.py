@@ -212,6 +212,60 @@ def test_semantic_dedup_rep_is_best_match(spark):
     assert rows[1]["rep_id"] == 0
 
 
+# --- BPE pair statistics -----------------------------------------------------
+
+
+def test_bpe_pair_stats_weights_by_word_frequency(spark):
+    # "abab" x3 and "abc" x2: pair 'ab' occurs 2/word in abab, 1 in abc
+    df = _docs(spark, ["abab abab abab abc abc", "", "xy"])
+    from bigdataminingproject_spark.operators.textstats import bpe_pair_stats
+
+    out = {r["pair"]: r for r in bpe_pair_stats(df, k=10).collect()}
+    # ab: abab contributes 2 occurrences x freq 3 = 6? No — pairs are
+    # positional: 'abab' -> ab, ba, ab => 'ab' twice. 2*3 + 1*2 = 8
+    assert out["ab"]["pair_count"] == 2 * 3 + 1 * 2
+    assert out["ab"]["n_words"] == 2  # distinct words, not occurrences
+    assert out["ba"]["pair_count"] == 1 * 3
+    assert out["bc"]["pair_count"] == 1 * 2
+    assert out["xy"]["pair_count"] == 1
+    # single-char words contribute nothing; ordering is count desc
+    rows = bpe_pair_stats(df, k=10).collect()
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+# --- label centroid stats ----------------------------------------------------
+
+
+def test_label_centroid_stats_exact_on_tiny_fixture(spark):
+    # two labels; label 0's two vectors are symmetric about the axis so
+    # the centroid is (1,0,...) scaled; cohesion is cos(45deg)
+    import math as _m
+
+    a = [1.0, 1.0] + [0.0] * 62
+    b = [1.0, -1.0] + [0.0] * 62
+    c = [0.0, 3.0] + [0.0] * 62
+    df = spark.createDataFrame(
+        [(0, a, 0), (1, b, 0), (2, c, 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    from bigdataminingproject_spark.operators.similarity import (
+        label_centroid_stats,
+    )
+
+    out = {r["label"]: r for r in label_centroid_stats(df).collect()}
+    # label 0 centroid = (1, 0, ...): norm 1; cos(v, c) = 1/sqrt(2)
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["centroid_norm"] == pytest.approx(1.0, abs=1e-9)
+    assert out[0]["mean_cos"] == pytest.approx(
+        round(1 / _m.sqrt(2), 4), abs=1e-4
+    )
+    # label 1: singleton cluster — cohesion exactly 1
+    assert out[1]["n_vectors"] == 1
+    assert out[1]["centroid_norm"] == pytest.approx(3.0, abs=1e-9)
+    assert out[1]["mean_cos"] == pytest.approx(1.0, abs=1e-9)
+
+
 # --- leakage-safe split ------------------------------------------------------
 
 

@@ -69,6 +69,17 @@ PROBE_QUERIES = [
     "q_source_contamination",
     # composed curation pipeline (cap -> clone prune -> surprisal band)
     "q_corpus_curation_v2",
+    # round-4 additions: map-only signals (blocklist/classifier/chunks
+    # should scale ~linearly with zero shuffle growth), PMI (vocab
+    # joins + exchange reuse), SemDeDup (within-cell self-join —
+    # replicated vectors are verbatim clones, so the drop list grows
+    # with clone count by design), leakage split
+    "q_doc_blocklist",
+    "q_doc_quality_classifier",
+    "q_doc_chunks",
+    "q_doc_pmi_collocations",
+    "q_semantic_dedup",
+    "q_doc_leakage_split",
 ]
 
 
