@@ -21,6 +21,7 @@ from bigdataminingproject_spark.functions.text import (
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, quality, sampling
+from bigdataminingproject_spark.operators import retrieval
 from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_leakage_split": sampling.q_doc_leakage_split,
         "q_doc_bpe_pairs": textstats.q_doc_bpe_pairs,
         "q_label_centroid_stats": similarity.q_label_centroid_stats,
+        "q_hybrid_search": retrieval.q_hybrid_search,
         "q_corpus_curation_v3": curation.q_corpus_curation_v3,
         "q_doc_bm25_topk": frequency.q_doc_bm25_topk,
         "q_doc_bigram_nll": quality.q_doc_bigram_nll,
@@ -2826,6 +2828,83 @@ def oracle_sql() -> dict[str, str]:
                round(c_norm, 4) AS centroid_norm, mean_cos
         FROM agg JOIN cnorm USING (label)
         ORDER BY label
+    """
+
+    # q_hybrid_search: RRF fusion of the BM25 leg (same fragments as
+    # q_doc_bm25_topk, cut at 20) and the brute-force cosine leg (query
+    # vector 0, cut at 20); ranks recomputed from each leg's rounded
+    # sort key, reciprocal sum rounded 6dp before the final order.
+    _hybrid_terms = ", ".join(
+        f"'{t}'" for t in retrieval.HYBRID_QUERY_TERMS
+    )
+    sql["q_hybrid_search"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(raw_toks) AS token FROM tok_base),
+        dl AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM tok GROUP BY doc_id
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+            FROM tok WHERE token IN ({_hybrid_terms})
+            GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ),
+        stats AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents)
+                       AS n_docs,
+                   (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS tot_dl
+        ),
+        lex_scores AS (
+            SELECT doc_id,
+                   round(sum(
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * tf * (1.2 + 1.0)
+                       / (tf + 1.2 * ((1.0 - 0.75)
+                                      + 0.75 * dl * n_docs / tot_dl))
+                   ), 4) AS bm25
+            FROM tf
+            JOIN dfreq USING (token)
+            JOIN dl USING (doc_id), stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 20
+        ),
+        lex AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS rank_lex
+            FROM lex_scores
+        ),
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        qv AS (SELECT vec FROM v WHERE vec_id = 0),
+        vs AS (
+            SELECT n.vec_id AS doc_id,
+                   round(list_dot_product(qv.vec, n.vec) /
+                         (sqrt(list_dot_product(qv.vec, qv.vec)) *
+                          sqrt(list_dot_product(n.vec, n.vec))), 6)
+                       AS cos
+            FROM v n, qv WHERE n.vec_id <> 0
+        ),
+        vecr AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id)
+                       AS rank_vec
+            FROM vs ORDER BY cos DESC, doc_id LIMIT 20
+        )
+        SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+               l.rank_lex, r.rank_vec,
+               round(coalesce(1.0 / (60 + l.rank_lex), 0.0)
+                     + coalesce(1.0 / (60 + r.rank_vec), 0.0), 6) AS rrf
+        FROM lex l FULL OUTER JOIN vecr r ON r.doc_id = l.doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
     """
 
     # q_doc_leakage_split: split variate = hash_uniform(md5(text)) —

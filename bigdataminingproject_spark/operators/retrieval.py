@@ -1,0 +1,116 @@
+"""Hybrid retrieval: lexical BM25 + vector kNN fused with reciprocal
+rank fusion (RRF, Cormack et al. SIGIR'09) — the default first-stage
+retriever of a modern RAG / corpus-search stack, and the query-side QA
+tool a training-data pipeline runs against its own chunk/embedding
+index (north-star; the reference stops at frequency analytics,
+SURVEY.md §2.9).
+
+RRF(d) = sum over systems of 1 / (K + rank_sys(d)), K = 60. Rank — not
+score — fusion is what makes the combination robust: BM25 and cosine
+live on incomparable scales, and RRF never compares them directly.
+
+Scale shape: both legs are already top-k-bounded operators (BM25's
+TakeOrdered cut, kNN's broadcast-query rank window), so the fusion
+itself runs on two k-row relations: a full outer join on doc_id plus
+rank arithmetic — driver-scale work, zero additional corpus scans. At
+100 TB the cost is exactly the cost of the two legs.
+
+Parity: leg ranks are recomputed from the legs' ROUNDED sort keys
+(bm25 4 dp, cosine 6 dp — each leg's own parity rule), so rank is a
+deterministic function of attested values; the RRF score is a sum of
+two exact-integer reciprocals, rounded to 6 dp before the final
+(score desc, doc_id) order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataminingproject_spark.operators.frequency import bm25_topk
+from bigdataminingproject_spark.operators.similarity import knn_bruteforce
+from bigdataminingproject_spark.sources.tables import load_table
+
+RRF_K = 60
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    k: int = 10,
+    rrf_k: int = RRF_K,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Fuse any number of (id, rank) relations by reciprocal rank.
+
+    Each input must carry ``id_col`` and a 1-based ``rank_col``. Output:
+    id, per-system ranks (null where absent), fused ``rrf`` score,
+    top-``k`` by (rrf desc, id).
+    """
+    legs = []
+    for sys_name, df in sorted(ranked.items()):
+        legs.append(
+            df.select(
+                F.col(id_col),
+                F.col(rank_col).alias(f"rank_{sys_name}"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.join(leg, id_col, "full_outer")
+    score = None
+    for sys_name in sorted(ranked):
+        contrib = F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{sys_name}")),
+            F.lit(0.0),
+        )
+        score = contrib if score is None else score + contrib
+    return (
+        out.withColumn("rrf", F.round(score, 6))
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k: int = 10,
+    k_each: int = 20,
+) -> DataFrame:
+    """Top-``k`` documents for a (terms, query-vector) pair under RRF.
+
+    The vector corpus joins the doc corpus 1:1 on vec_id == doc_id
+    (the synthetic tables share the id space; a production index
+    carries the mapping explicitly). ``k_each`` bounds each leg before
+    fusion — the standard first-stage depth.
+    """
+    lex = bm25_topk(docs, query_terms, k=k_each).select("doc_id", "bm25")
+    # rank over the k_each-row TakeOrdered output (bounded relation;
+    # the single-partition window is over a reduced input by design)
+    lex_ranked = lex.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id")),
+    )
+    queries = vectors.filter(F.col("vec_id") == query_vec_id)
+    vec = knn_bruteforce(vectors, queries, k=k_each).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"lex": lex_ranked, "vec": vec}, k=k)
+
+
+HYBRID_QUERY_TERMS = ["join", "vector", "stream"]
+HYBRID_QUERY_VEC = 0
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF-fused lexical+vector top-10 for a fixed 3-term query and
+    query vector 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return hybrid_search(
+        docs, vecs, HYBRID_QUERY_TERMS, HYBRID_QUERY_VEC, k=10
+    )

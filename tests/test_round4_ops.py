@@ -266,6 +266,55 @@ def test_label_centroid_stats_exact_on_tiny_fixture(spark):
     assert out[1]["mean_cos"] == pytest.approx(1.0, abs=1e-9)
 
 
+# --- hybrid retrieval (RRF) --------------------------------------------------
+
+
+def test_rrf_fuse_math_and_outer_semantics(spark):
+    from bigdataminingproject_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(11, 1), (13, 2)], "doc_id long, rank int"
+    )
+    out = {r["doc_id"]: r for r in rrf_fuse({"lex": lex, "vec": vec}, k=10).collect()}
+    # doc 11 appears in both systems: 1/62 + 1/61
+    assert out[11]["rrf"] == pytest.approx(round(1 / 62 + 1 / 61, 6), abs=1e-9)
+    assert out[11]["rank_lex"] == 2 and out[11]["rank_vec"] == 1
+    # single-system docs get one reciprocal and a null other-rank
+    assert out[10]["rrf"] == pytest.approx(round(1 / 61, 6), abs=1e-9)
+    assert out[10]["rank_vec"] is None
+    assert out[13]["rank_lex"] is None
+    # both-systems doc outranks every single-system doc
+    ordered = sorted(out.values(), key=lambda r: -r["rrf"])
+    assert ordered[0]["doc_id"] == 11
+
+
+def test_hybrid_search_composes_both_legs(spark, sf_dir):
+    from bigdataminingproject_spark.operators.retrieval import (
+        HYBRID_QUERY_TERMS,
+        HYBRID_QUERY_VEC,
+        hybrid_search,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    rows = hybrid_search(
+        docs, vecs, HYBRID_QUERY_TERMS, HYBRID_QUERY_VEC, k=10
+    ).collect()
+    assert len(rows) == 10
+    # fused ordering is (rrf desc, doc_id); every row cites at least
+    # one leg; the query vector itself is never a result
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(
+        r["rank_lex"] is not None or r["rank_vec"] is not None for r in rows
+    )
+    assert all(r["doc_id"] != HYBRID_QUERY_VEC or r["rank_lex"] for r in rows)
+
+
 # --- leakage-safe split ------------------------------------------------------
 
 
