@@ -60,6 +60,9 @@ HEADLINE = [
     "q_doc_winnow_pairs",
     "q_corpus_curation_v2",
     "q_corpus_curation_v3",
+    # round-4 second batch: SemDeDup cell join, RRF hybrid retrieval
+    "q_semantic_dedup",
+    "q_hybrid_search",
 ]
 
 

@@ -229,3 +229,34 @@ def test_rank_filters_get_partial_window_group_limit(spark, sf_dir):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan, q.__name__
         assert "Partial" in plan and "Final" in plan, q.__name__
+
+
+def test_round4_map_only_signals_have_no_agg_exchange(spark, sf_dir):
+    """blocklist_signals and chunk_documents are pure projections: the
+    only exchange allowed in their plans is the final presentation
+    sort. A groupBy/join sneaking into either would show up as a
+    second exchange here before it shows up as a 100 TB shuffle."""
+    from bigdataminingproject_spark.operators.packing import q_doc_chunks
+    from bigdataminingproject_spark.operators.quality import q_doc_blocklist
+
+    for q in (q_doc_blocklist, q_doc_chunks):
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("documents.parquet") == 1, q.__name__
+        n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+        assert n_exchange <= 1, f"{q.__name__}: {n_exchange} exchanges"
+
+
+def test_pmi_totals_reuse_aggregation_exchanges(spark, sf_dir):
+    """pmi_collocations derives its scalar totals from the unigram /
+    bigram count relations instead of re-scanning the corpus; AQE must
+    materialize each aggregation exchange once (ReusedExchange in the
+    executed plan). Pins the round-4 rewrite that took the plan from
+    four tokenizing scans to two."""
+    from bigdataminingproject_spark.operators.frequency import (
+        q_doc_pmi_collocations,
+    )
+
+    df = q_doc_pmi_collocations(spark, sf_dir)
+    df.collect()  # AQE reuse is a runtime decision
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
