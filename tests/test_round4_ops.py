@@ -147,6 +147,35 @@ def test_chunk_documents_covers_and_overlaps(spark):
     assert 2 not in by_doc
 
 
+def test_chunk_documents_invariants_all_lengths_0_to_80(spark):
+    """One Spark job covering every token length 0..80 at (32, 24):
+    chunk count is ceil(n/stride); concatenating chunks at stride
+    offsets reproduces the doc; the tail chunk is never empty."""
+    rows = []
+    for n in range(81):
+        toks = [f"t{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(n)]
+        rows.append((n, " ".join(toks), "src"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = chunk_documents(df, chunk_size=32, stride=24).collect()
+    by_doc: dict[int, dict[int, object]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    for n in range(81):
+        if n == 0:
+            assert n not in by_doc
+            continue
+        chunks = by_doc[n]
+        expect_chunks = -(-n // 24)  # ceil
+        assert len(chunks) == expect_chunks, f"n={n}"
+        assert set(chunks) == set(range(expect_chunks))
+        toks = [f"t{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(n)]
+        for idx, r in chunks.items():
+            start = idx * 24
+            expect = toks[start : start + 32]
+            assert r["chunk_text"].split() == expect, f"n={n} idx={idx}"
+            assert r["n_chunk_tokens"] == len(expect) > 0
+
+
 # --- PMI collocations --------------------------------------------------------
 
 
