@@ -26,7 +26,7 @@ from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
-from bigdataminingproject_spark.plans import curation
+from bigdataminingproject_spark.plans import curation, report
 from bigdataminingproject_spark.session import tune_session
 from bigdataminingproject_spark.streaming import pipeline as streaming_pipeline
 
@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_bpe_pairs": textstats.q_doc_bpe_pairs,
         "q_label_centroid_stats": similarity.q_label_centroid_stats,
         "q_hybrid_search": retrieval.q_hybrid_search,
+        "q_corpus_datacard": report.q_corpus_datacard,
         "q_corpus_curation_v3": curation.q_corpus_curation_v3,
         "q_doc_bm25_topk": frequency.q_doc_bm25_topk,
         "q_doc_bigram_nll": quality.q_doc_bigram_nll,
@@ -2905,6 +2906,45 @@ def oracle_sql() -> dict[str, str]:
         FROM lex l FULL OUTER JOIN vecr r ON r.doc_id = l.doc_id
         ORDER BY rrf DESC, doc_id
         LIMIT 10
+    """
+
+    # q_corpus_datacard: per-source volume / language-entropy /
+    # dup-pressure report; entropy via ln(N) - (sum n ln n)/N over
+    # integer counts (no per-language join-back), stable mean division.
+    sql["q_corpus_datacard"] = f"""
+        WITH {_TOKS_CTE},
+        base AS (
+            SELECT tb.source, d.lang,
+                   CAST(len(tb.raw_toks) AS BIGINT) AS nt,
+                   md5(d.text) AS gk
+            FROM tok_base tb JOIN documents d USING (doc_id)
+        ),
+        by_lang AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(nt) AS BIGINT) AS ntl
+            FROM base GROUP BY 1, 2
+        ),
+        per_source AS (
+            SELECT source,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(ntl) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   sum(n * ln(n)) AS snln
+            FROM by_lang GROUP BY source
+        ),
+        dups AS (
+            SELECT source,
+                   CAST(count(*) - count(DISTINCT gk) AS BIGINT)
+                       AS dup_docs
+            FROM base GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, n_langs,
+               round(ln(n_docs) - snln / n_docs, 4) AS lang_entropy,
+               dup_docs,
+               floor(CAST(n_tokens AS DOUBLE) * 100.0 / n_docs + 0.5)
+                   / 100.0 AS mean_doc_tokens
+        FROM per_source JOIN dups USING (source)
+        ORDER BY source
     """
 
     # q_doc_leakage_split: split variate = hash_uniform(md5(text)) —

@@ -295,6 +295,39 @@ def test_label_centroid_stats_exact_on_tiny_fixture(spark):
     assert out[1]["mean_cos"] == pytest.approx(1.0, abs=1e-9)
 
 
+# --- corpus data card --------------------------------------------------------
+
+
+def test_corpus_datacard_exact_on_fixture(spark):
+    import math as _m
+
+    from bigdataminingproject_spark.plans.report import corpus_datacard
+
+    rows = [
+        # srcA: 3 docs, 2 langs (2 en / 1 de), one exact dup pair
+        (0, "alpha beta", "en", "srcA"),
+        (1, "alpha beta", "en", "srcA"),
+        (2, "gamma delta epsilon", "de", "srcA"),
+        # srcB: 1 doc, 1 lang, no dups
+        (3, "zeta", "fr", "srcB"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["source"]: r for r in corpus_datacard(df).collect()}
+    a = out["srcA"]
+    assert a["n_docs"] == 3 and a["n_tokens"] == 7 and a["n_langs"] == 2
+    assert a["dup_docs"] == 1
+    # H = ln(3) - (2 ln 2 + 1 ln 1)/3
+    assert a["lang_entropy"] == pytest.approx(
+        round(_m.log(3) - (2 * _m.log(2)) / 3, 4), abs=1e-9
+    )
+    assert a["mean_doc_tokens"] == pytest.approx(2.33, abs=1e-9)
+    b = out["srcB"]
+    assert b["n_docs"] == 1 and b["lang_entropy"] == 0.0
+    assert b["dup_docs"] == 0 and b["mean_doc_tokens"] == 1.0
+
+
 # --- hybrid retrieval (RRF) --------------------------------------------------
 
 
