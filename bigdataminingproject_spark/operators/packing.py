@@ -117,6 +117,7 @@ def chunk_documents(
     stride: int = CHUNK_STRIDE,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Split each document into overlapping fixed-token chunks (the RAG
     / embedding-index chunker: stride < chunk_size keeps a context
@@ -146,18 +147,16 @@ def chunk_documents(
     chunk_toks = F.slice(
         F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_size
     )
-    return (
-        base.select(
-            "doc_id", "_toks", F.explode("_idx").alias("chunk_idx")
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.size(chunk_toks).alias("n_chunk_tokens"),
-            F.concat_ws(" ", chunk_toks).alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_idx")
+    out = base.select(
+        "doc_id", "_toks", F.explode("_idx").alias("chunk_idx")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk_toks).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
     )
+    # ordered=False: streaming-safe / 100 TB shape (no presentation sort)
+    return out.orderBy("doc_id", "chunk_idx") if ordered else out
 
 
 # --- query registry entry ---------------------------------------------------

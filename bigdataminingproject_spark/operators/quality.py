@@ -609,6 +609,7 @@ def blocklist_signals(
     max_bp: int = BLOCKLIST_MAX_BP,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-document blocked-token count / fraction and a keep flag.
 
@@ -619,21 +620,26 @@ def blocklist_signals(
     shuffles, whole-stage codegen, trivially parallel at 100 TB.
 
     Fractions are integer basis points (see module docstring); empty
-    docs report 0 bp and keep=true.
+    docs report 0 bp and keep=true. ``ordered=False`` skips the final
+    presentation sort — required on streaming inputs (global sort is
+    illegal in append mode) and the shape a 100 TB batch deploy wants
+    anyway; the operator is otherwise streaming-safe as-is (stateless
+    projection).
     """
     toks = tokenize(F.col(text_col))
     bl = F.array(*[F.lit(w) for w in blocklist])
     blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
     total = F.size(toks)
     bp = F.when(total > 0, _bp(blocked, total)).otherwise(F.lit(0))
-    return docs.select(
+    out = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col("source"),
         total.alias("n_tokens"),
         blocked.alias("blocked_tokens"),
         bp.alias("blocked_bp"),
         (bp <= F.lit(max_bp)).alias("keep"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def q_doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -295,6 +295,41 @@ def test_label_centroid_stats_exact_on_tiny_fixture(spark):
     assert out[1]["mean_cos"] == pytest.approx(1.0, abs=1e-9)
 
 
+# --- streaming compatibility of the stateless round-4 signals ---------------
+
+
+def test_blocklist_and_chunker_run_on_streams(spark, sf_dir, tmp_path):
+    """blocklist_signals and chunk_documents are stateless projections,
+    so the SAME operator code runs unchanged on a Structured Streaming
+    source and matches its batch output (drop the presentation orderBy,
+    which append-mode streams disallow — at 100 TB that's the shape
+    you'd deploy anyway)."""
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.pipeline import run_to_memory
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = file_replay_source(
+        spark, docs, str(tmp_path / "r4stream"), chunks=4, files_per_trigger=2
+    )
+    for op, sink in (
+        (blocklist_signals, "bl_stream"),
+        (chunk_documents, "ck_stream"),
+    ):
+        run_to_memory(
+            op(stream, ordered=False), sink, output_mode="append"
+        )
+        got = spark.table(sink)
+        expect = op(docs, ordered=False)
+        assert got.count() == expect.count()
+        assert (
+            got.exceptAll(expect).count() == 0
+            and expect.exceptAll(got).count() == 0
+        )
+
+
 # --- corpus data card --------------------------------------------------------
 
 
