@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # down is this round's rotation priority (VERDICT r3 #4).
     return {
         # tier 0 (round 4): new or semantics-changed this round
+        "q_doc_span_dedup": dedup.q_doc_span_dedup,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -858,6 +859,47 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY content_hash
         HAVING count(*) > 1
         ORDER BY content_hash
+    """
+
+    # q_doc_span_dedup: exact-substring dedup (Lee et al. 2022 shape) —
+    # fixed 16-token non-overlapping spans, keep the globally first
+    # occurrence of each span hash in (doc_id, span_idx) stream order,
+    # attest the rebuilt text by md5.
+    sql["q_doc_span_dedup"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN []
+                        ELSE string_split(text, ' ') END AS toks
+            FROM documents
+        ),
+        spans AS (
+            SELECT b.doc_id, i.i AS span_idx,
+                   array_to_string(
+                       list_slice(b.toks, i.i*16 + 1, i.i*16 + 16), ' '
+                   ) AS span_text
+            FROM base b
+            JOIN LATERAL (
+                SELECT unnest(generate_series(
+                    0, CAST(ceil(len(b.toks)/16.0) AS BIGINT) - 1)) AS i
+            ) i ON true
+        ),
+        flagged AS (
+            SELECT doc_id, span_idx, span_text,
+                   row_number() OVER (
+                       PARTITION BY md5(span_text)
+                       ORDER BY doc_id, span_idx) AS rn
+            FROM spans
+        )
+        SELECT doc_id,
+               count(*) AS n_spans,
+               count(*) FILTER (WHERE rn = 1) AS kept_spans,
+               count(*) FILTER (WHERE rn > 1) AS removed_spans,
+               md5(coalesce(string_agg(span_text, ' ' ORDER BY span_idx)
+                                FILTER (WHERE rn = 1), '')) AS clean_hash,
+               CAST(coalesce(sum(len(string_split(span_text, ' ')))
+                                 FILTER (WHERE rn = 1), 0)
+                    AS BIGINT) AS kept_tokens
+        FROM flagged GROUP BY doc_id ORDER BY doc_id
     """
 
     sql["q_ngram_jaccard"] = f"""

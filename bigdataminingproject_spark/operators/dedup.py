@@ -419,3 +419,109 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.5)
     return connected_components(pairs).orderBy("doc_id")
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring (span-level) dedup, Lee et al. 2022 shape.
+
+    Deduplicating Training Data Makes Language Models Better removes
+    *repeated substrings* rather than whole documents: a doc that quotes
+    fifty tokens of another doc keeps its unique prose and loses only
+    the quoted span. The suffix-array construction of the paper is not
+    relational; the industrial approximation (used by Dolma's paragraph
+    dedup and SlimPajama) is to cut each document into fixed-width,
+    non-overlapping token spans, hash each span, and keep only the
+    globally FIRST occurrence of every span hash (stream order =
+    (doc_id, span_idx), matching the corpus-order semantics of the
+    reference's check-then-insert duplicate detector,
+    streaming/detectors/duplicate_detector.py:44-61).
+
+    Plan: split -> bounded slice fanout (ceil(n/W) spans per doc, ~1/W of
+    the exploded-token row count) -> ONE shuffle on the 128-bit span hash
+    for the first-occurrence window -> ONE shuffle back on doc_id to
+    reassemble. No self-join, no quadratic term anywhere: at 100 TB the
+    span relation is smaller than the corpus itself and both exchanges
+    hash-partition on high-cardinality keys.
+
+    Returns one row per input document: span counts, the md5 of the
+    rebuilt (deduplicated) text, and the kept token count.
+    """
+    toks = F.when(
+        F.length(F.col(text_col)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("_toks")
+    ).select(
+        "doc_id",
+        "_toks",
+        F.ceil(F.size("_toks") / F.lit(float(span_tokens)))
+        .cast("long")
+        .alias("_n_spans"),
+    )
+    # sequence(0, n-1) is DESCENDING for n == 0 in Spark — guard it.
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(F.col("_n_spans") > 0,
+                   F.sequence(F.lit(0), F.col("_n_spans") - 1))
+            .otherwise(F.array().cast("array<long>"))
+        ).alias("span_idx", "_i"),
+        F.col("_toks"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.array_join(
+            F.slice(
+                "_toks",
+                (F.col("span_idx") * span_tokens + 1).cast("int"),
+                span_tokens,
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("span_text")).orderBy("doc_id", "span_idx")
+    flagged = spans.withColumn("_rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_rn") == 1).cast("long")).alias("kept_spans"),
+            F.sum((F.col("_rn") > 1).cast("long")).alias("removed_spans"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rn") == 1,
+                                    F.struct("span_idx", "span_text"),
+                                )
+                            )
+                        ),
+                        lambda s: s["span_text"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_hash"),
+            F.sum(
+                F.when(
+                    F.col("_rn") == 1,
+                    F.size(F.split("span_text", " ")),
+                ).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+        )
+    )
+
+
+def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup over the corpus: per-doc span
+    accounting plus an md5 attestation of the rebuilt text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_dedup(docs, span_tokens=16).orderBy("doc_id")

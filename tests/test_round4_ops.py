@@ -443,3 +443,65 @@ def test_leakage_split_keeps_duplicates_on_one_side(spark):
         # dup groups of 3 never straddle: doc count is a multiple of 3
         assert out[sp]["n_docs"] % 3 == 0
         assert out[sp]["n_groups"] == out[sp]["n_docs"] // 3
+
+
+# --- span-level exact-substring dedup ---------------------------------------
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(
+        list(enumerate(rows)), "doc_id long, text string"
+    )
+
+
+def test_span_dedup_removes_later_copies_only(spark):
+    from bigdataminingproject_spark.operators.dedup import span_dedup
+
+    span = "a b c d"  # W=4 -> exactly one span
+    docs = _span_docs(
+        spark,
+        [
+            span,                      # doc 0: first occurrence, kept
+            span,                      # doc 1: later copy, removed
+            span + " x y z w",         # doc 2: copy + unique tail span
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(docs, span_tokens=4).collect()
+    }
+    assert out[0]["kept_spans"] == 1 and out[0]["removed_spans"] == 0
+    assert out[1]["kept_spans"] == 0 and out[1]["removed_spans"] == 1
+    assert out[2]["kept_spans"] == 1 and out[2]["removed_spans"] == 1
+    assert out[2]["kept_tokens"] == 4
+    # doc 1 rebuilds to the empty string
+    import hashlib
+
+    assert out[1]["clean_hash"] == hashlib.md5(b"").hexdigest()
+    # doc 2 rebuilds to its unique tail
+    assert (
+        out[2]["clean_hash"]
+        == hashlib.md5(b"x y z w").hexdigest()
+    )
+
+
+def test_span_dedup_short_and_empty_docs(spark):
+    from bigdataminingproject_spark.operators.dedup import span_dedup
+
+    docs = _span_docs(spark, ["", "solo", "solo"])
+    rows = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=8).collect()}
+    # empty text -> zero spans -> the doc drops out of the span relation
+    assert 0 not in rows
+    # a sub-width doc still forms one (short) span; the second copy dedups
+    assert rows[1]["kept_spans"] == 1
+    assert rows[2]["removed_spans"] == 1
+
+
+def test_span_dedup_first_occurrence_is_stream_order(spark):
+    from bigdataminingproject_spark.operators.dedup import span_dedup
+
+    # same span appears twice inside ONE doc: position order decides
+    docs = _span_docs(spark, ["p q r s p q r s"])
+    row = span_dedup(docs, span_tokens=4).collect()[0]
+    assert row["n_spans"] == 2
+    assert row["kept_spans"] == 1 and row["removed_spans"] == 1
