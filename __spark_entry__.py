@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier 0 (round 4): new or semantics-changed this round
         "q_doc_span_dedup": dedup.q_doc_span_dedup,
         "q_knn_sq8": similarity.q_knn_sq8,
+        "q_kmeans_clusters": similarity.q_kmeans_clusters,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -1209,6 +1210,69 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
     """
+
+    # q_kmeans_clusters: DuckDB replays the SAME deterministic Lloyd
+    # iterations as kmeans_relational — smallest-id init, index-order
+    # zipped-diff distances (list_dot_product), round(dist,6) argmin
+    # with cluster-id ties, round(sum,6)/count centroid quantization —
+    # as a programmatically built CTE chain (one d/a/cd/c block per
+    # iteration).
+    _km_k, _km_iters = 10, 2
+    _km = [
+        """
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+                   vec AS carr
+            FROM v
+            QUALIFY row_number() OVER (ORDER BY vec_id) <= %d
+        )"""
+        % _km_k
+    ]
+    for _t in range(1, _km_iters + 2):
+        _prev_c = f"c{_t - 1}"
+        _km.append(
+            f"""
+        d{_t} AS (
+            SELECT v.vec_id, v.vec, c.cluster,
+                   round(list_dot_product(t.dd, t.dd), 6) AS dist
+            FROM v CROSS JOIN {_prev_c} c,
+                 LATERAL (SELECT list_transform(
+                     list_zip(v.vec, c.carr), s -> s[1] - s[2]) AS dd) t
+        ),
+        a{_t} AS (
+            SELECT vec_id, vec, cluster, dist
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+                  FROM d{_t})
+            WHERE rn = 1
+        )"""
+        )
+        if _t <= _km_iters:
+            _km.append(
+                f"""
+        cd{_t} AS (
+            SELECT cluster, i AS dim, round(sum(x), 6)/count(*) AS m
+            FROM (SELECT cluster, generate_subscripts(vec, 1) AS i,
+                         unnest(vec) AS x
+                  FROM a{_t})
+            GROUP BY cluster, i
+        ),
+        c{_t} AS (
+            SELECT cluster, list(m ORDER BY dim) AS carr
+            FROM cd{_t} GROUP BY cluster
+        )"""
+            )
+    sql["q_kmeans_clusters"] = (
+        "WITH "
+        + ",".join(_km)
+        + f"""
+        SELECT vec_id, cluster, dist
+        FROM a{_km_iters + 1}
+        ORDER BY vec_id
+    """
+    )
 
     # q_knn_sq8: int8 scalar quantization — DuckDB recomputes the
     # per-dim min/max (order-insensitive, bit-identical), decodes each

@@ -956,3 +956,115 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 5)
     return sq8_knn(vecs, queries, k=10)
+
+
+def _sq_l2(vec: Column, cent: Column) -> Column:
+    """Squared L2 distance as an index-order fold (bit-stable against an
+    oracle that diffs zipped lists and sums in index order)."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, m: (x - m) * (x - m)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans_relational(
+    vectors: DataFrame,
+    k: int = 10,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means expressed as DataFrame plans — the
+    iterative-algorithm pattern (MLlib's shape): centroids are a k x dim
+    driver-side table (bounded collect, like the IVF training sample),
+    broadcast into each assignment scan as literal arrays; the centroid
+    UPDATE is a relational explode + hash-aggregate, so the heavy side
+    never leaves the cluster.
+
+    Determinism contract (what makes a DuckDB oracle possible):
+    - init = the k vectors with the smallest ids, cluster c = rank;
+    - assignment distance is an index-order fold, rounded to 6dp, ties
+      broken by smallest cluster id;
+    - centroid coordinates are quantized round(sum,6)/count before
+      reuse (the label_centroid_stats parity rule), so both engines walk
+      the same doubles into the next iteration;
+    - a cluster that attracts no members is dropped (both engines'
+      group-by semantics), not frozen.
+
+    Per iteration: one scan for assignment (no shuffle — centroid side is
+    a literal) + one explode/hash-agg shuffle on (cluster, dim) whose key
+    space is k x dim regardless of corpus size. Returns the assignment
+    under the final centroids: (vec_id, cluster, dist).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    init = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select("vec", F.col("vec_id"))
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (c, list(r["vec"])) for c, r in enumerate(init)
+    ]
+
+    def assign(cur: list[tuple[int, list[float]]]) -> DataFrame:
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _sq_l2(
+                            F.col("vec"),
+                            F.array(*[F.lit(float(x)) for x in arr]),
+                        ),
+                        6,
+                    ).alias("dist"),
+                    F.lit(int(c)).alias("cluster"),
+                )
+                for c, arr in cur
+            ]
+        )
+        best = F.array_min(cands)
+        return v.select(
+            "vec_id",
+            "vec",
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("dist"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        cent_rows = (
+            assigned.select(
+                "cluster", F.posexplode("vec").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                (F.round(F.sum("x"), 6) / F.count(F.lit(1))).alias("m")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "m"))
+                    ),
+                    lambda s: s["m"],
+                ).alias("carr")
+            )
+            .collect()
+        )
+        cents = sorted(
+            (r["cluster"], list(r["carr"])) for r in cent_rows
+        )
+
+    return assign(cents).select("vec_id", "cluster", "dist")
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final k-means assignment (k=10, 2 Lloyd iterations, deterministic
+    smallest-id init) over the embedding corpus."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return kmeans_relational(vecs, k=10, iters=2).orderBy("vec_id")

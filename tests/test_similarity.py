@@ -266,3 +266,52 @@ def test_sq8_zero_span_dim_is_constant(spark):
     out = sq8_knn(vecs, vecs.filter("vec_id = 0"), k=2, dim=2).collect()
     assert len(out) == 2
     assert all(r["sq8_cosine"] == r["sq8_cosine"] for r in out)  # no NaN
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: every point must land with its blob's
+    seed regardless of iteration count."""
+    from bigdataminingproject_spark.operators.similarity import (
+        kmeans_relational,
+    )
+
+    rows = []
+    blobs = {0: (10.0, 0.0), 1: (0.0, 10.0), 2: (-10.0, -10.0)}
+    # ids round-robin across blobs so the smallest-id init picks one
+    # seed per blob (ids 0,1,2) and cluster ids align with blob ids
+    for j, (dx, dy) in enumerate([(0, 0), (0.5, 0), (0, 0.5), (-0.5, 0.5)]):
+        for b, (cx, cy) in blobs.items():
+            rows.append((j * 3 + b, [cx + dx, cy + dy], b))
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, blob int"
+    )
+    out = kmeans_relational(vecs, k=3, iters=2).collect()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    truth = {r[0]: r[2] for r in rows}
+    assert all(got[v] == truth[v] for v in got)
+
+
+def test_kmeans_deterministic_and_improves(spark, sf_dir):
+    """Same input -> identical assignment both runs; mean distance after
+    2 iterations is no worse than after 0 (Lloyd monotonicity)."""
+    from bigdataminingproject_spark.operators.similarity import (
+        kmeans_relational,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    a = kmeans_relational(vecs, k=10, iters=2).orderBy("vec_id").collect()
+    b = kmeans_relational(vecs, k=10, iters=2).orderBy("vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    d0 = (
+        kmeans_relational(vecs, k=10, iters=0)
+        .agg(F.avg("dist"))
+        .collect()[0][0]
+    )
+    d2 = (
+        kmeans_relational(vecs, k=10, iters=2)
+        .agg(F.avg("dist"))
+        .collect()[0][0]
+    )
+    assert d2 <= d0 + 1e-9
