@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_span_dedup": dedup.q_doc_span_dedup,
         "q_knn_sq8": similarity.q_knn_sq8,
         "q_kmeans_clusters": similarity.q_kmeans_clusters,
+        "q_token_pagerank": frequency.q_token_pagerank,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -2843,6 +2844,71 @@ def oracle_sql() -> dict[str, str]:
     # q_doc_pmi_collocations: PMI over stopword-filtered adjacent
     # bigrams; counts/totals are exact integers, the single ln is
     # rounded 4dp BEFORE the (pmi, bigram) top-k order.
+    # q_token_pagerank: DuckDB replays the quantized PageRank walk —
+    # symmetrized adjacent-bigram edges over the same stop-filtered
+    # token stream, uniform 1/N init, 10dp-quantized in-sums and rank
+    # values per iteration (one CTE block per iteration), ranked cut.
+    _pr_d, _pr_iters = 0.85, 3
+    _pr_blocks = [
+        f"""
+        tok_seq AS (
+            SELECT doc_id,
+                   unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM tok_clean
+        ),
+        bgc AS (
+            SELECT a.tok AS w1, b.tok AS w2, count(*) AS c
+            FROM tok_seq a
+            JOIN tok_seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            GROUP BY a.tok, b.tok
+        ),
+        edges AS (
+            SELECT src, dst, CAST(sum(c) AS DOUBLE) AS w
+            FROM (SELECT w1 AS src, w2 AS dst, c FROM bgc
+                  UNION ALL
+                  SELECT w2 AS src, w1 AS dst, c FROM bgc)
+            GROUP BY src, dst
+        ),
+        outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+        nn AS (SELECT count(*) AS n FROM outw),
+        pr0 AS (
+            SELECT src AS token, round(1.0 / nn.n, 10) AS pr
+            FROM outw, nn
+        )"""
+    ]
+    for _t in range(1, _pr_iters + 1):
+        _pr_blocks.append(
+            f"""
+        pr{_t} AS (
+            SELECT o.src AS token,
+                   round((1.0 - {_pr_d}) / nn.n
+                         + {_pr_d} * coalesce(c.contrib, 0.0), 10) AS pr
+            FROM outw o
+            CROSS JOIN nn
+            LEFT JOIN (
+                SELECT e.dst,
+                       round(sum(p.pr * e.w / ow.out_w), 10) AS contrib
+                FROM edges e
+                JOIN pr{_t - 1} p ON p.token = e.src
+                JOIN outw ow ON ow.src = e.src
+                GROUP BY e.dst
+            ) c ON c.dst = o.src
+        )"""
+        )
+    sql["q_token_pagerank"] = (
+        f"WITH {_TOKS_CTE},"
+        + ",".join(_pr_blocks)
+        + f"""
+        SELECT token, pr,
+               CAST(row_number() OVER (ORDER BY pr DESC, token)
+                    AS INT) AS rank
+        FROM pr{_pr_iters}
+        ORDER BY pr DESC, token
+        LIMIT 20
+    """
+    )
+
     sql["q_doc_pmi_collocations"] = f"""
         WITH {_TOKS_CTE},
         tp AS (

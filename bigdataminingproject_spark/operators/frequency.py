@@ -351,3 +351,101 @@ def q_doc_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("token") / F.count(F.lit(1)), 6
         ).alias("type_token_ratio"),
     )
+
+
+def token_pagerank(
+    docs: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """PageRank over the token co-occurrence graph — the iterative graph
+    algorithm of the registry (TextRank, Mihalcea & Tarau 2004: keyword
+    salience from adjacency structure rather than raw frequency).
+
+    Graph: nodes = stopword-filtered vocabulary; undirected edges =
+    adjacent-token pairs weighted by co-occurrence count (each bigram
+    contributes to both directions). Every node of the symmetrized graph
+    has out-mass, so there is no dangling-node term.
+
+    Iteration (uniform init 1/N):
+        pr'(v) = (1-d)/N + d * sum_u pr(u) * w(u,v) / out_w(u)
+    with the in-sum quantized at 10dp before the affine step and the
+    result re-quantized at 10dp — the walk stays on engine-identical
+    doubles, so a DuckDB CTE chain replays it bit-for-bit.
+
+    Scale shape: the edge relation is vocabulary-sized (quadratic only
+    in adjacent-PAIR diversity, not corpus size) and each iteration is
+    one broadcast-sized join + hash-agg on the dst key; N reaches the
+    driver as a single long. No per-iteration collect of the rank
+    vector itself — it stays a DataFrame end to end.
+    """
+    from bigdataminingproject_spark.functions.text import shingles
+
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    bgc = (
+        docs.select(F.explode(shingles(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c",
+        )
+    )
+    edges = (
+        bgc.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "c")
+        .unionAll(
+            bgc.select(
+                F.col("w2").alias("src"), F.col("w1").alias("dst"), "c"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("c").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    n_nodes = outw.count()  # ONE driver long (vocabulary size)
+    if n_nodes == 0:
+        spark = docs.sparkSession
+        return spark.createDataFrame(
+            [], "token string, pr double, rank int"
+        )
+    resid = F.lit(1.0) - F.lit(damping)
+    pr = outw.select(
+        F.col("src").alias("token"),
+        F.round(F.lit(1.0) / F.lit(n_nodes), 10).alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["token"])
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.sum(F.col("pr") * F.col("w") / F.col("out_w")), 10
+                ).alias("contrib")
+            )
+        )
+        pr = (
+            outw.join(contrib, outw["src"] == contrib["dst"], "left")
+            .select(
+                F.col("src").alias("token"),
+                F.round(
+                    resid / F.lit(n_nodes)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)),
+                    10,
+                ).alias("pr"),
+            )
+        )
+    # TakeOrderedAndProject cut FIRST (distributed top-n over the
+    # vocab-sized rank vector), then the rank window runs on top_n rows.
+    top = pr.orderBy(F.desc("pr"), F.asc("token")).limit(top_n)
+    w = Window.orderBy(F.desc("pr"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by co-occurrence-graph PageRank (3 iterations)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_pagerank(docs, damping=0.85, iters=3, top_n=20)

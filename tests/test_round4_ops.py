@@ -505,3 +505,54 @@ def test_span_dedup_first_occurrence_is_stream_order(spark):
     row = span_dedup(docs, span_tokens=4).collect()[0]
     assert row["n_spans"] == 2
     assert row["kept_spans"] == 1 and row["removed_spans"] == 1
+
+
+# --- token co-occurrence PageRank -------------------------------------------
+
+
+def test_pagerank_hub_ranks_first(spark):
+    """A star graph: the hub token adjacent to every spoke must out-rank
+    all spokes."""
+    from bigdataminingproject_spark.operators.frequency import (
+        token_pagerank,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            "hub alpha",
+            "hub beta",
+            "hub gamma",
+            "hub delta",
+            "hub epsilon",
+        ],
+    )
+    out = token_pagerank(docs, iters=3, top_n=10).collect()
+    assert out[0]["token"] == "hub"
+    assert out[0]["rank"] == 1
+    # spokes are symmetric: identical pr, ranked alphabetically
+    spokes = [r for r in out if r["token"] != "hub"]
+    assert len({r["pr"] for r in spokes}) == 1
+    assert [r["token"] for r in spokes] == sorted(r["token"] for r in spokes)
+
+
+def test_pagerank_mass_is_conserved(spark, sf_dir):
+    """Total PageRank over the full vocabulary stays ~1 after any number
+    of iterations (symmetrized graph has no dangling leak)."""
+    from bigdataminingproject_spark.operators.frequency import (
+        token_pagerank,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_pagerank(docs, iters=3, top_n=10_000).collect()
+    assert abs(sum(r["pr"] for r in out) - 1.0) < 1e-6
+
+
+def test_pagerank_empty_corpus(spark):
+    from bigdataminingproject_spark.operators.frequency import (
+        token_pagerank,
+    )
+
+    docs = _docs(spark, ["solo"])  # one token -> no bigrams -> no graph
+    assert token_pagerank(docs).count() == 0
