@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_sq8": similarity.q_knn_sq8,
         "q_kmeans_clusters": similarity.q_kmeans_clusters,
         "q_token_pagerank": frequency.q_token_pagerank,
+        "q_source_divergence": textstats.q_source_divergence,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -2844,6 +2845,47 @@ def oracle_sql() -> dict[str, str]:
     # q_doc_pmi_collocations: PMI over stopword-filtered adjacent
     # bigrams; counts/totals are exact integers, the single ln is
     # rounded 4dp BEFORE the (pmi, bigram) top-k order.
+    # q_source_divergence: same single (source, token) count relation
+    # re-aggregated three ways; probabilities are exact-long ratios and
+    # only the ln-term sums are rounded (6dp).
+    sql["q_source_divergence"] = f"""
+        WITH {_TOKS_CTE},
+        sc AS (
+            SELECT source, w, count(*) AS c_sv
+            FROM (SELECT source, unnest(toks) AS w FROM tok_clean)
+            GROUP BY source, w
+        ),
+        st AS (SELECT source, CAST(sum(c_sv) AS BIGINT) AS t_s
+               FROM sc GROUP BY source),
+        cc AS (SELECT w, CAST(sum(c_sv) AS BIGINT) AS c_v
+               FROM sc GROUP BY w),
+        tot AS (SELECT CAST(sum(c_v) AS BIGINT) AS t FROM cc),
+        grid AS (
+            SELECT st.source, cc.w, st.t_s, cc.c_v, tot.t, sc.c_sv
+            FROM st CROSS JOIN cc CROSS JOIN tot
+            LEFT JOIN sc ON sc.source = st.source AND sc.w = cc.w
+        ),
+        terms AS (
+            SELECT source, t_s, c_sv,
+                   coalesce(c_sv, 0) / CAST(t_s AS DOUBLE) AS p,
+                   c_v / CAST(t AS DOUBLE) AS q
+            FROM grid
+        )
+        SELECT source,
+               min(t_s) AS n_tokens,
+               CAST(count(c_sv) AS BIGINT) AS vocab_size,
+               round(sum(CASE WHEN p > 0 THEN p * ln(p / q)
+                              ELSE 0.0 END), 6) AS kl_vs_corpus,
+               round(sum(0.5 * (CASE WHEN p > 0
+                                     THEN p * ln(2.0 * p / (p + q))
+                                     ELSE 0.0 END)
+                         + 0.5 * q * ln(2.0 * q / (p + q))),
+                     6) AS jsd_vs_corpus
+        FROM terms
+        GROUP BY source
+        ORDER BY source
+    """
+
     # q_token_pagerank: DuckDB replays the quantized PageRank walk —
     # symmetrized adjacent-bigram edges over the same stop-filtered
     # token stream, uniform 1/N init, 10dp-quantized in-sums and rank

@@ -278,3 +278,78 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.cast("long").alias("ws_tokens"),
         bpe.cast("long").alias("bpe_ish_tokens"),
     ).orderBy("doc_id")
+
+
+def source_divergence(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus: KL(P_s
+    || Q) and Jensen-Shannon divergence — the monitoring signal that
+    flags a crawl source whose content shifted between two pipeline
+    runs (or an over-filtered stratum) before it skews the mixture.
+
+    Every count relation re-aggregates from the single (source, token)
+    hash-agg (AQE reuses its exchange; the corpus is scanned ONCE):
+      c_sv -> per-source totals T_s, corpus counts c_v, corpus total T.
+    The divergence grid is sources x vocabulary — independent of corpus
+    row count — and each divergence is one hash-agg over that grid.
+    P terms with c_sv = 0 contribute 0 to KL; the JSD mixture term is
+    well-defined everywhere because q_v > 0 for every vocab entry.
+
+    Parity: probabilities are ratios of exact longs (deterministic
+    doubles); the ln-term sums are the only order-sensitive float
+    reductions and are rounded at 6dp (the repo-wide quantization rule,
+    same class as PMI / unigram-NLL).
+    """
+    from bigdataminingproject_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    tk = docs.select(F.col(source_col).alias("source"), toks.alias("_t"))
+    sc = (
+        tk.select("source", F.explode("_t").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c_sv"))
+    )
+    st = sc.groupBy("source").agg(F.sum("c_sv").alias("t_s"))
+    cc = sc.groupBy("w").agg(F.sum("c_sv").alias("c_v"))
+    tot = cc.agg(F.sum("c_v").alias("t"))
+    grid = (
+        st.crossJoin(F.broadcast(cc))
+        .join(sc, ["source", "w"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.coalesce(F.col("c_sv"), F.lit(0)).cast("double") / F.col("t_s")
+    q = F.col("c_v").cast("double") / F.col("t")
+    kl_term = F.when(p > 0, p * F.log(p / q)).otherwise(F.lit(0.0))
+    jsd_term = (
+        F.lit(0.5)
+        * F.when(p > 0, p * F.log(F.lit(2.0) * p / (p + q))).otherwise(
+            F.lit(0.0)
+        )
+        + F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q))
+    )
+    return (
+        grid.groupBy("source")
+        .agg(
+            F.min("t_s").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("c_sv").isNotNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("vocab_size"),
+            F.round(F.sum(kl_term), 6).alias("kl_vs_corpus"),
+            F.round(F.sum(jsd_term), 6).alias("jsd_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution KL / JSD of every source against the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return source_divergence(docs)

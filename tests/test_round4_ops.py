@@ -556,3 +556,49 @@ def test_pagerank_empty_corpus(spark):
 
     docs = _docs(spark, ["solo"])  # one token -> no bigrams -> no graph
     assert token_pagerank(docs).count() == 0
+
+
+# --- source divergence (KL / JSD drift monitor) ------------------------------
+
+
+def test_divergence_zero_for_identical_sources(spark):
+    """Two sources with identical token distributions: KL and JSD are 0."""
+    from bigdataminingproject_spark.operators.textstats import (
+        source_divergence,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "a"),
+        (1, "alpha beta gamma", "b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r for r in source_divergence(docs).collect()}
+    assert out["a"]["kl_vs_corpus"] == 0.0
+    assert out["a"]["jsd_vs_corpus"] == 0.0
+    assert out["b"]["kl_vs_corpus"] == 0.0
+
+
+def test_divergence_orders_drifted_source_higher(spark):
+    """A source with a disjoint vocabulary diverges more than one that
+    matches the corpus majority."""
+    from bigdataminingproject_spark.operators.textstats import (
+        source_divergence,
+    )
+
+    rows = [
+        (0, "alpha beta alpha beta", "majority"),
+        (1, "alpha beta alpha beta", "majority2"),
+        (2, "zeta theta zeta theta", "drifted"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {r["source"]: r for r in source_divergence(docs).collect()}
+    assert out["drifted"]["kl_vs_corpus"] > out["majority"]["kl_vs_corpus"]
+    assert out["drifted"]["jsd_vs_corpus"] > out["majority"]["jsd_vs_corpus"]
+    # JSD is bounded by ln(2)
+    assert out["drifted"]["jsd_vs_corpus"] <= 0.6931 + 1e-6
+    assert out["drifted"]["vocab_size"] == 2
+    assert out["drifted"]["n_tokens"] == 4
