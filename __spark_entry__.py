@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kmeans_clusters": similarity.q_kmeans_clusters,
         "q_token_pagerank": frequency.q_token_pagerank,
         "q_source_divergence": textstats.q_source_divergence,
+        "q_events_cohort_retention": events.q_events_cohort_retention,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -2723,6 +2724,33 @@ def oracle_sql() -> dict[str, str]:
                AND du.u_day <= d.day
         GROUP BY d.day
         ORDER BY d.day
+    """
+
+    # q_events_cohort_retention: integer day-index // 7 period, first
+    # period = cohort, matrix join back to the offset-0 cell, stable
+    # half-up rate division.
+    sql["q_events_cohort_retention"] = """
+        WITH uw AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(floor(date_diff('day', DATE '2024-01-01',
+                              CAST(date_trunc('day', ts) AS DATE)) / 7.0)
+                        AS BIGINT) AS wk
+            FROM events
+        ),
+        coh AS (SELECT u, min(wk) AS cohort_week FROM uw GROUP BY u),
+        m AS (
+            SELECT c.cohort_week, uw.wk - c.cohort_week AS period_offset,
+                   count(DISTINCT uw.u) AS active_users
+            FROM uw JOIN coh c ON c.u = uw.u
+            GROUP BY c.cohort_week, uw.wk - c.cohort_week
+        ),
+        base AS (SELECT cohort_week, active_users AS cohort_size
+                 FROM m WHERE period_offset = 0)
+        SELECT m.cohort_week, m.period_offset, m.active_users, b.cohort_size,
+               floor(m.active_users * 10000.0 / b.cohort_size + 0.5)
+                   / 10000 AS retention_rate
+        FROM m JOIN base b ON b.cohort_week = m.cohort_week
+        ORDER BY m.cohort_week, m.period_offset
     """
 
     # q_media_frames: arithmetic re-derivation of the frame sampler —

@@ -546,3 +546,71 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU and trailing-7-day WAU for every active day."""
     ev = load_table(spark, sf_dir, "events")
     return active_users_window(ev, window_days=7)
+
+
+def cohort_retention(
+    events: DataFrame,
+    anchor: str = "2024-01-01",
+    period_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Weekly cohort-retention matrix: users are cohorted by their first
+    active period; each cell is how many of them return ``offset``
+    periods later — the standard product-analytics triangle every event
+    warehouse serves.
+
+    Period index = floor(day-index / period_days) over an integer day
+    index from ``anchor`` (engine-stable arithmetic, no locale-dependent
+    week-truncation semantics). All three heavy steps shuffle on the
+    SAME high-cardinality user key — distinct (user, period), min-period
+    cohort, cohort join — so they co-partition; the matrix itself is
+    periods x offsets (tiny at any corpus size) and the rate division
+    uses the engine-stable half-up rule.
+    """
+    from bigdataminingproject_spark.functions.numeric import (
+        stable_round_div,
+    )
+
+    day_idx = F.datediff(
+        F.date_trunc("day", F.col(ts_col)), F.lit(anchor)
+    )
+    uw = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.floor(day_idx / F.lit(float(period_days))).alias("wk"),
+        )
+        .distinct()
+    )
+    coh = uw.groupBy("u").agg(F.min("wk").alias("cohort_week"))
+    m = (
+        uw.join(coh, "u")
+        .groupBy(
+            "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("period_offset")
+        )
+        .agg(F.countDistinct("u").alias("active_users"))
+    )
+    base = m.filter(F.col("period_offset") == 0).select(
+        "cohort_week", F.col("active_users").alias("cohort_size")
+    )
+    return (
+        m.join(base, "cohort_week")
+        .select(
+            "cohort_week",
+            "period_offset",
+            "active_users",
+            "cohort_size",
+            stable_round_div(
+                F.col("active_users"), F.col("cohort_size"), 4
+            ).alias("retention_rate"),
+        )
+        .orderBy("cohort_week", "period_offset")
+    )
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle over the event stream."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events)

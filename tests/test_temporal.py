@@ -307,3 +307,54 @@ def test_active_users_window_dau_wau(spark):
            active_users_window(ev, window_days=7).collect()}
     assert out[1] == (2, 2)
     assert out[5] == (1, 2)  # day-5 DAU is user 100; WAU spans both
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import cohort_retention
+
+    t = datetime.datetime
+    # cohort week 0: users 1,2 (Jan 1-7); user 1 returns week 1, user 2
+    # never returns. cohort week 1: user 3.
+    rows = [
+        (1, t(2024, 1, 1), 1, "a", 0.0, ""),
+        (2, t(2024, 1, 2), 2, "a", 0.0, ""),
+        (3, t(2024, 1, 9), 1, "a", 0.0, ""),
+        (4, t(2024, 1, 10), 3, "a", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r["cohort_week"], r["period_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    assert out[(0, 0)]["active_users"] == 2
+    assert out[(0, 0)]["cohort_size"] == 2
+    assert out[(0, 0)]["retention_rate"] == 1.0
+    assert out[(0, 1)]["active_users"] == 1
+    assert out[(0, 1)]["retention_rate"] == 0.5
+    assert out[(1, 0)]["active_users"] == 1
+    assert (1, 1) not in out
+
+
+def test_cohort_retention_multiple_events_count_once(spark):
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import cohort_retention
+
+    t = datetime.datetime
+    rows = [
+        (i, t(2024, 1, 1, i), 42, "a", 0.0, "") for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = cohort_retention(ev).collect()
+    assert len(out) == 1
+    assert out[0]["active_users"] == 1
