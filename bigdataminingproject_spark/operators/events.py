@@ -548,14 +548,14 @@ def q_events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active_users_window(ev, window_days=7)
 
 
-def cohort_retention(
+def cohort_triangle(
     events: DataFrame,
     anchor: str = "2024-01-01",
     period_days: int = 7,
     ts_col: str = "ts",
     user_col: str = "user_id",
 ) -> DataFrame:
-    """Weekly cohort-retention matrix: users are cohorted by their first
+    """Weekly cohort-retention TRIANGLE (rate matrix): users are cohorted by their first
     active period; each cell is how many of them return ``offset``
     periods later — the standard product-analytics triangle every event
     warehouse serves.
@@ -613,4 +613,4 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdataminingproject_spark.sources.tables import load_table
 
     events = load_table(spark, sf_dir, "events")
-    return cohort_retention(events)
+    return cohort_triangle(events)

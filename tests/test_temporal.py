@@ -312,7 +312,7 @@ def test_active_users_window_dau_wau(spark):
 def test_cohort_retention_triangle(spark):
     import datetime
 
-    from bigdataminingproject_spark.operators.events import cohort_retention
+    from bigdataminingproject_spark.operators.events import cohort_triangle
 
     t = datetime.datetime
     # cohort week 0: users 1,2 (Jan 1-7); user 1 returns week 1, user 2
@@ -330,7 +330,7 @@ def test_cohort_retention_triangle(spark):
     )
     out = {
         (r["cohort_week"], r["period_offset"]): r
-        for r in cohort_retention(ev).collect()
+        for r in cohort_triangle(ev).collect()
     }
     assert out[(0, 0)]["active_users"] == 2
     assert out[(0, 0)]["cohort_size"] == 2
@@ -344,7 +344,7 @@ def test_cohort_retention_triangle(spark):
 def test_cohort_retention_multiple_events_count_once(spark):
     import datetime
 
-    from bigdataminingproject_spark.operators.events import cohort_retention
+    from bigdataminingproject_spark.operators.events import cohort_triangle
 
     t = datetime.datetime
     rows = [
@@ -355,6 +355,6 @@ def test_cohort_retention_multiple_events_count_once(spark):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    out = cohort_retention(ev).collect()
+    out = cohort_triangle(ev).collect()
     assert len(out) == 1
     assert out[0]["active_users"] == 1

@@ -80,6 +80,16 @@ PROBE_QUERIES = [
     "q_doc_pmi_collocations",
     "q_semantic_dedup",
     "q_doc_leakage_split",
+    # round-4 additions, second batch: span dedup (window on span hash),
+    # SQ8/kmeans/pagerank (iterative + quantized vector paths; kmeans'
+    # k x dim update key space is size-invariant), divergence (grid =
+    # sources x vocab), cohort retention (co-partitioned user shuffles)
+    "q_doc_span_dedup",
+    "q_knn_sq8",
+    "q_kmeans_clusters",
+    "q_token_pagerank",
+    "q_source_divergence",
+    "q_events_cohort_retention",
 ]
 
 
