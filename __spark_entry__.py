@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_pagerank": frequency.q_token_pagerank,
         "q_source_divergence": textstats.q_source_divergence,
         "q_events_cohort_retention": events.q_events_cohort_retention,
+        "q_stream_hourly": streaming_pipeline.q_stream_hourly,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -1350,6 +1351,11 @@ def oracle_sql() -> dict[str, str]:
     # streaming scorer and must land on exactly the batch snapshot
     # summary — same oracle.
     sql["q_stream_snapshots"] = sql["q_doc_snapshots"]
+
+    # q_stream_hourly replays events through the live windowed
+    # aggregation and must land on exactly the batch hourly rollup —
+    # same oracle.
+    sql["q_stream_hourly"] = sql["q_events_hourly"]
 
     # q_embedding_neardup_lsh: DuckDB reruns the full deterministic LSH
     # pipeline — signature bits from list_dot_product against the SAME

@@ -595,3 +595,57 @@ def run_streaming_detector_pipeline(
         else [],
         "final_top_tokens": final_top,
     }
+
+
+def q_stream_hourly(spark, sf_dir: str) -> DataFrame:
+    """Live event-time windowed aggregation twin (registry entry).
+
+    Replays the events table as a micro-batched file stream and runs the
+    canonical Structured Streaming shape — ``groupBy(window('ts', '1
+    hour'), event_type)`` with a watermark — draining through a memory
+    sink. Chunks are staged by event_id, NOT event time, so rows arrive
+    out of event-time order across micro-batches and the stateful window
+    aggregation must merge partials exactly (complete output mode: the
+    bounded replay wants every window emitted at the end, not just those
+    the watermark sealed mid-stream — append mode would hold back the
+    final hour forever on a finite source).
+
+    Output schema and values equal q_events_hourly, whose DuckDB oracle
+    defines truth — the driver's CORRECTNESS file attests the live
+    windowed-aggregation topology, complementing the stateful-dedup twin
+    (q_stream_snapshots).
+    """
+    import tempfile
+    import uuid
+
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "event_type", "value")
+    staging = tempfile.mkdtemp(prefix="q_stream_hourly_")
+    stream = file_replay_source(
+        spark, src, staging, chunks=10, order_col="event_id"
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("_v"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:12]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("event_hour"),
+            "event_type",
+            "event_count",
+            F.round(F.col("_v"), 2).alias("total_value"),
+        )
+        .orderBy("event_hour", "event_type")
+    )

@@ -388,3 +388,16 @@ def test_tws_processor_empty_batch_leaves_state_unset():
         proc.handleInputRows(("sh",), [pd.DataFrame({"msg_id": [1]})], None)
     )
     assert [tuple(r) for r in out.itertuples(index=False)] == [("sh", 1, False)]
+
+
+def test_stream_hourly_equals_batch_hourly(spark, sf_dir):
+    """The live windowed-aggregation registry twin lands exactly on the
+    batch hourly rollup despite out-of-event-time-order micro-batches."""
+    from bigdataminingproject_spark.operators.events import q_events_hourly
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_hourly,
+    )
+
+    batch = [tuple(r) for r in q_events_hourly(spark, sf_dir).collect()]
+    live = [tuple(r) for r in q_stream_hourly(spark, sf_dir).collect()]
+    assert live == batch
