@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_divergence": textstats.q_source_divergence,
         "q_events_cohort_retention": events.q_events_cohort_retention,
         "q_stream_hourly": streaming_pipeline.q_stream_hourly,
+        "q_corpus_curation_v4": curation.q_corpus_curation_v4,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3265,4 +3266,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM g GROUP BY 1 ORDER BY 1
     """
+    # q_corpus_curation_v4: compose the v3 full-gate oracle with the
+    # semantic-dedup drop list and the span-rewrite accounting — the
+    # inner oracles are reused VERBATIM except for the train-split
+    # source filter (single-FROM replacement, mirroring the Spark
+    # wrapper's %25 split).
+    sql["q_corpus_curation_v4"] = (
+        "WITH v3 AS ("
+        + sql["q_corpus_curation_v3"]
+        + "), sem AS ("
+        + sql["q_semantic_dedup"].replace(
+            "FROM embeddings",
+            "FROM embeddings WHERE vec_id % 25 <> 0",
+        )
+        + "), spn AS ("
+        + sql["q_doc_span_dedup"].replace(
+            "FROM documents",
+            "FROM documents WHERE doc_id % 25 <> 0",
+        )
+        + """)
+        SELECT v3.doc_id, v3.source, v3.n_tokens, v3.nll,
+               v3.n_email, v3.n_phone, v3.n_ip, v3.redacted_md5,
+               spn.kept_spans, spn.removed_spans, spn.clean_hash
+        FROM v3
+        LEFT JOIN spn ON spn.doc_id = v3.doc_id
+        WHERE v3.doc_id NOT IN (SELECT dup_id FROM sem)
+        ORDER BY v3.doc_id
+    """
+    )
+
     return sql

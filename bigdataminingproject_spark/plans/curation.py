@@ -274,3 +274,94 @@ def q_corpus_curation_v3(spark, sf_dir: str) -> DataFrame:
     return curate_corpus_v3(
         train, bench, redact_text=synthetic_pii_text()
     )
+
+
+def curate_corpus_v4(
+    docs: DataFrame,
+    bench: DataFrame,
+    vectors: DataFrame,
+    cap_per_source: int = 40,
+    clone_min_shared: int = 2,
+    nll_sigma: float = 2.0,
+    decontam_k: int = 4,
+    redact_text: Column | None = None,
+    span_tokens: int = 16,
+) -> DataFrame:
+    """Curation v4 = the v3 full gate + the two round-4 dedup layers.
+
+    4. **Semantic dedup** (SemDeDup): drop any survivor whose embedding
+       sits in another doc's near-duplicate cell at cosine >=
+       threshold — catches paraphrases that every lexical layer above
+       misses. ``vectors`` is keyed to the doc ids (the synthetic
+       corpus aligns vec_id == doc_id; production pipelines carry an
+       explicit mapping).
+    5. **Span-level rewrite accounting** (exact-substring dedup): for
+       each surviving doc, how many 16-token spans survive the
+       corpus-wide first-occurrence cut, and the md5 of the rewritten
+       text — the manifest a downstream tokenizer consumes instead of
+       the raw text.
+
+    Both layers stay lazy: the semantic drop list anti-joins on doc_id
+    (cell-bucketed self-join, never cartesian) and the span relation is
+    1/W of the token stream with two hash exchanges. Stage cost order
+    is preserved: lexical gates shrink the corpus before the
+    embedding-space and rewrite passes.
+    """
+    from bigdataminingproject_spark.operators.dedup import span_dedup
+    from bigdataminingproject_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    m3 = curate_corpus_v3(
+        docs,
+        bench,
+        cap_per_source=cap_per_source,
+        clone_min_shared=clone_min_shared,
+        nll_sigma=nll_sigma,
+        decontam_k=decontam_k,
+        redact_text=redact_text,
+    )
+    sem = semantic_dedup(vectors).select(
+        F.col("dup_id").alias("doc_id")
+    )
+    spn = span_dedup(docs, span_tokens=span_tokens).select(
+        "doc_id", "kept_spans", "removed_spans", "clean_hash"
+    )
+    return (
+        m3.join(sem, "doc_id", "left_anti")
+        .join(spn, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "nll",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            "redacted_md5",
+            "kept_spans",
+            "removed_spans",
+            "clean_hash",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_curation_v4(spark, sf_dir: str) -> DataFrame:
+    """v3 gate + semantic dedup + span-rewrite manifest. Benchmark =
+    every 25th doc; embeddings restricted to the train ids the same
+    way."""
+    from bigdataminingproject_spark.operators.quality import (
+        synthetic_pii_text,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 25 != 0
+    )
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    return curate_corpus_v4(
+        train, bench, vecs, redact_text=synthetic_pii_text()
+    )

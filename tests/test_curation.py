@@ -178,3 +178,62 @@ def test_curate_v3_drops_contaminated_docs(spark):
     }
     assert 1 not in kept
     assert {2, 3} <= kept
+
+
+def test_curate_v4_composition_matches_stagewise(spark, sf_dir):
+    """v4 must equal v3 minus the semantic drop list, annotated with the
+    span-dedup accounting — each layer applied independently."""
+    from bigdataminingproject_spark.operators.dedup import span_dedup
+    from bigdataminingproject_spark.operators.quality import (
+        synthetic_pii_text,
+    )
+    from bigdataminingproject_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from bigdataminingproject_spark.plans.curation import (
+        curate_corpus_v3,
+        q_corpus_curation_v4,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 25 != 0
+    )
+
+    v3_ids = {
+        r["doc_id"]
+        for r in curate_corpus_v3(
+            train, bench, redact_text=synthetic_pii_text()
+        ).collect()
+    }
+    sem_drops = {r["dup_id"] for r in semantic_dedup(vecs).collect()}
+    spans = {
+        r["doc_id"]: (r["kept_spans"], r["removed_spans"], r["clean_hash"])
+        for r in span_dedup(train, span_tokens=16).collect()
+    }
+
+    v4 = q_corpus_curation_v4(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in v4} == v3_ids - sem_drops
+    for r in v4:
+        exp = spans.get(r["doc_id"])
+        got = (r["kept_spans"], r["removed_spans"], r["clean_hash"])
+        assert got == (exp if exp else (None, None, None))
+
+
+def test_curate_v4_semantic_layer_not_vacuous(spark, sf_dir):
+    """The embedding layer must actually drop something the lexical
+    layers kept (otherwise the composition test proves nothing)."""
+    from bigdataminingproject_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 25 != 0
+    )
+    assert semantic_dedup(vecs).count() > 0
