@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_cohort_retention": events.q_events_cohort_retention,
         "q_stream_hourly": streaming_pipeline.q_stream_hourly,
         "q_corpus_curation_v4": curation.q_corpus_curation_v4,
+        "q_events_funnel_latency": events.q_events_funnel_latency,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3266,6 +3267,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM g GROUP BY 1 ORDER BY 1
     """
+    # q_events_funnel_latency: reuses the ordered-funnel oracle verbatim
+    # as a CTE; per-transition counts + quantile_cont percentiles over
+    # integer-microsecond latencies (same (n-1)p interpolation as
+    # Spark's percentile), stable half-up conversion rates.
+    _fl_segs = []
+    for _i, (_sa, _sb) in enumerate(
+        [("signup", "click"), ("click", "purchase")]
+    ):
+        _a, _b = f"stage_{_i + 1}_us", f"stage_{_i + 2}_us"
+        _lat = f"({_b} - {_a}) / 1000000.0"
+        _fl_segs.append(
+            f"""
+        SELECT '{_sa}->{_sb}' AS transition,
+               count({_a}) AS n_reached,
+               count({_b}) AS n_converted,
+               floor(count({_b}) * 10000.0 / count({_a}) + 0.5) / 10000
+                   AS conv_rate,
+               round(quantile_cont({_lat}, 0.5), 4) AS p50_latency_s,
+               round(quantile_cont({_lat}, 0.9), 4) AS p90_latency_s
+        FROM f WHERE {_a} IS NOT NULL"""
+        )
+    sql["q_events_funnel_latency"] = (
+        "WITH f AS ("
+        + sql["q_events_funnel"]
+        + ")"
+        + " UNION ALL ".join(_fl_segs)
+        + " ORDER BY transition"
+    )
+
     # q_corpus_curation_v4: compose the v3 full-gate oracle with the
     # semantic-dedup drop list and the span-rewrite accounting — the
     # inner oracles are reused VERBATIM except for the train-split

@@ -614,3 +614,68 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return cohort_triangle(events)
+
+
+def funnel_latency(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-transition funnel conversion rates and time-to-convert
+    percentiles — the latency half of funnel analytics (how MANY convert
+    is funnel_stages; how FAST is this).
+
+    Built directly on the ordered funnel relation (one row per user who
+    reached stage 1), so each transition is a single hash-agg over an
+    already user-collapsed relation. Latencies are integer-microsecond
+    differences scaled to seconds (deterministic doubles); p50/p90 use
+    exact linear-interpolated percentiles ((n-1)p rank, the same
+    definition as SQL quantile_cont), rounded at 4dp; conversion rates
+    use the engine-stable half-up division.
+    """
+    from bigdataminingproject_spark.functions.numeric import (
+        stable_round_div,
+    )
+
+    f = funnel_stages(
+        events, stages, key_col=key_col, ts_col=ts_col, type_col=type_col
+    )
+    segs = []
+    for i in range(len(stages) - 1):
+        a, b = f"stage_{i + 1}_us", f"stage_{i + 2}_us"
+        lat = F.when(
+            F.col(b).isNotNull(),
+            (F.col(b) - F.col(a)) / F.lit(1_000_000.0),
+        )
+        seg = (
+            f.filter(F.col(a).isNotNull())
+            .agg(
+                F.count(a).alias("n_reached"),
+                F.count(b).alias("n_converted"),
+                F.round(F.percentile(lat, 0.5), 4).alias("p50_latency_s"),
+                F.round(F.percentile(lat, 0.9), 4).alias("p90_latency_s"),
+            )
+            .select(
+                F.lit(f"{stages[i]}->{stages[i + 1]}").alias("transition"),
+                "n_reached",
+                "n_converted",
+                stable_round_div(
+                    F.col("n_converted"), F.col("n_reached"), 4
+                ).alias("conv_rate"),
+                "p50_latency_s",
+                "p90_latency_s",
+            )
+        )
+        segs.append(seg)
+    out = segs[0]
+    for s in segs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("transition")
+
+
+def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate + latency percentiles for each funnel transition."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_latency(ev)

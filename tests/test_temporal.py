@@ -358,3 +358,41 @@ def test_cohort_retention_multiple_events_count_once(spark):
     out = cohort_triangle(ev).collect()
     assert len(out) == 1
     assert out[0]["active_users"] == 1
+
+
+def test_funnel_latency_exact_percentiles(spark):
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import funnel_latency
+
+    t = datetime.datetime
+    # users 1-4 sign up at t0; users 1-3 click at +10s/+20s/+40s;
+    # user 3's click is BEFORE signup -> does not count (ordered funnel
+    # takes earliest click >= signup: none for user 4).
+    rows = [
+        (1, t(2024, 1, 1, 0, 0, 0), 1, "signup", 0.0, ""),
+        (2, t(2024, 1, 1, 0, 0, 10), 1, "click", 0.0, ""),
+        (3, t(2024, 1, 1, 0, 0, 0), 2, "signup", 0.0, ""),
+        (4, t(2024, 1, 1, 0, 0, 20), 2, "click", 0.0, ""),
+        (5, t(2024, 1, 1, 0, 0, 0), 3, "signup", 0.0, ""),
+        (6, t(2024, 1, 1, 0, 0, 40), 3, "click", 0.0, ""),
+        (7, t(2024, 1, 1, 0, 0, 10), 4, "signup", 0.0, ""),
+        (8, t(2024, 1, 1, 0, 0, 0), 4, "click", 0.0, ""),
+        # one purchase so the second transition row exists
+        (9, t(2024, 1, 1, 0, 1, 0), 1, "purchase", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r["transition"]: r for r in funnel_latency(ev).collect()}
+    sc = out["signup->click"]
+    assert sc["n_reached"] == 4 and sc["n_converted"] == 3
+    assert sc["conv_rate"] == 0.75
+    # latencies {10, 20, 40}: p50 = 20, p90 = (n-1)p = 1.8 -> 20 + 0.8*20
+    assert sc["p50_latency_s"] == 20.0
+    assert sc["p90_latency_s"] == 36.0
+    cp = out["click->purchase"]
+    assert cp["n_reached"] == 3 and cp["n_converted"] == 1
+    assert cp["p50_latency_s"] == 50.0
