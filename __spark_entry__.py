@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly": streaming_pipeline.q_stream_hourly,
         "q_corpus_curation_v4": curation.q_corpus_curation_v4,
         "q_events_funnel_latency": events.q_events_funnel_latency,
+        "q_hard_negatives": retrieval.q_hard_negatives,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3267,6 +3268,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM g GROUP BY 1 ORDER BY 1
     """
+    # q_hard_negatives: the BM25 oracle reused verbatim as the bounded
+    # lexical leg; cosine vs query vector 0 in index-order list math,
+    # ascending-similarity rank over the 20-row relation.
+    sql["q_hard_negatives"] = (
+        "WITH lex AS ("
+        + sql["q_doc_bm25_topk"]
+        + f""")
+        , ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        qv AS (SELECT vec FROM ev WHERE vec_id = {retrieval.HYBRID_QUERY_VEC}),
+        scored AS (
+            SELECT l.doc_id, l.bm25,
+                   round(list_dot_product(e.vec, q.vec) /
+                         (sqrt(list_dot_product(e.vec, e.vec)) *
+                          sqrt(list_dot_product(q.vec, q.vec))),
+                         6) AS cosine_sim
+            FROM lex l
+            JOIN ev e ON e.vec_id = l.doc_id
+            CROSS JOIN qv q
+            WHERE l.doc_id <> {retrieval.HYBRID_QUERY_VEC}
+        )
+        SELECT doc_id, bm25, cosine_sim,
+               CAST(row_number() OVER (ORDER BY cosine_sim, doc_id)
+                    AS INT) AS neg_rank
+        FROM scored
+        QUALIFY neg_rank <= 5
+        ORDER BY neg_rank
+    """
+    )
+
     # q_events_funnel_latency: reuses the ordered-funnel oracle verbatim
     # as a CTE; per-transition counts + quantile_cont percentiles over
     # integer-microsecond latencies (same (n-1)p interpolation as

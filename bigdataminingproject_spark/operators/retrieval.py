@@ -114,3 +114,68 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_search(
         docs, vecs, HYBRID_QUERY_TERMS, HYBRID_QUERY_VEC, k=10
     )
+
+
+def hard_negatives(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_terms: list[str],
+    query_vec_id: int,
+    k_lex: int = 20,
+    n_neg: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for dense-retriever training: documents the
+    LEXICAL retriever ranks high but whose embedding sits far from the
+    query vector — lexically plausible, semantically wrong, exactly the
+    contrastive examples that teach an embedding model what BM25 can't
+    distinguish (the BM25-negatives recipe of DPR, Karpukhin et al.
+    2020, sharpened by the semantic-distance cut).
+
+    Scale shape: the BM25 leg is TakeOrdered-bounded to ``k_lex`` rows
+    before anything else happens, so the cosine scoring and the
+    ascending-similarity rank window run on a fixed-size relation; the
+    single-row query vector is broadcast. Cost at 100 TB = cost of the
+    BM25 scan.
+    """
+    from bigdataminingproject_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    lex = bm25_topk(docs, query_terms, k=k_lex).select("doc_id", "bm25")
+    qv = vectors.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double(F.col("embedding")).alias("q_vec")
+    )
+    v = vectors.select(
+        F.col("vec_id").alias("doc_id"),
+        _as_double(F.col("embedding")).alias("vec"),
+    )
+    scored = (
+        lex.join(v, "doc_id")
+        .crossJoin(F.broadcast(qv))
+        .filter(F.col("doc_id") != query_vec_id)
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(cosine(F.col("vec"), F.col("q_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    # rank over the k_lex-row bounded relation (single-partition window
+    # over a reduced input by design, as in hybrid_search's lex leg)
+    ranked = scored.withColumn(
+        "neg_rank",
+        F.row_number().over(Window.orderBy("cosine_sim", "doc_id")),
+    )
+    return ranked.filter(F.col("neg_rank") <= n_neg).orderBy("neg_rank")
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five hardest negatives (BM25-top-20, lowest cosine to query
+    vector 0) for the fixed hybrid query."""
+    docs = load_table(spark, sf_dir, "documents")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        docs, vecs, HYBRID_QUERY_TERMS, HYBRID_QUERY_VEC
+    )

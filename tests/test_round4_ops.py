@@ -602,3 +602,44 @@ def test_divergence_orders_drifted_source_higher(spark):
     assert out["drifted"]["jsd_vs_corpus"] <= 0.6931 + 1e-6
     assert out["drifted"]["vocab_size"] == 2
     assert out["drifted"]["n_tokens"] == 4
+
+
+# --- hard-negative mining ----------------------------------------------------
+
+
+def test_hard_negatives_lexical_hits_semantic_misses(spark):
+    """Docs sharing the query's terms but with opposite embeddings must
+    surface as the hardest negatives; the semantically-near doc must
+    not."""
+    from bigdataminingproject_spark.operators.retrieval import (
+        hard_negatives,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join vector stream query", "s"),   # the query doc
+            (1, "join vector stream table", "s"),   # lexical + semantic near
+            (2, "join vector stream scan", "s"),    # lexical, semantic FAR
+            (3, "unrelated words entirely", "s"),   # no lexical overlap
+        ],
+        "doc_id long, text string, source string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.99, 0.1]),
+            (2, [-1.0, 0.0]),
+            (3, [0.9, 0.2]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = hard_negatives(
+        docs, vecs, ["join", "vector", "stream"], 0, k_lex=10, n_neg=2
+    ).collect()
+    # doc 2: lexically retrieved, cosine -1 -> hardest negative first
+    assert out[0]["doc_id"] == 2
+    assert out[0]["cosine_sim"] == -1.0
+    assert out[0]["neg_rank"] == 1
+    # doc 3 never enters (BM25 leg excludes it); query doc excluded
+    ids = {r["doc_id"] for r in out}
+    assert 3 not in ids and 0 not in ids
