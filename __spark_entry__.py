@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_curation_v4": curation.q_corpus_curation_v4,
         "q_events_funnel_latency": events.q_events_funnel_latency,
         "q_hard_negatives": retrieval.q_hard_negatives,
+        "q_corpus_diff": report.q_corpus_diff,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3268,6 +3269,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM g GROUP BY 1 ORDER BY 1
     """
+    # q_corpus_diff: full-outer content-hash diff against the
+    # deterministically mutated re-crawl (%17 removed, %10 changed,
+    # %50 re-added under id+1e6).
+    sql["q_corpus_diff"] = """
+        WITH o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+        newv AS (
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 10 = 0 THEN text || ' updated'
+                            ELSE text END) AS new_hash
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, md5(text) AS new_hash
+            FROM documents WHERE doc_id % 50 = 0
+        ),
+        j AS (
+            SELECT coalesce(o.doc_id, newv.doc_id) AS doc_id,
+                   o.old_hash, newv.new_hash
+            FROM o FULL OUTER JOIN newv ON o.doc_id = newv.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN old_hash IS NULL THEN 'added'
+                    WHEN new_hash IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               old_hash, new_hash
+        FROM j
+        WHERE old_hash IS NULL OR new_hash IS NULL
+              OR old_hash <> new_hash
+        ORDER BY doc_id
+    """
+
     # q_hard_negatives: the BM25 oracle reused verbatim as the bounded
     # lexical leg; cosine vs query vector 0 in index-order list math,
     # ascending-similarity rank over the 20-row relation.

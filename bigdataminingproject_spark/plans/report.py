@@ -79,3 +79,63 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data-card table over the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus_datacard(docs)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: the change manifest an
+    incremental pipeline consumes so only added/changed documents pay
+    the downstream passes (dedup, scoring, embedding) on a re-crawl.
+
+    One full-outer equi-join on the id key comparing 128-bit content
+    hashes — unchanged docs (the overwhelming majority of a re-crawl)
+    are dropped before the manifest ever shuffles again. Both sides
+    hash-partition on the id; no windows, no fanout, two corpus scans
+    total.
+
+    Output: (doc_id, status in {added, removed, changed}, old_hash,
+    new_hash), ordered by id.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("old_hash"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("new_hash"),
+    )
+    joined = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select("doc_id", "status", "old_hash", "new_hash")
+        .orderBy("doc_id")
+    )
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff manifest between the corpus and a deterministically mutated
+    re-crawl of it: docs % 17 == 0 disappear, docs % 10 == 0 change
+    text, and every doc % 50 == 0 re-appears under a new id."""
+    docs = load_table(spark, sf_dir, "documents")
+    survived = docs.filter(F.col("doc_id") % 17 != 0)
+    mutated = survived.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    additions = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    new = mutated.unionByName(additions)
+    return corpus_diff(docs, new)

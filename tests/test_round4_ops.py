@@ -643,3 +643,29 @@ def test_hard_negatives_lexical_hits_semantic_misses(spark):
     # doc 3 never enters (BM25 leg excludes it); query doc excluded
     ids = {r["doc_id"] for r in out}
     assert 3 not in ids and 0 not in ids
+
+
+# --- corpus snapshot diff ----------------------------------------------------
+
+
+def test_corpus_diff_statuses(spark):
+    from bigdataminingproject_spark.plans.report import corpus_diff
+
+    old = _docs(spark, ["alpha", "beta", "gamma"])
+    new = spark.createDataFrame(
+        [
+            (0, "alpha", "s"),          # unchanged -> absent
+            (1, "beta CHANGED", "s"),   # changed
+            (3, "delta", "s"),          # added
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "changed", 2: "removed", 3: "added"}
+
+
+def test_corpus_diff_identical_is_empty(spark):
+    from bigdataminingproject_spark.plans.report import corpus_diff
+
+    docs = _docs(spark, ["a", "b"])
+    assert corpus_diff(docs, docs).count() == 0
