@@ -26,7 +26,7 @@ from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
-from bigdataminingproject_spark.plans import curation, report
+from bigdataminingproject_spark.plans import curation, ordering, report
 from bigdataminingproject_spark.session import tune_session
 from bigdataminingproject_spark.streaming import pipeline as streaming_pipeline
 
@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_funnel_latency": events.q_events_funnel_latency,
         "q_hard_negatives": retrieval.q_hard_negatives,
         "q_corpus_diff": report.q_corpus_diff,
+        "q_lineitem_zorder": ordering.q_lineitem_zorder,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3269,6 +3270,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM g GROUP BY 1 ORDER BY 1
     """
+    # q_lineitem_zorder: the SAME zorder_sql() helper generates the
+    # Morton-key arithmetic for DuckDB, so both engines interleave
+    # identical bits; bucket = top 8 of 32 interleaved bits.
+    _z_expr = ordering.zorder_sql("a_n", "b_n", 16)
+    sql["q_lineitem_zorder"] = f"""
+        WITH st AS (
+            SELECT min(l_partkey) AS amin, max(l_partkey) AS amax,
+                   min(l_suppkey) AS bmin, max(l_suppkey) AS bmax
+            FROM lineitem
+        ),
+        norm AS (
+            SELECT l_partkey, l_suppkey,
+                   CASE WHEN amax > amin THEN CAST(floor(
+                        ((l_partkey - amin) * 65535) / (amax - amin))
+                        AS BIGINT) ELSE 0 END AS a_n,
+                   CASE WHEN bmax > bmin THEN CAST(floor(
+                        ((l_suppkey - bmin) * 65535) / (bmax - bmin))
+                        AS BIGINT) ELSE 0 END AS b_n
+            FROM lineitem, st
+        )
+        SELECT ({_z_expr}) >> 24 AS z_bucket,
+               count(*) AS n_rows,
+               min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+               min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+        FROM norm
+        GROUP BY 1
+        ORDER BY z_bucket
+    """
+
     # q_corpus_diff: full-outer content-hash diff against the
     # deterministically mutated re-crawl (%17 removed, %10 changed,
     # %50 re-added under id+1e6).
