@@ -63,6 +63,11 @@ HEADLINE = [
     # round-4 second batch: SemDeDup cell join, RRF hybrid retrieval
     "q_semantic_dedup",
     "q_hybrid_search",
+    # round-4 third batch: the deepest composition (v4 = v3 + semantic
+    # dedup + span rewrite) and the two iterative/quantized vector paths
+    "q_corpus_curation_v4",
+    "q_kmeans_clusters",
+    "q_token_pagerank",
 ]
 
 

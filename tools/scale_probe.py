@@ -90,6 +90,13 @@ PROBE_QUERIES = [
     "q_token_pagerank",
     "q_source_divergence",
     "q_events_cohort_retention",
+    # round-4 third batch: deepest composition, funnel latency,
+    # CDC diff, Z-order envelope audit, bounded-leg hard negatives
+    "q_corpus_curation_v4",
+    "q_events_funnel_latency",
+    "q_corpus_diff",
+    "q_lineitem_zorder",
+    "q_hard_negatives",
 ]
 
 
