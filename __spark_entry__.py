@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hard_negatives": retrieval.q_hard_negatives,
         "q_corpus_diff": report.q_corpus_diff,
         "q_lineitem_zorder": ordering.q_lineitem_zorder,
+        "q_events_scd2": events.q_events_scd2,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3270,6 +3271,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM g GROUP BY 1 ORDER BY 1
     """
+    # q_events_scd2: groups-of-changes in SQL — lag marks change
+    # points, running sum numbers runs, min/lead build the validity
+    # intervals; microsecond integers end to end.
+    sql["q_events_scd2"] = """
+        WITH base AS (
+            SELECT user_id,
+                   epoch_us(ts) AS us,
+                   event_id AS tb,
+                   event_type AS state
+            FROM events
+        ),
+        marked AS (
+            SELECT *,
+                   CASE WHEN lag(state) OVER w IS NULL
+                             OR lag(state) OVER w <> state
+                        THEN 1 ELSE 0 END AS chg
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, tb)
+        ),
+        runs AS (
+            SELECT *,
+                   sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY us, tb
+                       ROWS UNBOUNDED PRECEDING) AS run
+            FROM marked
+        ),
+        hist AS (
+            SELECT user_id, run, min(state) AS state,
+                   min(us) AS valid_from_us,
+                   count(*) AS n_records
+            FROM runs GROUP BY user_id, run
+        )
+        SELECT user_id,
+               CAST(run AS BIGINT) AS version,
+               state,
+               valid_from_us,
+               lead(valid_from_us) OVER (
+                   PARTITION BY user_id ORDER BY run) AS valid_to_us,
+               n_records
+        FROM hist
+        ORDER BY user_id, version
+    """
+
     # q_lineitem_zorder: the SAME zorder_sql() helper generates the
     # Morton-key arithmetic for DuckDB, so both engines interleave
     # identical bits; bucket = top 8 of 32 interleaved bits.

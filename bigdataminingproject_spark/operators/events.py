@@ -679,3 +679,83 @@ def q_events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion rate + latency percentiles for each funnel transition."""
     ev = load_table(spark, sf_dir, "events")
     return funnel_latency(ev)
+
+
+def scd2_history(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change stream:
+    one validity interval per state change, with ``valid_to`` = the next
+    change's timestamp (NULL = current) — the other half of the CDC
+    story next to ``latest_by_key`` (compaction keeps only the last
+    state; SCD2 keeps the full, interval-indexed history every
+    time-travel join consumes).
+
+    Consecutive records with the SAME attribute value collapse into one
+    interval (the groups-of-changes step): a lag comparison marks change
+    points, a running sum numbers each run, and min/max inside the run
+    yield the interval. All three windows partition on the key — one
+    shuffle, no global ordering. Timestamps emit as integer
+    microseconds (cross-engine exact).
+    """
+    keys = [F.col(k) for k in key_cols]
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    marked = events.select(
+        *key_cols,
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(tiebreak_col).alias("_tb"),
+        F.col(attr_col).alias("state"),
+    ).withColumn(
+        "_chg",
+        F.when(
+            F.lag("state").over(
+                Window.partitionBy(*keys).orderBy("_us", "_tb")
+            ).isNull()
+            | (
+                F.lag("state").over(
+                    Window.partitionBy(*keys).orderBy("_us", "_tb")
+                )
+                != F.col("state")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = marked.withColumn(
+        "_run",
+        F.sum("_chg").over(
+            Window.partitionBy(*keys)
+            .orderBy("_us", "_tb")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    hist = runs.groupBy(*key_cols, "_run").agg(
+        F.min("state").alias("state"),  # constant within a run
+        F.min("_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    nxt = Window.partitionBy(*keys).orderBy("_run")
+    return (
+        hist.withColumn(
+            "valid_to_us", F.lead("valid_from_us").over(nxt)
+        )
+        .select(
+            *key_cols,
+            F.col("_run").alias("version"),
+            "state",
+            "valid_from_us",
+            "valid_to_us",
+            "n_records",
+        )
+        .orderBy(*key_cols, "version")
+    )
+
+
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user type-2 history of event_type state changes."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(ev)

@@ -396,3 +396,38 @@ def test_funnel_latency_exact_percentiles(spark):
     cp = out["click->purchase"]
     assert cp["n_reached"] == 3 and cp["n_converted"] == 1
     assert cp["p50_latency_s"] == 50.0
+
+
+def test_scd2_collapses_runs_and_links_intervals(spark):
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import scd2_history
+
+    t = datetime.datetime
+    rows = [
+        (1, t(2024, 1, 1), 7, "a", 0.0, ""),
+        (2, t(2024, 1, 2), 7, "a", 0.0, ""),   # same state -> same run
+        (3, t(2024, 1, 3), 7, "b", 0.0, ""),   # change
+        (4, t(2024, 1, 4), 7, "a", 0.0, ""),   # change back (new run)
+        (5, t(2024, 1, 1), 8, "x", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = [
+        (r["user_id"], r["version"], r["state"], r["n_records"],
+         r["valid_to_us"] is None)
+        for r in scd2_history(ev).collect()
+    ]
+    assert out == [
+        (7, 1, "a", 2, False),
+        (7, 2, "b", 1, False),
+        (7, 3, "a", 1, True),   # current interval: open-ended
+        (8, 1, "x", 1, True),
+    ]
+    # intervals chain exactly: valid_to of v1 == valid_from of v2
+    rows7 = scd2_history(ev).filter("user_id = 7").collect()
+    assert rows7[0]["valid_to_us"] == rows7[1]["valid_from_us"]
+    assert rows7[1]["valid_to_us"] == rows7[2]["valid_from_us"]
