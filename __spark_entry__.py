@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_diff": report.q_corpus_diff,
         "q_lineitem_zorder": ordering.q_lineitem_zorder,
         "q_events_scd2": events.q_events_scd2,
+        "q_knn_truncated_recall": similarity.q_knn_truncated_recall,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3271,6 +3272,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(doc_id) AS BIGINT) AS id_checksum
         FROM g GROUP BY 1 ORDER BY 1
     """
+    # q_knn_truncated_recall: both rank lists recomputed in SQL (full
+    # dims and list_slice-truncated), overlap counted per query, stable
+    # half-up recall.
+    sql["q_knn_truncated_recall"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        fullr AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.vec, n.vec) /
+                                 (sqrt(list_dot_product(q.vec, q.vec)) *
+                                  sqrt(list_dot_product(n.vec, n.vec))),
+                                 6) DESC, n.vec_id
+                       ) AS rnk
+                FROM v q JOIN v n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rnk <= 10
+        ),
+        tv AS (SELECT vec_id, vec[1:16] AS vec FROM v),
+        truncr AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.vec, n.vec) /
+                                 (sqrt(list_dot_product(q.vec, q.vec)) *
+                                  sqrt(list_dot_product(n.vec, n.vec))),
+                                 6) DESC, n.vec_id
+                       ) AS rnk
+                FROM tv q JOIN tv n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rnk <= 10
+        )
+        SELECT f.query_id,
+               count(t.neighbor_id) AS overlap,
+               floor(count(t.neighbor_id) * 10000.0 / count(*) + 0.5)
+                   / 10000 AS recall_at_k
+        FROM fullr f
+        LEFT JOIN truncr t ON t.query_id = f.query_id
+                          AND t.neighbor_id = f.neighbor_id
+        GROUP BY f.query_id
+        ORDER BY f.query_id
+    """
+
     # q_events_scd2: groups-of-changes in SQL — lag marks change
     # points, running sum numbers runs, min/lead build the validity
     # intervals; microsecond integers end to end.

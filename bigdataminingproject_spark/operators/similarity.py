@@ -1068,3 +1068,72 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest-id init) over the embedding corpus."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return kmeans_relational(vecs, k=10, iters=2).orderBy("vec_id")
+
+
+def truncated_knn_overlap(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    trunc_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of the exact top-k
+    survives when the index keeps only the first ``trunc_dim`` of each
+    embedding's dimensions — the dimensionality axis of the
+    memory/recall trade (the SQ8 operator covers the precision axis).
+    MRL-trained embeddings (Kusupati et al. 2022) front-load signal, so
+    this recall is the go/no-go metric for shipping the 4x-smaller
+    index.
+
+    Both legs are the same broadcast + rank-window plan; the overlap
+    join runs on two k-row-per-query relations. Output per query:
+    overlap@k and the stable-rounded recall fraction.
+    """
+    from bigdataminingproject_spark.functions.numeric import (
+        stable_round_div,
+    )
+
+    full = knn_bruteforce(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    tv = vectors.select(
+        F.col(id_col).alias(id_col),
+        F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col),
+    )
+    tq = queries.select(
+        F.col(id_col).alias(id_col),
+        F.slice(F.col(vec_col), 1, trunc_dim).alias(vec_col),
+    )
+    trunc = knn_bruteforce(
+        tv, tq, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", F.col("neighbor_id").alias("t_neighbor"))
+    return (
+        full.join(
+            trunc,
+            (full["query_id"] == trunc["query_id"])
+            & (full["neighbor_id"] == trunc["t_neighbor"]),
+            "left",
+        )
+        .groupBy(full["query_id"].alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("t_neighbor").alias("overlap"),
+        )
+        .select(
+            "query_id",
+            "overlap",
+            stable_round_div(F.col("overlap"), F.col("k"), 4).alias(
+                "recall_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def q_knn_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@10 of dim-16-truncated vs full-dim exact kNN for the
+    first 5 query vectors."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return truncated_knn_overlap(vecs, queries, k=10, trunc_dim=16)
