@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lineitem_zorder": ordering.q_lineitem_zorder,
         "q_events_scd2": events.q_events_scd2,
         "q_knn_truncated_recall": similarity.q_knn_truncated_recall,
+        "q_stream_sessions": streaming_pipeline.q_stream_sessions,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -1363,6 +1364,11 @@ def oracle_sql() -> dict[str, str]:
     # aggregation and must land on exactly the batch hourly rollup —
     # same oracle.
     sql["q_stream_hourly"] = sql["q_events_hourly"]
+
+    # q_stream_sessions replays events through the native
+    # session_window sessionizer and must land exactly on the batch
+    # gaps-and-islands result — same oracle.
+    sql["q_stream_sessions"] = sql["q_events_sessionize"]
 
     # q_embedding_neardup_lsh: DuckDB reruns the full deterministic LSH
     # pipeline — signature bits from list_dot_product against the SAME

@@ -649,3 +649,83 @@ def q_stream_hourly(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_hour", "event_type")
     )
+
+
+def q_stream_sessions(spark, sf_dir: str) -> DataFrame:
+    """Live session-window twin of the batch gaps-and-islands
+    sessionizer (registry entry) — the docstring of q_events_sessionize
+    names this twin; this is it.
+
+    Replays events as micro-batches and sessionizes with Structured
+    Streaming's native ``session_window``. Two alignment moves make the
+    equivalence EXACT rather than fixture-lucky:
+
+    - timestamps are truncated to millisecond grain first (the batch
+      path compares ``unix_millis`` values, so sub-ms components must
+      not split/merge differently);
+    - session_window's merge rule is INCLUSIVE (an event exactly at a
+      window's end extends it, verified by the boundary pytest), which
+      is already the batch ``diff <= gap`` rule — the gap transfers
+      unchanged.
+
+    The per-user session sequence is then numbered by window start over
+    the (already session-collapsed) relation, landing on the batch
+    query's exact output — same DuckDB oracle.
+    """
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from bigdataminingproject_spark.operators.events import SESSION_GAP_MS
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "user_id", "value")
+    staging = tempfile.mkdtemp(prefix="q_stream_sessions_")
+    stream = file_replay_source(
+        spark, src, staging, chunks=10, order_col="event_id"
+    )
+    agg = (
+        stream.withColumn(
+            "ts_m", F.timestamp_millis(F.unix_millis("ts"))
+        )
+        .withWatermark("ts_m", "1 hour")
+        .groupBy(
+            F.session_window(
+                "ts_m", f"{SESSION_GAP_MS} milliseconds"
+            ).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("session_events"),
+            F.min(F.unix_millis("ts_m")).alias("_start_ms"),
+            F.max(F.unix_millis("ts_m")).alias("_end_ms"),
+            F.sum("value").alias("_v"),
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:12]}"
+    run_to_memory(agg, name, output_mode="complete")
+    seq = Window.partitionBy("user_id").orderBy("_start_ms")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "session_events",
+            "_start_ms",
+            (F.col("_end_ms") - F.col("_start_ms")).alias("duration_ms"),
+            F.round(F.col("_v"), 2).alias("session_value"),
+        )
+        .withColumn("session_seq", F.row_number().over(seq).cast("long"))
+        .select(
+            "user_id",
+            "session_seq",
+            "session_events",
+            "duration_ms",
+            "session_value",
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -401,3 +401,64 @@ def test_stream_hourly_equals_batch_hourly(spark, sf_dir):
     batch = [tuple(r) for r in q_events_hourly(spark, sf_dir).collect()]
     live = [tuple(r) for r in q_stream_hourly(spark, sf_dir).collect()]
     assert live == batch
+
+
+def test_stream_sessions_equals_batch_sessionize(spark, sf_dir):
+    """The native session_window twin reproduces the batch
+    gaps-and-islands sessionizer exactly (ms-grain alignment; the
+    inclusive session_window merge rule equals the batch <= rule)."""
+    from bigdataminingproject_spark.operators.events import (
+        q_events_sessionize,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_sessions,
+    )
+
+    batch = [tuple(r) for r in q_events_sessionize(spark, sf_dir).collect()]
+    live = [tuple(r) for r in q_stream_sessions(spark, sf_dir).collect()]
+    assert live == batch
+
+
+def test_stream_sessions_gap_boundary_semantics(spark, tmp_path):
+    """Events exactly SESSION_GAP_MS apart stay in ONE session (the
+    batch <= rule), one ms beyond splits — pinning session_window's
+    inclusive merge boundary."""
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import SESSION_GAP_MS
+    from bigdataminingproject_spark.streaming.pipeline import run_to_memory
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1)
+    gap = datetime.timedelta(milliseconds=SESSION_GAP_MS)
+    ms = datetime.timedelta(milliseconds=1)
+    rows = [
+        (1, t0, 7, 0.0),
+        (2, t0 + gap, 7, 0.0),                 # exactly gap -> same
+        (3, t0 + gap + gap + ms, 7, 0.0),      # gap+1ms later -> new
+    ]
+    src = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    stream = file_replay_source(
+        spark, src, str(tmp_path / "s"), chunks=2, order_col="event_id"
+    )
+    agg = (
+        stream.withColumn("ts_m", F.timestamp_millis(F.unix_millis("ts")))
+        .withWatermark("ts_m", "1 hour")
+        .groupBy(
+            F.session_window(
+                "ts_m", f"{SESSION_GAP_MS} milliseconds"
+            ),
+            "user_id",
+        )
+        .count()
+    )
+    run_to_memory(agg, "gap_boundary_t", output_mode="complete")
+    counts = sorted(
+        r["count"] for r in spark.table("gap_boundary_t").collect()
+    )
+    assert counts == [1, 2]
