@@ -272,3 +272,71 @@ class Dgim:
                 (flat[i], flat[i + 1]) for i in range(1, len(flat), 2)
             ]
         return d
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary (FOCS'82; SpaceSaving's
+    deterministic ancestor): k-1 counters guarantee every item with true
+    frequency > n/k survives in the summary, and each surviving counter
+    underestimates its true count by at most (n - m)/k where m is the
+    summary's own mass.
+
+    Partial summaries MERGE (Agarwal et al., PODS'12): add counters
+    pointwise, then subtract the (k)th-largest value from every counter
+    and drop non-positives — the merged summary keeps the same error
+    envelope, which is what makes the distributed build a treeReduce
+    (same shuffle-free partial+final shape as the PyBloom build).
+    """
+
+    def __init__(self, k: int, counters: dict[str, int] | None = None):
+        self.k = k
+        self.counters: dict[str, int] = counters if counters is not None else {}
+
+    def add(self, item: str) -> None:
+        c = self.counters
+        if item in c:
+            c[item] += 1
+        elif len(c) < self.k - 1:
+            c[item] = 1
+        else:
+            dead = []
+            for key in c:
+                c[key] -= 1
+                if c[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del c[key]
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        merged = dict(self.counters)
+        for key, v in other.counters.items():
+            merged[key] = merged.get(key, 0) + v
+        if len(merged) >= self.k:
+            # subtract the k-th largest, drop <= 0 (PODS'12 rule)
+            kth = sorted(merged.values(), reverse=True)[self.k - 1]
+            merged = {
+                key: v - kth for key, v in merged.items() if v - kth > 0
+            }
+        return MisraGries(self.k, merged)
+
+
+def build_misra_gries(df: DataFrame, col: str, k: int = 50) -> MisraGries:
+    """Distributed Misra-Gries: per-partition summaries merged with
+    treeReduce. The result is a deterministic function of the partition
+    CONTENTS (merge is associative on the error envelope, though counter
+    values may vary with merge order — the guarantee, not the exact
+    counters, is the contract)."""
+
+    def partial(rows):
+        mg = MisraGries(k)
+        for r in rows:
+            v = r[0]
+            if v is not None:
+                mg.add(v)
+        yield mg.counters
+
+    def combine(a: dict, b: dict) -> dict:
+        return MisraGries(k, dict(a)).merge(MisraGries(k, b)).counters
+
+    merged = df.select(col).rdd.mapPartitions(partial).treeReduce(combine)
+    return MisraGries(k, merged)

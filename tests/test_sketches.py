@@ -136,3 +136,76 @@ def test_dgim_state_roundtrip():
     d.tick(), d.add(1)
     d2.tick(), d2.add(1)
     assert d2.count() == d.count()
+
+
+def test_misra_gries_guarantee_single_stream():
+    """Every item with frequency > n/k is in the summary, and counters
+    never overestimate / underestimate by more than n/k."""
+    from collections import Counter
+
+    from bigdataminingproject_spark.operators.sketches import MisraGries
+
+    stream = (["hot"] * 400 + ["warm"] * 150 + [f"cold{i}" for i in range(450)])
+    mg = MisraGries(k=10)
+    for x in stream:
+        mg.add(x)
+    n = len(stream)
+    truth = Counter(stream)
+    for item, true_c in truth.items():
+        if true_c > n / 10:
+            assert item in mg.counters, item
+    for item, est in mg.counters.items():
+        assert est <= truth[item]
+        assert truth[item] - est <= n / 10
+
+
+def test_misra_gries_merge_preserves_guarantee():
+    from collections import Counter
+
+    from bigdataminingproject_spark.operators.sketches import MisraGries
+
+    a_stream = ["x"] * 300 + [f"a{i}" for i in range(300)]
+    b_stream = ["x"] * 200 + ["y"] * 250 + [f"b{i}" for i in range(250)]
+    a, b = MisraGries(8), MisraGries(8)
+    for s in a_stream:
+        a.add(s)
+    for s in b_stream:
+        b.add(s)
+    m = a.merge(b)
+    n = len(a_stream) + len(b_stream)
+    truth = Counter(a_stream + b_stream)
+    assert len(m.counters) < 8
+    for item, true_c in truth.items():
+        if true_c > n / 8:
+            assert item in m.counters, item
+    for item, est in m.counters.items():
+        assert est <= truth[item]
+
+
+def test_misra_gries_distributed_build(spark, sf_dir):
+    """treeReduce build over the real token stream: the summary's
+    candidate set contains every exact above-threshold token."""
+    from bigdataminingproject_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+    from bigdataminingproject_spark.operators.sketches import (
+        build_misra_gries,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(remove_stopwords(tokenize(F.col("text")))).alias("w")
+    )
+    k = 20
+    mg = build_misra_gries(toks.repartition(8), "w", k=k)
+    exact = {r["w"]: r["c"] for r in toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    n = sum(exact.values())
+    for w, c in exact.items():
+        if c > n / k:
+            assert w in mg.counters, w
+    for w, est in mg.counters.items():
+        assert est <= exact[w]
