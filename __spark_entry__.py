@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_scd2": events.q_events_scd2,
         "q_knn_truncated_recall": similarity.q_knn_truncated_recall,
         "q_stream_sessions": streaming_pipeline.q_stream_sessions,
+        "q_doc_apply_mixture": sampling.q_doc_apply_mixture,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3397,6 +3398,29 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY z_bucket
     """
+
+    # q_doc_apply_mixture: the mixture-plan oracle reused verbatim;
+    # per-doc copies = floor(rate/10000) + fractional md5-variate draw
+    # (explicit floor — CAST(double AS BIGINT) rounds in DuckDB but
+    # truncates in Spark).
+    sql["q_doc_apply_mixture"] = (
+        "WITH plan AS ("
+        + sql["q_doc_mixture_plan"]
+        + """)
+        SELECT doc_id, source, n_copies FROM (
+            SELECT d.doc_id, d.source,
+                   CAST(floor(p.rate_bp / 10000.0) AS BIGINT)
+                   + CASE WHEN floor(
+                         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                             1, 8) AS BIGINT)
+                         / 4294967296.0 * 10000.0) < p.rate_bp % 10000
+                     THEN 1 ELSE 0 END AS n_copies
+            FROM documents d JOIN plan p USING (source)
+        )
+        WHERE n_copies > 0
+        ORDER BY doc_id
+    """
+    )
 
     # q_corpus_diff: full-outer content-hash diff against the
     # deterministically mutated re-crawl (%17 removed, %10 changed,

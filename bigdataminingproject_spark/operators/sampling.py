@@ -480,3 +480,65 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights with src0/src1 as the target slice."""
     docs = load_table(spark, sf_dir, "documents")
     return dsir_logweights(docs, DSIR_TARGET_SOURCES)
+
+
+def apply_mixture(
+    docs: DataFrame,
+    weight: Column,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Execute the epoch plan ``mixture_plan`` only describes: a per-doc
+    copy-count manifest realizing each source's sampling rate.
+
+    rate_bp <= 10000 (down-sample): keep the doc iff its deterministic
+    md5 variate falls under the rate. rate_bp > 10000 (up-sample): every
+    doc gets ``rate_bp // 10000`` full copies plus one more iff the
+    variate falls under the fractional remainder — in expectation (and
+    deterministically per doc) the source's token mass hits its target
+    share. Docs with zero copies are dropped.
+
+    The plan is a #sources-row broadcast joined onto one corpus scan;
+    the manifest adds no explosion (copies stay a count — the trainer's
+    data loader repeats by ``n_copies``, the engine never materializes
+    duplicates). Same variate convention as ``stratified_sample``, so
+    membership is layout/retry-invariant.
+    """
+    plan = mixture_plan(
+        docs, weight, strata_col=strata_col, text_col=text_col
+    ).select("source", "rate_bp")
+    variate_bp = F.floor(
+        hash_uniform(F.col(id_col)) * F.lit(10000.0)
+    ).cast("long")
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strata_col).alias("source"),
+        )
+        .join(F.broadcast(plan), "source")
+        .select(
+            "doc_id",
+            "source",
+            (
+                # floor of the double quotient == true integer division
+                # here (exact-integer quotients are exactly representable);
+                # explicit floor because CAST(double AS BIGINT) truncates
+                # in Spark but ROUNDS in DuckDB.
+                F.floor(F.col("rate_bp") / F.lit(10000.0)).cast("long")
+                + (
+                    variate_bp < F.col("rate_bp") % F.lit(10000)
+                ).cast("long")
+            ).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-copy manifest realizing the q_doc_mixture_plan rates (the
+    same cycling 1/2/3 source weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("CAST(substring(source, 4) AS INT) % 3 + 1")
+    return apply_mixture(docs, w)

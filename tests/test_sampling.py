@@ -348,3 +348,44 @@ def test_dsir_weights_tilt_toward_target(spark):
         4,
     )
     assert out[20] == pytest.approx(expect, abs=1e-9)
+
+
+def test_apply_mixture_copy_semantics(spark):
+    """Up-sampled sources get floor(rate/1e4) copies (+1 by variate);
+    down-sampled sources keep a subset with exactly 1 copy; achieved
+    doc mass tracks the rate in aggregate."""
+    from bigdataminingproject_spark.operators.sampling import (
+        apply_mixture,
+        mixture_plan,
+    )
+    from pyspark.sql import functions as F
+
+    rows = []
+    # heavy: 300 docs of 10 tokens; light: 30 docs of 10 tokens
+    for i in range(300):
+        rows.append((i, "tok " * 10, "heavy"))
+    for i in range(300, 330):
+        rows.append((i, "tok " * 10, "light"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    w = F.when(F.col("source") == "light", F.lit(5)).otherwise(F.lit(1))
+    plan = {r["source"]: r for r in mixture_plan(docs, w).collect()}
+    out = apply_mixture(docs, w).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["n_copies"])
+    # light is up-sampled: every kept doc has >= floor(rate) copies
+    lr = plan["light"]["rate_bp"]
+    assert lr > 10000
+    assert all(c >= lr // 10000 for c in by_src["light"])
+    assert len(by_src["light"]) == 30  # up-sampling never drops docs
+    # heavy is down-sampled: single copies, subset kept
+    hr = plan["heavy"]["rate_bp"]
+    assert hr < 10000
+    assert all(c == 1 for c in by_src["heavy"])
+    kept = len(by_src["heavy"])
+    assert abs(kept - 300 * hr / 10000) < 50  # variate noise envelope
+    # determinism
+    again = apply_mixture(docs, w).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
