@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_truncated_recall": similarity.q_knn_truncated_recall,
         "q_stream_sessions": streaming_pipeline.q_stream_sessions,
         "q_doc_apply_mixture": sampling.q_doc_apply_mixture,
+        "q_doc_gopher_gate": quality.q_doc_gopher_gate,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3398,6 +3399,56 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY z_bucket
     """
+
+    # q_doc_gopher_gate: the repetition oracle reused verbatim; the
+    # per-row length/stopword stats recomputed list-side; every rule is
+    # integer arithmetic (thresholds interpolated from the SAME Python
+    # constants the Spark gate uses).
+    from bigdataminingproject_spark.operators.quality import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MAX_TOP_BI_BP,
+        GOPHER_MAX_TOP_UNI_BP,
+        GOPHER_MIN_DISTINCT_BP,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+    )
+
+    sql["q_doc_gopher_gate"] = (
+        "WITH rep AS ("
+        + sql["q_doc_repetition"]
+        + f"""),
+        rowstats AS (
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(
+                       list_filter(
+                           string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                           x -> x <> ''),
+                       x -> strlen(x))), 0) AS BIGINT)
+                       AS sum_token_chars,
+                   CAST(len(list_filter(
+                       list_filter(
+                           string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                           x -> x <> ''),
+                       x -> x IN ({_STOP_ONLY_LIST}))) AS BIGINT)
+                       AS n_stopword_hits
+            FROM documents
+        )
+        SELECT r.doc_id, r.n_tokens, s.sum_token_chars, r.distinct_bp,
+               r.top_unigram_bp, r.top_bigram_bp, s.n_stopword_hits,
+               (r.n_tokens >= {GOPHER_MIN_TOKENS}
+                AND r.n_tokens <= {GOPHER_MAX_TOKENS}
+                AND s.sum_token_chars >= {GOPHER_MIN_MEAN_LEN} * r.n_tokens
+                AND s.sum_token_chars <= {GOPHER_MAX_MEAN_LEN} * r.n_tokens
+                AND r.distinct_bp >= {GOPHER_MIN_DISTINCT_BP}
+                AND r.top_unigram_bp <= {GOPHER_MAX_TOP_UNI_BP}
+                AND r.top_bigram_bp <= {GOPHER_MAX_TOP_BI_BP}
+                AND s.n_stopword_hits >= {GOPHER_MIN_STOPWORDS}) AS keep
+        FROM rep r JOIN rowstats s USING (doc_id)
+        ORDER BY r.doc_id
+    """
+    )
 
     # q_doc_apply_mixture: the mixture-plan oracle reused verbatim;
     # per-doc copies = floor(rate/10000) + fractional md5-variate draw

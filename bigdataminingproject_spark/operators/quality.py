@@ -732,3 +732,93 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear classifier probability per document."""
     docs = load_table(spark, sf_dir, "documents")
     return linear_quality_score(docs)
+
+
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_LEN = 3  # mean token length bounds, Rae et al. 2021 §A1.1
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MIN_DISTINCT_BP = 2000
+GOPHER_MAX_TOP_UNI_BP = 3000
+GOPHER_MAX_TOP_BI_BP = 2000
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_gate(docs: DataFrame) -> DataFrame:
+    """The composed Gopher-style document gate (Rae et al. 2021, §A1.1):
+    every rule family this engine scores individually, folded into one
+    keep/drop decision per document — the boolean a bulk filter actually
+    consumes.
+
+    Rules (ALL integer arithmetic — counts and basis points — so the
+    oracle comparison has no float surface at all):
+      R1 token count in [10, 100k];
+      R2 mean token length in [3, 10], tested as
+         3*n_tokens <= sum(len(token)) <= 10*n_tokens (division-free);
+      R3 distinct-token fraction >= 20% (2000 bp);
+      R4 top unigram mass <= 30%;
+      R5 top bigram mass <= 20%;
+      R6 at least 2 stopword occurrences (the "is it prose?" check).
+
+    One tokenizing scan feeds both the repetition aggregation (explode +
+    two-level hash agg, skew-free keys) and the per-row length/stopword
+    projection; the join key is doc_id.
+    """
+    from bigdataminingproject_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        tokenize,
+    )
+
+    rep = repetition_signals(docs).select(
+        "doc_id", "n_tokens", "distinct_bp", "top_unigram_bp",
+        "top_bigram_bp",
+    )
+    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    toks = docs.select("doc_id", tokenize("text").alias("_t"))
+    row = toks.select(
+        "doc_id",
+        F.aggregate(
+            "_t", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_token_chars"),
+        F.size(
+            F.filter("_t", lambda t: F.array_contains(stop_arr, t))
+        ).cast("long").alias("n_stopword_hits"),
+    )
+    g = rep.join(row, "doc_id")
+    keep = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        & (
+            F.col("sum_token_chars")
+            >= GOPHER_MIN_MEAN_LEN * F.col("n_tokens")
+        )
+        & (
+            F.col("sum_token_chars")
+            <= GOPHER_MAX_MEAN_LEN * F.col("n_tokens")
+        )
+        & (F.col("distinct_bp") >= GOPHER_MIN_DISTINCT_BP)
+        & (F.col("top_unigram_bp") <= GOPHER_MAX_TOP_UNI_BP)
+        & (F.col("top_bigram_bp") <= GOPHER_MAX_TOP_BI_BP)
+        & (F.col("n_stopword_hits") >= GOPHER_MIN_STOPWORDS)
+    )
+    return (
+        g.select(
+            "doc_id",
+            "n_tokens",
+            "sum_token_chars",
+            "distinct_bp",
+            "top_unigram_bp",
+            "top_bigram_bp",
+            "n_stopword_hits",
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_gopher_gate(spark, sf_dir: str) -> DataFrame:
+    """Composed Gopher-rule keep/drop decision for every document."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_gate(docs)

@@ -401,3 +401,32 @@ def test_bigram_nll_flags_word_salad(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["bigram_nll"] for r in bigram_logprob(docs).collect()}
     assert out[99] > out[0]
+
+
+def test_gopher_gate_rules_fire_individually(spark):
+    """Each rule kills exactly its violator; a normal doc passes."""
+    from bigdataminingproject_spark.operators.quality import gopher_gate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs "
+        "through the quiet field while birds watch from tall trees"
+    )
+    rows = [
+        (0, good, "s"),                              # passes all rules
+        (1, "short text here", "s"),                  # R1: < 10 tokens
+        (2, "the " + "word " * 30, "s"),              # R4: top unigram mass
+        (3, " ".join("xz" for _ in range(40)), "s"),  # R3+R6: 1 distinct, no stopwords
+        # R2: twelve distinct 14-char words -> mean token length 14 > 10
+        (4, " ".join("pneumonoultram"[:13] + chr(97 + i) for i in range(12)), "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    out = {r["doc_id"]: r for r in gopher_gate(docs).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["keep"] is False and out[1]["n_tokens"] < 10
+    assert out[2]["keep"] is False and out[2]["top_unigram_bp"] > 3000
+    assert out[3]["keep"] is False
+    assert out[3]["distinct_bp"] < 2000 or out[3]["n_stopword_hits"] < 2
+    assert out[4]["keep"] is False
+    assert out[4]["sum_token_chars"] > 10 * out[4]["n_tokens"]
