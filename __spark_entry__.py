@@ -3550,8 +3550,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT '{_sa}->{_sb}' AS transition,
                count({_a}) AS n_reached,
                count({_b}) AS n_converted,
-               floor(count({_b}) * 10000.0 / count({_a}) + 0.5) / 10000
-                   AS conv_rate,
+               CASE WHEN count({_a}) > 0
+                    THEN floor(count({_b}) * 10000.0 / count({_a}) + 0.5)
+                         / 10000 END AS conv_rate,
                round(quantile_cont({_lat}, 0.5), 4) AS p50_latency_s,
                round(quantile_cont({_lat}, 0.9), 4) AS p90_latency_s
         FROM f WHERE {_a} IS NOT NULL"""

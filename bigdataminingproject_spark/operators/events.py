@@ -661,8 +661,13 @@ def funnel_latency(
                 F.lit(f"{stages[i]}->{stages[i + 1]}").alias("transition"),
                 "n_reached",
                 "n_converted",
-                stable_round_div(
-                    F.col("n_converted"), F.col("n_reached"), 4
+                # a stage nobody reaches must yield a NULL rate, not an
+                # ANSI divide-by-zero
+                F.when(
+                    F.col("n_reached") > 0,
+                    stable_round_div(
+                        F.col("n_converted"), F.col("n_reached"), 4
+                    ),
                 ).alias("conv_rate"),
                 "p50_latency_s",
                 "p90_latency_s",

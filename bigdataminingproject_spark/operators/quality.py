@@ -96,9 +96,11 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
     bigrams = toks.select(
         "doc_id",
+        # greatest(..., 0): slice() raises on negative length, which a
+        # zero-token (empty-text) document would otherwise produce
         F.expr(
-            "zip_with(slice(toks, 1, size(toks) - 1),"
-            "         slice(toks, 2, size(toks) - 1),"
+            "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+            "         slice(toks, 2, greatest(size(toks) - 1, 0)),"
             "         (a, b) -> concat(a, ' ', b))"
         ).alias("bgs"),
     )

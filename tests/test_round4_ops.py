@@ -669,3 +669,85 @@ def test_corpus_diff_identical_is_empty(spark):
 
     docs = _docs(spark, ["a", "b"])
     assert corpus_diff(docs, docs).count() == 0
+
+
+# --- degenerate corpora through the third-batch operators --------------------
+
+
+def test_third_batch_ops_edge_cases(spark):
+    """Empty text, single-token docs, unicode tokens, and a single-user
+    event log through every round-4 third-batch text/event operator:
+    no crashes, correct exclusions."""
+    from bigdataminingproject_spark.operators.dedup import span_dedup
+    from bigdataminingproject_spark.operators.frequency import (
+        token_pagerank,
+    )
+    from bigdataminingproject_spark.operators.quality import gopher_gate
+    from bigdataminingproject_spark.operators.sampling import apply_mixture
+    from bigdataminingproject_spark.operators.textstats import (
+        source_divergence,
+    )
+    from bigdataminingproject_spark.plans.report import corpus_diff
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "", "a"),
+        (1, "solo", "a"),
+        (2, "héllo wörld héllo wörld café", "b"),
+        (3, "the the the the the the the the the the", "b"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    # span dedup: empty doc absent, others present
+    sd = {r["doc_id"]: r for r in span_dedup(docs, span_tokens=4).collect()}
+    assert 0 not in sd and set(sd) == {1, 2, 3}
+    # pagerank: graph exists only from docs with >= 2 surviving tokens;
+    # unicode tokens survive \p{L} tokenization
+    pr = token_pagerank(docs, iters=2, top_n=50).collect()
+    assert {r["token"] for r in pr} >= {"héllo", "wörld"}
+    # divergence: every source present incl. the one with an empty doc
+    dv = {r["source"]: r for r in source_divergence(docs).collect()}
+    assert set(dv) == {"a", "b"}
+    assert dv["a"]["n_tokens"] == 1  # '' contributes nothing, 'solo' one
+    # gopher gate: empty doc absent (no tokens), spam doc dropped
+    gg = {r["doc_id"]: r for r in gopher_gate(docs).collect()}
+    assert 0 not in gg
+    assert gg[3]["keep"] is False
+    # mixture executor: a single-source corpus is the identity plan
+    # (rate exactly 10000 bp -> one copy each, nobody dropped)
+    one_src = docs.withColumn("source", F.lit("only"))
+    am = apply_mixture(one_src, F.lit(1)).collect()
+    assert {r["n_copies"] for r in am} == {1}
+    assert len(am) == 4
+    # corpus diff: one side empty -> everything 'removed'
+    empty = docs.filter("doc_id < 0")
+    cd = corpus_diff(docs, empty).collect()
+    assert len(cd) == 4 and all(r["status"] == "removed" for r in cd)
+
+
+def test_third_batch_event_ops_single_user(spark):
+    """A one-user, one-event log through cohort/scd2/funnel-latency:
+    minimal but well-formed outputs."""
+    import datetime
+
+    from bigdataminingproject_spark.operators.events import (
+        cohort_triangle,
+        funnel_latency,
+        scd2_history,
+    )
+
+    t = datetime.datetime
+    ev = spark.createDataFrame(
+        [(1, t(2024, 1, 1), 9, "signup", 0.0, "")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ct = cohort_triangle(ev).collect()
+    assert len(ct) == 1 and ct[0]["retention_rate"] == 1.0
+    h = scd2_history(ev).collect()
+    assert len(h) == 1 and h[0]["valid_to_us"] is None
+    fl = {r["transition"]: r for r in funnel_latency(ev).collect()}
+    assert fl["signup->click"]["n_reached"] == 1
+    assert fl["signup->click"]["n_converted"] == 0
+    assert fl["signup->click"]["p50_latency_s"] is None
