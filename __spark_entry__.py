@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessions": streaming_pipeline.q_stream_sessions,
         "q_doc_apply_mixture": sampling.q_doc_apply_mixture,
         "q_doc_gopher_gate": quality.q_doc_gopher_gate,
+        "q_knn_ivf_probe_curve": similarity.q_knn_ivf_probe_curve,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -1477,6 +1478,75 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
     """
+
+    # q_knn_ivf_probe_curve: one exact leg + one probed leg per Hamming
+    # radius (offset lists generated by the same hamming_offsets logic),
+    # overlap counted per radius, half-up integer recall_bp.
+    _pc_blocks = []
+    _pc_selects = []
+    for _r in (0, 1, 2):
+        _offs = similarity.hamming_offsets(6, _r)
+        _off_sql = ", ".join(str(o) for o in _offs)
+        _pc_blocks.append(f"""
+        probes_r{_r} AS (
+            SELECT c.vec_id AS query_id, c.vec AS q_vec,
+                   xor(c.cell, o.off) AS cell
+            FROM cells c, (SELECT unnest([{_off_sql}]) AS off) o
+            WHERE c.vec_id < 5
+        ),
+        ranked_r{_r} AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY round(list_dot_product(p.q_vec, n.vec) /
+                                 (sqrt(list_dot_product(p.q_vec, p.q_vec)) *
+                                  sqrt(list_dot_product(n.vec, n.vec))), 6)
+                                 DESC, n.vec_id
+                       ) AS rank
+                FROM probes_r{_r} p
+                JOIN cells n ON n.cell = p.cell AND n.vec_id <> p.query_id
+            ) WHERE rank <= 10
+        )""")
+        _pc_selects.append(f"""
+        SELECT {_r} AS hamming_radius,
+               {len(_offs)} AS cells_probed,
+               count(*) AS n_exact,
+               count(a.neighbor_id) AS n_hit,
+               CAST(floor(count(a.neighbor_id) * 10000.0 / count(*) + 0.5)
+                    AS BIGINT) AS recall_bp
+        FROM exact e
+        LEFT JOIN ranked_r{_r} a
+               ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""")
+    sql["q_knn_ivf_probe_curve"] = (
+        f"""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        cells AS (
+            SELECT vec_id, vec, {_cell_terms} AS cell FROM v
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(q.vec, n.vec) /
+                                 (sqrt(list_dot_product(q.vec, q.vec)) *
+                                  sqrt(list_dot_product(n.vec, n.vec))), 6)
+                                 DESC, n.vec_id
+                       ) AS rank
+                FROM v q JOIN v n ON n.vec_id <> q.vec_id
+                WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        ),"""
+        + ",".join(_pc_blocks)
+        + " ".join(
+            _sel + (" UNION ALL" if _i < len(_pc_selects) - 1 else "")
+            for _i, _sel in enumerate(_pc_selects)
+        )
+        + " ORDER BY hamming_radius"
+    )
 
     # q_embedding_shard_stats: md5-derived shards; the oracle recomputes
     # the grouped-applyInPandas statistics relationally (per-dim means

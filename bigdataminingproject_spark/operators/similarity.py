@@ -537,6 +537,21 @@ def cell_id(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("int")
 
 
+def hamming_offsets(n_bits: int, radius: int) -> list[int]:
+    """XOR masks for every cell code within Hamming distance ``radius``
+    of a query's code: radius 0 -> 1 cell, 1 -> 1+n, 2 -> 1+n+C(n,2)."""
+    from itertools import combinations
+
+    offs = [0]
+    if radius >= 1:
+        offs += [1 << b for b in range(n_bits)]
+    if radius >= 2:
+        offs += [
+            (1 << a) | (1 << b) for a, b in combinations(range(n_bits), 2)
+        ]
+    return offs
+
+
 def ivf_knn_det(
     vectors: DataFrame,
     queries: DataFrame,
@@ -545,6 +560,7 @@ def ivf_knn_det(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming_radius: int = 1,
 ) -> DataFrame:
     """IVF kNN with a data-INdependent coarse quantizer (oracle twin).
 
@@ -575,7 +591,7 @@ def ivf_knn_det(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
     ).withColumn("q_cell", cell_id(F.col("q_vec"), planes))
-    offsets = [0] + [1 << b for b in range(n_cell_planes)]
+    offsets = hamming_offsets(n_cell_planes, hamming_radius)
     probes = q.select(
         "query_id",
         "q_vec",
@@ -1137,3 +1153,82 @@ def q_knn_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 5)
     return truncated_knn_overlap(vecs, queries, k=10, trunc_dim=16)
+
+
+def ivf_probe_curve(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    radii: tuple[int, ...] = (0, 1, 2),
+    n_cell_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall-vs-probe-width tuning curve for the deterministic IVF
+    index: for each Hamming probe radius, what fraction of the exact
+    top-k the probed scan recovers — the table an operator reads before
+    picking the latency/recall point for a deployment (FAISS's nprobe
+    sweep, made oracle-checkable by the deterministic quantizer).
+
+    One exact-kNN leg (ground truth) plus one bounded IVF leg per
+    radius; every leg is k-rows-per-query before the overlap joins, so
+    the curve costs |radii| probed scans regardless of corpus size.
+    recall_bp is integer basis points via half-up double arithmetic
+    (exact at these magnitudes on any engine).
+    """
+    exact = knn_bruteforce(
+        vectors, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    segs = []
+    for r in radii:
+        appr = ivf_knn_det(
+            vectors,
+            queries,
+            k=k,
+            n_cell_planes=n_cell_planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            hamming_radius=r,
+        ).select(
+            F.col("query_id").alias("a_q"),
+            F.col("neighbor_id").alias("a_n"),
+        )
+        seg = (
+            exact.join(
+                appr,
+                (exact["query_id"] == appr["a_q"])
+                & (exact["neighbor_id"] == appr["a_n"]),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.count("a_n").alias("n_hit"),
+            )
+            .select(
+                F.lit(r).alias("hamming_radius"),
+                F.lit(len(hamming_offsets(n_cell_planes, r))).alias(
+                    "cells_probed"
+                ),
+                "n_exact",
+                "n_hit",
+                F.floor(
+                    F.col("n_hit") * F.lit(10000.0) / F.col("n_exact")
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+        segs.append(seg)
+    out = segs[0]
+    for s in segs[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("hamming_radius")
+
+
+def q_knn_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the deterministic IVF index at Hamming probe radii
+    0/1/2 (1, 7, and 22 of 64 cells) for the first 5 query vectors."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 5)
+    return ivf_probe_curve(vecs, queries, k=10)

@@ -356,3 +356,22 @@ def test_truncated_overlap_detects_tail_signal(spark):
     # -> use k=1: full picks 1; truncated picks 1 only via tie-break.
     # The meaningful assertion: the audit runs and bounds recall.
     assert 0.0 <= out[0]["recall_at_k"] <= 1.0
+
+
+def test_ivf_probe_curve_monotone(spark, sf_dir):
+    """Recall must be non-decreasing in probe radius, reach the radius-1
+    operating point of ivf_knn_det exactly, and probe 1/7/22 cells."""
+    from bigdataminingproject_spark.operators.similarity import (
+        ivf_probe_curve,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 5)
+    rows = {r["hamming_radius"]: r for r in ivf_probe_curve(vecs, q).collect()}
+    assert [rows[r]["cells_probed"] for r in (0, 1, 2)] == [1, 7, 22]
+    assert (
+        rows[0]["recall_bp"] <= rows[1]["recall_bp"] <= rows[2]["recall_bp"]
+    )
+    assert all(rows[r]["n_exact"] == 50 for r in (0, 1, 2))
