@@ -21,7 +21,7 @@ from bigdataminingproject_spark.functions.text import (
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, quality, sampling
-from bigdataminingproject_spark.operators import retrieval
+from bigdataminingproject_spark.operators import retrieval, sketches
 from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_apply_mixture": sampling.q_doc_apply_mixture,
         "q_doc_gopher_gate": quality.q_doc_gopher_gate,
         "q_knn_ivf_probe_curve": similarity.q_knn_ivf_probe_curve,
+        "q_events_value_quantiles": sketches.q_events_value_quantiles,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3469,6 +3470,47 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY z_bucket
     """
+
+    # q_events_value_quantiles: fixed-grid histogram quantiles — bounds
+    # and width recomputed in SQL from the same order-insensitive
+    # min/max (identical doubles), interpolation inside the hit bin.
+    _hq = []
+    for _q in (0.5, 0.9, 0.99):
+        _hq.append(
+            f"""
+        SELECT CAST({_q} AS DOUBLE) AS quantile,
+               round(mn + bin * w
+                     + (CAST({_q} AS DOUBLE) * n - (cum - c)) / c * w, 6)
+                   AS estimate
+        FROM (SELECT cum.*, st.mn, st.w, st.n FROM cum, st
+              WHERE cum.cum >= CAST({_q} AS DOUBLE) * st.n
+              ORDER BY bin LIMIT 1)"""
+        )
+    sql["q_events_value_quantiles"] = (
+        """
+        WITH st AS (
+            SELECT min(value) AS mn, max(value) AS mx,
+                   count(value) AS n,
+                   (max(value) - min(value)) / 256.0 AS w
+            FROM events
+        ),
+        b AS (
+            SELECT least(CAST(floor((value - st.mn) / st.w) AS BIGINT),
+                         255) AS bin,
+                   count(*) AS c
+            FROM events, st
+            WHERE value IS NOT NULL
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, c,
+                   CAST(sum(c) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM b
+        )"""
+        + " UNION ALL ".join(_hq)
+        + " ORDER BY quantile"
+    )
 
     # q_doc_gopher_gate: the repetition oracle reused verbatim; the
     # per-row length/stopword stats recomputed list-side; every rule is

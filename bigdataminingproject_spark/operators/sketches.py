@@ -340,3 +340,94 @@ def build_misra_gries(df: DataFrame, col: str, k: int = 50) -> MisraGries:
 
     merged = df.select(col).rdd.mapPartitions(partial).treeReduce(combine)
     return MisraGries(k, merged)
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Bounded-memory quantile estimation via a fixed-grid histogram —
+    the two-pass, no-sort percentile pattern for columns too big to
+    buffer. Spark's exact ``percentile`` aggregate holds every value of
+    a group in executor memory; this holds ``n_bins`` longs regardless
+    of corpus size, with error bounded by half a bin width.
+
+    Pass 1: min/max (order-insensitive, 2 doubles to the driver).
+    Pass 2: one hash-agg onto <= n_bins integer keys, then cumulative
+    counts and linear interpolation INSIDE the hit bin — all on the
+    bins relation (bounded), never on the data.
+
+    Deterministic and engine-stable: binning is floor() of exact double
+    arithmetic from the collected bounds; estimates round at 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    row = df.agg(
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+        F.count(col).alias("n"),
+    ).collect()[0]
+    n = int(row["n"])
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(float(q), None) for q in qs],
+            "quantile double, estimate double",
+        )
+    mn, mx = float(row["mn"]), float(row["mx"])
+    span = mx - mn
+    if span <= 0:
+        return spark.createDataFrame(
+            [(float(q), mn) for q in qs],
+            "quantile double, estimate double",
+        )
+    width = span / n_bins
+    bin_expr = F.least(
+        F.floor((F.col(col) - F.lit(mn)) / F.lit(width)).cast("long"),
+        F.lit(n_bins - 1),
+    )
+    bins = (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "c", F.sum("c").over(w).alias("cum")
+    )  # <= n_bins rows: the single-partition window is bounded
+    ests = []
+    for q in qs:
+        target = F.lit(float(q)) * F.lit(float(n))
+        hit = (
+            cum.filter(F.col("cum") >= target)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("quantile"),
+                F.round(
+                    F.lit(mn)
+                    + F.col("bin") * F.lit(width)
+                    + (target - (F.col("cum") - F.col("c")))
+                    / F.col("c")
+                    * F.lit(width),
+                    6,
+                ).alias("estimate"),
+            )
+        )
+        ests.append(hit)
+    out = ests[0]
+    for e in ests[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("quantile")
+
+
+def q_events_value_quantiles(spark, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the event value column via the bounded-memory
+    histogram estimator."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(ev, "value")

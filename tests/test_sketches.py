@@ -209,3 +209,40 @@ def test_misra_gries_distributed_build(spark, sf_dir):
             assert w in mg.counters, w
     for w, est in mg.counters.items():
         assert est <= exact[w]
+
+
+def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
+    """Estimates land within one bin width of Spark's exact percentile
+    on the real value column."""
+    from bigdataminingproject_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    st = ev.agg(
+        F.min("value"), F.max("value"),
+        F.percentile("value", 0.5), F.percentile("value", 0.9),
+        F.percentile("value", 0.99),
+    ).collect()[0]
+    width = (st[1] - st[0]) / 256
+    est = {
+        r["quantile"]: r["estimate"]
+        for r in histogram_quantiles(ev, "value").collect()
+    }
+    for q, exact in zip((0.5, 0.9, 0.99), (st[2], st[3], st[4])):
+        assert abs(est[q] - exact) <= width, (q, est[q], exact)
+
+
+def test_histogram_quantiles_degenerate_inputs(spark):
+    from bigdataminingproject_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "value double")
+    out = histogram_quantiles(empty, "value").collect()
+    assert all(r["estimate"] is None for r in out)
+    const = spark.createDataFrame([(5.0,)] * 10, "value double")
+    out = histogram_quantiles(const, "value").collect()
+    assert all(r["estimate"] == 5.0 for r in out)
