@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_gopher_gate": quality.q_doc_gopher_gate,
         "q_knn_ivf_probe_curve": similarity.q_knn_ivf_probe_curve,
         "q_events_value_quantiles": sketches.q_events_value_quantiles,
+        "q_events_latency_by_type": sketches.q_events_latency_by_type,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -3510,6 +3511,58 @@ def oracle_sql() -> dict[str, str]:
         )"""
         + " UNION ALL ".join(_hq)
         + " ORDER BY quantile"
+    )
+
+    # q_events_latency_by_type: grouped fixed-grid quantiles — bounds,
+    # widths, binning, and interpolation all SQL-side per key, zero-span
+    # groups pinned to mn.
+    _ghq = []
+    for _q in (0.5, 0.9, 0.99):
+        _ghq.append(
+            f"""
+        SELECT key, CAST({_q} AS DOUBLE) AS quantile,
+               CASE WHEN w > 0
+                    THEN round(mn + bin * w
+                               + (CAST({_q} AS DOUBLE) * n - (cum - c))
+                                 / c * w, 6)
+                    ELSE round(mn, 6) END AS estimate
+        FROM (
+            SELECT cum.key, cum.bin, cum.c, cum.cum,
+                   st.mn, st.w, st.n,
+                   row_number() OVER (
+                       PARTITION BY cum.key ORDER BY cum.bin) AS rn
+            FROM cum JOIN st USING (key)
+            WHERE cum.cum >= CAST({_q} AS DOUBLE) * st.n
+        ) WHERE rn = 1"""
+        )
+    sql["q_events_latency_by_type"] = (
+        """
+        WITH clean AS (
+            SELECT event_type AS key, value AS v
+            FROM events WHERE value IS NOT NULL
+        ),
+        st AS (
+            SELECT key, min(v) AS mn, max(v) AS mx,
+                   count(*) AS n, (max(v) - min(v)) / 256.0 AS w
+            FROM clean GROUP BY key
+        ),
+        binned AS (
+            SELECT c.key,
+                   CASE WHEN st.w > 0
+                        THEN least(CAST(floor((c.v - st.mn) / st.w)
+                                   AS BIGINT), 255)
+                        ELSE 0 END AS bin
+            FROM clean c JOIN st USING (key)
+        ),
+        bins AS (SELECT key, bin, count(*) AS c FROM binned GROUP BY 1, 2),
+        cum AS (
+            SELECT key, bin, c,
+                   CAST(sum(c) OVER (PARTITION BY key ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM bins
+        )"""
+        + " UNION ALL ".join(_ghq)
+        + " ORDER BY key, quantile"
     )
 
     # q_doc_gopher_gate: the repetition oracle reused verbatim; the

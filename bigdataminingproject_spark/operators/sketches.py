@@ -352,7 +352,10 @@ def histogram_quantiles(
     the two-pass, no-sort percentile pattern for columns too big to
     buffer. Spark's exact ``percentile`` aggregate holds every value of
     a group in executor memory; this holds ``n_bins`` longs regardless
-    of corpus size, with error bounded by half a bin width.
+    of corpus size. Contract: the estimate lies within one bin width of
+    the DISCRETE rank-ceil(q*n) value; interpolated-percentile
+    definitions can differ by a full rank, which in a sparse tail is an
+    unbounded value gap for ANY histogram estimator (pinned by test).
 
     Pass 1: min/max (order-insensitive, 2 doubles to the driver).
     Pass 2: one hash-agg onto <= n_bins integer keys, then cumulative
@@ -431,3 +434,95 @@ def q_events_value_quantiles(spark, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return histogram_quantiles(ev, "value")
+
+
+def grouped_histogram_quantiles(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    n_bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-key bounded-memory quantiles (p99 latency by endpoint, the
+    canonical ops rollup) — the grouped version of
+    ``histogram_quantiles`` with NO driver collect at all: group bounds
+    join back relationally, so the operator scales to any number of
+    groups (a per-group exact percentile would buffer each group's
+    values; this holds n_bins counters per group).
+
+    Zero-span groups (constant value) estimate mn at every quantile.
+    Same contract as the global version: within one bin width of the
+    discrete rank-ceil(q*n) value per group. All arithmetic is SQL-side
+    double math from order-insensitive min/max, bit-reproducible in the
+    oracle.
+    """
+    from pyspark.sql.window import Window
+
+    clean = df.filter(F.col(col).isNotNull()).select(
+        F.col(key_col).alias("key"), F.col(col).alias("v")
+    )
+    st = clean.groupBy("key").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        ((F.max("v") - F.min("v")) / F.lit(float(n_bins))).alias("w"),
+    )
+    binned = clean.join(F.broadcast(st), "key").select(
+        "key",
+        F.when(F.col("w") > 0,
+               F.least(
+                   F.floor((F.col("v") - F.col("mn")) / F.col("w"))
+                   .cast("long"),
+                   F.lit(n_bins - 1),
+               ))
+        .otherwise(F.lit(0))
+        .alias("bin"),
+    )
+    bins = binned.groupBy("key", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("key")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bins.select("key", "bin", "c", F.sum("c").over(wcum).alias("cum"))
+    ests = []
+    for q in qs:
+        hitw = Window.partitionBy("key").orderBy("bin")
+        hit = (
+            cum.join(F.broadcast(st), "key")
+            .filter(F.col("cum") >= F.lit(float(q)) * F.col("n"))
+            .withColumn("_rn", F.row_number().over(hitw))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "key",
+                F.lit(float(q)).alias("quantile"),
+                F.when(
+                    F.col("w") > 0,
+                    F.round(
+                        F.col("mn")
+                        + F.col("bin") * F.col("w")
+                        + (
+                            F.lit(float(q)) * F.col("n")
+                            - (F.col("cum") - F.col("c"))
+                        )
+                        / F.col("c")
+                        * F.col("w"),
+                        6,
+                    ),
+                ).otherwise(F.round(F.col("mn"), 6)).alias("estimate"),
+            )
+        )
+        ests.append(hit)
+    out = ests[0]
+    for e in ests[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("key", "quantile")
+
+
+def q_events_latency_by_type(spark, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the value column per event type via the grouped
+    bounded-memory histogram estimator."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_histogram_quantiles(ev, "event_type", "value")

@@ -211,28 +211,28 @@ def test_misra_gries_distributed_build(spark, sf_dir):
         assert est <= exact[w]
 
 
-def test_histogram_quantiles_within_bin_width_of_exact(spark, sf_dir):
-    """Estimates land within one bin width of Spark's exact percentile
-    on the real value column."""
+def test_histogram_quantiles_within_bin_width_of_rank_value(spark, sf_dir):
+    """Estimates land within one bin width of the DISCRETE rank-ceil(qn)
+    value — the estimator's contract. (Interpolated percentile can sit
+    a whole rank away, which in a sparse tail is an unbounded value
+    gap — see the grouped test.)"""
+    import math
+
     from bigdataminingproject_spark.operators.sketches import (
         histogram_quantiles,
     )
     from bigdataminingproject_spark.sources.tables import load_table
-    from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
-    st = ev.agg(
-        F.min("value"), F.max("value"),
-        F.percentile("value", 0.5), F.percentile("value", 0.9),
-        F.percentile("value", 0.99),
-    ).collect()[0]
-    width = (st[1] - st[0]) / 256
+    vals = sorted(r["value"] for r in ev.select("value").collect())
+    width = (vals[-1] - vals[0]) / 256
     est = {
         r["quantile"]: r["estimate"]
         for r in histogram_quantiles(ev, "value").collect()
     }
-    for q, exact in zip((0.5, 0.9, 0.99), (st[2], st[3], st[4])):
-        assert abs(est[q] - exact) <= width, (q, est[q], exact)
+    for q in (0.5, 0.9, 0.99):
+        rank_val = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(est[q] - rank_val) <= width, (q, est[q], rank_val)
 
 
 def test_histogram_quantiles_degenerate_inputs(spark):
@@ -246,3 +246,47 @@ def test_histogram_quantiles_degenerate_inputs(spark):
     const = spark.createDataFrame([(5.0,)] * 10, "value double")
     out = histogram_quantiles(const, "value").collect()
     assert all(r["estimate"] == 5.0 for r in out)
+
+
+def test_grouped_histogram_quantiles_per_key(spark, sf_dir):
+    """Per-key estimates land within one bin width of each key's
+    discrete rank-ceil(qn) value (the estimator's contract — the
+    INTERPOLATED percentile of a ~200-row key can sit a whole sparse
+    tail-gap away at p99, which is a property of the definition, not
+    an estimator error)."""
+    import math
+
+    from bigdataminingproject_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    by_key: dict[str, list] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_key.setdefault(r["event_type"], []).append(r["value"])
+    out = grouped_histogram_quantiles(ev, "event_type", "value").collect()
+    assert len(out) == 3 * len(by_key)
+    for r in out:
+        vals = sorted(by_key[r["key"]])
+        width = (vals[-1] - vals[0]) / 256
+        rank_val = vals[math.ceil(r["quantile"] * len(vals)) - 1]
+        assert abs(r["estimate"] - rank_val) <= width + 1e-9, (
+            r["key"], r["quantile"], r["estimate"], rank_val)
+
+
+def test_grouped_histogram_quantiles_constant_key(spark):
+    from bigdataminingproject_spark.operators.sketches import (
+        grouped_histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", float(i)) for i in range(100)],
+        "k string, v double",
+    )
+    out = {
+        (r["key"], r["quantile"]): r["estimate"]
+        for r in grouped_histogram_quantiles(df, "k", "v").collect()
+    }
+    assert out[("a", 0.5)] == 5.0 and out[("a", 0.99)] == 5.0
+    assert 40 <= out[("b", 0.5)] <= 60
