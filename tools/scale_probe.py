@@ -97,6 +97,16 @@ PROBE_QUERIES = [
     "q_corpus_diff",
     "q_lineitem_zorder",
     "q_hard_negatives",
+    # round-4 later batches: mixture executor, composed Gopher gate,
+    # SCD2 (output-bound), truncation audit, probe curve, histogram
+    # quantiles (global + per-key)
+    "q_doc_apply_mixture",
+    "q_doc_gopher_gate",
+    "q_events_scd2",
+    "q_knn_truncated_recall",
+    "q_knn_ivf_probe_curve",
+    "q_events_value_quantiles",
+    "q_events_latency_by_type",
 ]
 
 
