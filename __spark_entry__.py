@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_probe_curve": similarity.q_knn_ivf_probe_curve,
         "q_events_value_quantiles": sketches.q_events_value_quantiles,
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
+        "q_events_hourly_incremental": events.q_events_hourly_incremental,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
         "q_doc_chunks": packing.q_doc_chunks,
@@ -1369,6 +1370,10 @@ def oracle_sql() -> dict[str, str]:
     # aggregation and must land on exactly the batch hourly rollup —
     # same oracle.
     sql["q_stream_hourly"] = sql["q_events_hourly"]
+
+    # q_events_hourly_incremental folds an 80% snapshot with a 20%
+    # delta and must land exactly on the full recompute — same oracle.
+    sql["q_events_hourly_incremental"] = sql["q_events_hourly"]
 
     # q_stream_sessions replays events through the native
     # session_window sessionizer and must land exactly on the batch

@@ -764,3 +764,62 @@ def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user type-2 history of event_type state changes."""
     ev = load_table(spark, sf_dir, "events")
     return scd2_history(ev)
+
+
+def hourly_rollup_partial(events: DataFrame) -> DataFrame:
+    """Mergeable partial state of the hourly rollup: raw (count, sum)
+    per (hour, type) — the snapshot an incremental pipeline persists.
+    Rounding happens only at presentation (``finish_hourly_rollup``),
+    never in stored state, so merges stay exact."""
+    return events.groupBy(
+        F.date_trunc("hour", "ts").alias("event_hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("value").alias("_value_sum"),
+    )
+
+
+def merge_hourly_rollup(
+    snapshot: DataFrame, delta_events: DataFrame
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a new slice of
+    the event log into a persisted rollup snapshot WITHOUT touching the
+    historical log — the union + re-aggregate merge is the associative
+    step that lets a 100 TB pipeline pay only for each day's delta.
+
+    Only buckets present in the delta shuffle again (the union's
+    snapshot side is already one row per bucket); correctness rests on
+    count/sum being mergeable partials, pinned by the equivalence test
+    and by sharing the batch query's oracle."""
+    d = hourly_rollup_partial(delta_events)
+    return (
+        snapshot.unionByName(d)
+        .groupBy("event_hour", "event_type")
+        .agg(
+            F.sum("event_count").alias("event_count"),
+            F.sum("_value_sum").alias("_value_sum"),
+        )
+    )
+
+
+def finish_hourly_rollup(partial: DataFrame) -> DataFrame:
+    """Presentation pass: round the stored raw sums (2 dp, the batch
+    query's quantum) and order."""
+    return partial.select(
+        "event_hour",
+        "event_type",
+        "event_count",
+        F.round("_value_sum", 2).alias("total_value"),
+    ).orderBy("event_hour", "event_type")
+
+
+def q_events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of q_events_hourly: snapshot 80% of the log,
+    merge the remaining 20% as a delta, present. Must land exactly on
+    the full recompute — same oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    snapshot = hourly_rollup_partial(old)
+    return finish_hourly_rollup(merge_hourly_rollup(snapshot, delta))

@@ -431,3 +431,30 @@ def test_scd2_collapses_runs_and_links_intervals(spark):
     rows7 = scd2_history(ev).filter("user_id = 7").collect()
     assert rows7[0]["valid_to_us"] == rows7[1]["valid_from_us"]
     assert rows7[1]["valid_to_us"] == rows7[2]["valid_from_us"]
+
+
+def test_incremental_rollup_merge_equals_full(spark, sf_dir):
+    """Snapshot + delta merge must equal the single-pass rollup row for
+    row, and an empty delta must be the identity."""
+    from bigdataminingproject_spark.operators.events import (
+        finish_hourly_rollup,
+        hourly_rollup_partial,
+        merge_hourly_rollup,
+        q_events_hourly,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    full = [tuple(r) for r in q_events_hourly(spark, sf_dir).collect()]
+    snap = hourly_rollup_partial(ev.filter(F.col("event_id") % 3 != 0))
+    merged = finish_hourly_rollup(
+        merge_hourly_rollup(snap, ev.filter(F.col("event_id") % 3 == 0))
+    )
+    assert [tuple(r) for r in merged.collect()] == full
+    ident = finish_hourly_rollup(
+        merge_hourly_rollup(
+            hourly_rollup_partial(ev), ev.filter("event_id < 0")
+        )
+    )
+    assert [tuple(r) for r in ident.collect()] == full
