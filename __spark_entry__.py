@@ -56,6 +56,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved EVERY plan, so tier 1 below is the 52-query backlog still
     # carrying r1/r2 driver rows from before that change — burning it
     # down is this round's rotation priority (VERDICT r3 #4).
+    # Tier 0 grew through round 4 as operators landed (21 new queries
+    # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
+    # cohort triangle, streaming twins, curation v4, funnel latency,
+    # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
+    # mixture executor, Gopher gate, probe curve, histogram quantiles
+    # x2, incremental rollup) — all never driver-attested, so they
+    # outrank everything; the driver's ~50 slots cover tier 0 plus the
+    # oldest tier-1 backlog heads.
     return {
         # tier 0 (round 4): new or semantics-changed this round
         "q_doc_span_dedup": dedup.q_doc_span_dedup,
