@@ -19,6 +19,7 @@ from bigdataminingproject_spark.functions.text import (
     SKIPWORDS,
 )
 from bigdataminingproject_spark.operators import dedup, events, frequency
+from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, quality, sampling
 from bigdataminingproject_spark.operators import retrieval, sketches
@@ -26,7 +27,7 @@ from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
 from bigdataminingproject_spark.operators.textstats import LANG_MARKERS
-from bigdataminingproject_spark.plans import curation, ordering, report
+from bigdataminingproject_spark.plans import audit, curation, ordering, report
 from bigdataminingproject_spark.session import tune_session
 from bigdataminingproject_spark.streaming import pipeline as streaming_pipeline
 
@@ -56,16 +57,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved EVERY plan, so tier 1 below is the 52-query backlog still
     # carrying r1/r2 driver rows from before that change — burning it
     # down is this round's rotation priority (VERDICT r3 #4).
-    # Tier 0 grew through round 4 as operators landed (21 new queries
+    # Tier 0 grew through round 4 as operators landed (25 new queries
     # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
     # cohort triangle, streaming twins, curation v4, funnel latency,
     # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
     # mixture executor, Gopher gate, probe curve, histogram quantiles
-    # x2, incremental rollup) — all never driver-attested, so they
+    # x2, incremental rollup, FK-integrity audit, column profiler,
+    # inverted index, fuzzy join) — all never driver-attested, so they
     # outrank everything; the driver's ~50 slots cover tier 0 plus the
     # oldest tier-1 backlog heads.
     return {
         # tier 0 (round 4): new or semantics-changed this round
+        "q_table_integrity": audit.q_table_integrity,
+        "q_doc_profile": audit.q_doc_profile,
+        "q_doc_inverted_index": retrieval.q_doc_inverted_index,
+        "q_customer_fuzzy_matches": fuzzy.q_customer_fuzzy_matches,
         "q_doc_span_dedup": dedup.q_doc_span_dedup,
         "q_knn_sq8": similarity.q_knn_sq8,
         "q_kmeans_clusters": similarity.q_kmeans_clusters,
@@ -3771,5 +3777,106 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY v3.doc_id
     """
     )
+
+    # q_table_integrity: one LEFT JOIN per FK edge against the
+    # distinct-projected parent key set (null keys never match; orphan =
+    # non-null key with no parent hit), mirroring plans/audit.py.
+    _edges = []
+    for _edge, _child, _ckey, _parent, _pkey in audit.STAR_SCHEMA_EDGES:
+        _edges.append(
+            f"""
+        SELECT '{_edge}' AS edge,
+               count(*) AS child_rows,
+               count(*) FILTER (WHERE k IS NULL) AS null_keys,
+               count(*) FILTER (WHERE k IS NOT NULL AND hit IS NULL)
+                   AS orphan_rows,
+               (count(*) FILTER (WHERE k IS NULL) = 0 AND
+                count(*) FILTER (WHERE k IS NOT NULL AND hit IS NULL) = 0)
+                   AS ok
+        FROM (SELECT c.{_ckey} AS k, p.hit
+              FROM {_child} c
+              LEFT JOIN (SELECT DISTINCT {_pkey} AS pk, 1 AS hit
+                         FROM {_parent}) p
+                ON c.{_ckey} = p.pk)"""
+        )
+    sql["q_table_integrity"] = (
+        " UNION ALL ".join(_edges) + " ORDER BY edge"
+    )
+
+    # q_doc_profile: per-column single-table profile; min/max aggregate
+    # on the native type then cast to text, mean rendered length via the
+    # engine-stable half-up division (mirrors plans/audit.py).
+    _prof = []
+    for _c in ["doc_id", "lang", "n_chars", "source", "text"]:
+        _prof.append(
+            f"""
+        SELECT '{_c}' AS col_name,
+               count(*) AS n_rows,
+               count({_c}) AS n_nonnull,
+               count(DISTINCT {_c}) AS n_distinct,
+               CAST(min({_c}) AS VARCHAR) AS min_val,
+               CAST(max({_c}) AS VARCHAR) AS max_val,
+               floor(sum(len(CAST({_c} AS VARCHAR))) * 10000.0
+                     / count({_c}) + 0.5) / 10000.0 AS avg_len
+        FROM documents"""
+        )
+    sql["q_doc_profile"] = " UNION ALL ".join(_prof) + " ORDER BY col_name"
+
+    # q_doc_inverted_index: (token, doc) tf relation -> per-token df/cf
+    # + rank-ordered posting head; string_agg skips the NULLed-out rows
+    # past the top-5 cut, mirroring collect_list's null-skipping.
+    sql["q_doc_inverted_index"] = f"""
+        WITH {_TOKS_CTE},
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM tok_clean),
+        tf AS (
+            SELECT token, doc_id, count(*) AS tf
+            FROM tok GROUP BY token, doc_id
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY token ORDER BY tf DESC, doc_id) AS rk
+            FROM tf
+        )
+        SELECT token, count(*) AS df, sum(tf) AS cf,
+               string_agg(CASE WHEN rk <= 5 THEN doc_id || ':' || tf END,
+                          ',' ORDER BY rk) AS postings
+        FROM rk
+        GROUP BY token
+        HAVING count(*) >= 2
+        ORDER BY df DESC, token
+    """
+
+    # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
+    # (identity + every single-character deletion), variant equi-join,
+    # levenshtein==1 verify, per-name neighborhood report.
+    sql["q_customer_fuzzy_matches"] = """
+        WITH names AS (SELECT DISTINCT c_name AS term FROM customer),
+        vars AS (
+            SELECT DISTINCT term,
+                   CASE WHEN i = 0 THEN term
+                        ELSE substr(term, 1, i - 1) || substr(term, i + 1)
+                   END AS var
+            FROM names, unnest(range(0, len(term) + 1)) AS t(i)
+        ),
+        cand AS (
+            SELECT DISTINCT a.term AS term_a, b.term AS term_b
+            FROM vars a JOIN vars b
+              ON a.var = b.var AND a.term < b.term
+        ),
+        pairs AS (
+            SELECT term_a, term_b FROM cand
+            WHERE levenshtein(term_a, term_b) = 1
+        ),
+        sided AS (
+            SELECT term_a AS term, term_b AS partner FROM pairs
+            UNION ALL
+            SELECT term_b AS term, term_a AS partner FROM pairs
+        )
+        SELECT term AS c_name, count(*) AS n_matches,
+               min(partner) AS nearest
+        FROM sided GROUP BY term
+        ORDER BY n_matches DESC, c_name
+        LIMIT 50
+    """
 
     return sql

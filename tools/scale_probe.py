@@ -107,6 +107,13 @@ PROBE_QUERIES = [
     "q_knn_ivf_probe_curve",
     "q_events_value_quantiles",
     "q_events_latency_by_type",
+    # round-4 sixth batch: FK audit (per-edge anti-join counts), doc
+    # profiler (one-scan multi-distinct), inverted index (token-key
+    # exchange reuse), fuzzy join (linear deletion-variant blocking)
+    "q_table_integrity",
+    "q_doc_profile",
+    "q_doc_inverted_index",
+    "q_customer_fuzzy_matches",
 ]
 
 
