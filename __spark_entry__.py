@@ -23,6 +23,7 @@ from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, quality, sampling
 from bigdataminingproject_spark.operators import retrieval, sketches
+from bigdataminingproject_spark.operators import skyline
 from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
@@ -57,17 +58,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved EVERY plan, so tier 1 below is the 52-query backlog still
     # carrying r1/r2 driver rows from before that change — burning it
     # down is this round's rotation priority (VERDICT r3 #4).
-    # Tier 0 grew through round 4 as operators landed (25 new queries
+    # Tier 0 grew through round 4 as operators landed (28 new queries
     # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
     # cohort triangle, streaming twins, curation v4, funnel latency,
     # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
     # mixture executor, Gopher gate, probe curve, histogram quantiles
     # x2, incremental rollup, FK-integrity audit, column profiler,
-    # inverted index, fuzzy join) — all never driver-attested, so they
+    # inverted index, fuzzy join, skyline x2, transition matrix) — all
+    # never driver-attested, so they
     # outrank everything; the driver's ~50 slots cover tier 0 plus the
     # oldest tier-1 backlog heads.
     return {
         # tier 0 (round 4): new or semantics-changed this round
+        "q_customer_skyline": skyline.q_customer_skyline,
+        "q_segment_skyline": skyline.q_segment_skyline,
+        "q_events_transitions": events.q_events_transitions,
         "q_table_integrity": audit.q_table_integrity,
         "q_doc_profile": audit.q_doc_profile,
         "q_doc_inverted_index": retrieval.q_doc_inverted_index,
@@ -3777,6 +3782,79 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY v3.doc_id
     """
     )
+
+    # q_customer_skyline: independent NOT EXISTS dominance formulation
+    # (cross-checks the bucketed strict-suffix-max plan row for row);
+    # money quantized to exact integer cents on both engines.
+    sql["q_customer_skyline"] = """
+        WITH t AS (
+            SELECT o_custkey AS custkey,
+                   CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                       AS cents,
+                   count(*) AS order_count
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT a.custkey, a.cents / 100.0 AS total_spent, a.order_count
+        FROM t a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM t b
+            WHERE b.cents >= a.cents AND b.order_count >= a.order_count
+              AND (b.cents > a.cents OR b.order_count > a.order_count)
+        )
+        ORDER BY total_spent DESC, custkey
+    """
+
+    # q_segment_skyline: grouped dominance — the NOT EXISTS check adds
+    # the segment-equality conjunct.
+    sql["q_segment_skyline"] = """
+        WITH t AS (
+            SELECT o_custkey AS custkey,
+                   CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                       AS cents,
+                   count(*) AS order_count
+            FROM orders GROUP BY o_custkey
+        ),
+        s AS (
+            SELECT c_mktsegment, custkey, cents, order_count
+            FROM t JOIN customer ON custkey = c_custkey
+        )
+        SELECT a.c_mktsegment, a.custkey, a.cents / 100.0 AS total_spent,
+               a.order_count
+        FROM s a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM s b
+            WHERE b.c_mktsegment = a.c_mktsegment
+              AND b.cents >= a.cents AND b.order_count >= a.order_count
+              AND (b.cents > a.cents OR b.order_count > a.order_count)
+        )
+        ORDER BY a.c_mktsegment, total_spent DESC, a.custkey
+    """
+
+    # q_events_transitions: lead() over the same (user, ts, event_id)
+    # order; engine-stable half-up 4dp conditional probability.
+    sql["q_events_transitions"] = """
+        WITH s AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        p AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM s WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        ),
+        t AS (
+            SELECT from_type, sum(n_transitions) AS tot
+            FROM p GROUP BY from_type
+        )
+        SELECT p.from_type, p.to_type, p.n_transitions,
+               floor(p.n_transitions * 10000.0 / t.tot + 0.5) / 10000.0
+                   AS prob
+        FROM p JOIN t ON p.from_type = t.from_type
+        ORDER BY p.from_type, p.to_type
+    """
 
     # q_table_integrity: one LEFT JOIN per FK edge against the
     # distinct-projected parent key set (null keys never match; orphan =

@@ -823,3 +823,57 @@ def q_events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = ev.filter(F.col("event_id") % 5 == 0)
     snapshot = hourly_rollup_partial(old)
     return finish_hourly_rollup(merge_hourly_rollup(snapshot, delta))
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type, to_type) pair of CONSECUTIVE
+    events of the same user, the transition count and the conditional
+    probability P(to | from) — the behavioral-model summary next-event
+    prediction and anomaly scoring start from (north-star; the
+    reference has no sequence analytics).
+
+    Scale shape: ONE shuffle on user_id for the lead() window (the
+    same co-partitioning every other per-user operator here uses),
+    then a hash-agg to the #types x #types relation — tiny by
+    construction — on which the per-from totals are a broadcastable
+    second agg. Ordering within a user is (ts, event_id): event_id
+    breaks same-timestamp ties deterministically.
+
+    Parity: counts are exact integers; prob is the engine-stable
+    half-up 4 dp quotient of two integers.
+    """
+    from bigdataminingproject_spark.functions.numeric import (
+        stable_round_div,
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    pairs = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_from_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            stable_round_div(
+                F.col("n_transitions"), F.col("_from_total"), 4
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of consecutive same-user events."""
+    return transition_matrix(load_table(spark, sf_dir, "events"))

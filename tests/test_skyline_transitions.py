@@ -1,0 +1,125 @@
+"""Skyline (Pareto frontier) and Markov transition matrix operators.
+
+The skyline tests verify the bucketed strict-suffix-max plan against a
+brute-force Python dominance check (including forced multi-bucket
+splits, duplicate points, and per-group independence); the transition
+tests recompute sequences by hand.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.operators.events import transition_matrix
+from bigdataminingproject_spark.operators.skyline import (
+    skyline2d,
+    skyline2d_points,
+)
+
+
+def brute_skyline(points):
+    out = []
+    for p in points:
+        dominated = any(
+            q[0] >= p[0] and q[1] >= p[1] and (q[0] > p[0] or q[1] > p[1])
+            for q in points
+        )
+        if not dominated:
+            out.append(p)
+    return set(out)
+
+
+def test_skyline_matches_bruteforce_with_ties(spark):
+    pts = [
+        (10, 1), (10, 5), (9, 6), (8, 6), (8, 2), (7, 7), (7, 7),
+        (6, 3), (5, 9), (5, 8), (4, 9), (1, 10), (1, 1), (10, 5),
+    ]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    got = {(r.x, r.y) for r in skyline2d_points(df, "x", "y").collect()}
+    assert got == brute_skyline(set(pts))
+
+
+def test_skyline_multibucket_exact(spark):
+    # 40 distinct x values across a forced 8-bucket split: the
+    # cross-bucket suffix max must make bucketing invisible
+    pts = [(i, (i * 37) % 41) for i in range(40)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    for nparts in (1, 3, 8):
+        got = {
+            (r.x, r.y)
+            for r in skyline2d_points(
+                df, "x", "y", num_partitions=nparts
+            ).collect()
+        }
+        assert got == brute_skyline(pts), f"num_partitions={nparts}"
+
+
+def test_skyline_duplicate_points_all_survive(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 5), ("b", 5, 5), ("c", 1, 1)], "id: string, x: long, y: long"
+    )
+    rows = skyline2d(df, "x", "y").collect()
+    assert {r.id for r in rows} == {"a", "b"}
+
+
+def test_skyline_grouped_independent_frontiers(spark):
+    df = spark.createDataFrame(
+        [
+            ("g1", 10, 1), ("g1", 1, 10), ("g1", 5, 5),
+            ("g2", 5, 5), ("g2", 6, 6),
+        ],
+        "g: string, x: long, y: long",
+    )
+    got = {
+        (r.g, r.x, r.y)
+        for r in skyline2d_points(df, "x", "y", ["g"]).collect()
+    }
+    # g1: (5,5) dominated by nothing? (10,1) no, (1,10) no — all 3 are
+    # incomparable -> all survive; g2: only (6,6)
+    assert got == {
+        ("g1", 10, 1), ("g1", 1, 10), ("g1", 5, 5), ("g2", 6, 6)
+    }
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1, 0, 0, s), u, t, 0.0, "{}")
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    # user 1: A B A ; user 2: B B -> A->B x1, B->A x1, B->B x1
+    ev = _ev(
+        spark,
+        [(1, 0, "A"), (1, 1, "B"), (1, 2, "A"), (2, 0, "B"), (2, 1, "B")],
+    )
+    out = {
+        (r.from_type, r.to_type): r for r in transition_matrix(ev).collect()
+    }
+    assert out[("A", "B")].n_transitions == 1
+    assert out[("A", "B")].prob == 1.0
+    assert out[("B", "A")].n_transitions == 1
+    assert out[("B", "A")].prob == 0.5
+    assert out[("B", "B")].prob == 0.5
+    assert len(out) == 3
+
+
+def test_transition_matrix_never_crosses_users(spark):
+    ev = _ev(spark, [(1, 0, "A"), (2, 1, "B")])
+    assert transition_matrix(ev).collect() == []
+
+
+def test_transition_matrix_tie_broken_by_event_id(spark):
+    # same timestamp: event_id order decides the sequence A -> B -> C
+    ev = _ev(spark, [(1, 0, "A"), (1, 0, "B"), (1, 0, "C")])
+    got = {
+        (r.from_type, r.to_type) for r in transition_matrix(ev).collect()
+    }
+    assert got == {("A", "B"), ("B", "C")}

@@ -114,6 +114,11 @@ PROBE_QUERIES = [
     "q_doc_profile",
     "q_doc_inverted_index",
     "q_customer_fuzzy_matches",
+    # round-4 seventh batch: skyline (bucketed strict-suffix-max),
+    # transition matrix (one user-key window shuffle)
+    "q_customer_skyline",
+    "q_segment_skyline",
+    "q_events_transitions",
 ]
 
 
