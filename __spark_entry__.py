@@ -18,6 +18,7 @@ from bigdataminingproject_spark.functions.text import (
     ENGLISH_STOPWORDS,
     SKIPWORDS,
 )
+from bigdataminingproject_spark.operators import association
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
@@ -58,18 +59,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved EVERY plan, so tier 1 below is the 52-query backlog still
     # carrying r1/r2 driver rows from before that change — burning it
     # down is this round's rotation priority (VERDICT r3 #4).
-    # Tier 0 grew through round 4 as operators landed (28 new queries
+    # Tier 0 grew through round 4 as operators landed (30 new queries
     # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
     # cohort triangle, streaming twins, curation v4, funnel latency,
     # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
     # mixture executor, Gopher gate, probe curve, histogram quantiles
     # x2, incremental rollup, FK-integrity audit, column profiler,
-    # inverted index, fuzzy join, skyline x2, transition matrix) — all
+    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join) — all
     # never driver-attested, so they
     # outrank everything; the driver's ~50 slots cover tier 0 plus the
     # oldest tier-1 backlog heads.
     return {
         # tier 0 (round 4): new or semantics-changed this round
+        "q_doc_association_rules": association.q_doc_association_rules,
+        "q_events_pit_state": temporal.q_events_pit_state,
         "q_customer_skyline": skyline.q_customer_skyline,
         "q_segment_skyline": skyline.q_segment_skyline,
         "q_events_transitions": events.q_events_transitions,
@@ -3782,6 +3785,84 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY v3.doc_id
     """
     )
+
+    # q_events_pit_state: the SCD2 oracle reused verbatim (FROM filter
+    # swapped to the non-purchase stream, trailing ORDER BY kept — legal
+    # inside a CTE) as the interval history; purchases left-join the
+    # enclosing interval, aggregate per prior state.
+    sql["q_events_pit_state"] = (
+        "WITH hist AS ("
+        + sql["q_events_scd2"].replace(
+            "FROM events",
+            "FROM events WHERE event_type <> 'purchase'",
+        )
+        + """),
+        pur AS (
+            SELECT user_id, epoch_us(ts) AS us, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        j AS (
+            SELECT p.user_id, p.value, h.state
+            FROM pur p LEFT JOIN hist h
+              ON h.user_id = p.user_id
+             AND h.valid_from_us <= p.us
+             AND (h.valid_to_us IS NULL OR p.us < h.valid_to_us)
+        )
+        SELECT coalesce(state, 'none') AS prior_state,
+               count(*) AS n_purchases,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS total_value
+        FROM j GROUP BY 1 ORDER BY 1
+    """
+    )
+
+    # q_doc_association_rules: Apriori support cut before the pair
+    # join on both engines; confidence/lift are stable half-up 4dp
+    # quotients of integer products; the confidence floor applies to
+    # the ROUNDED value, mirroring the Spark filter.
+    sql["q_doc_association_rules"] = f"""
+        WITH {_TOKS_CTE},
+        basket AS (
+            SELECT DISTINCT doc_id, unnest(toks) AS item FROM tok_clean
+        ),
+        nt AS (SELECT count(DISTINCT doc_id) AS n FROM basket),
+        isup AS (
+            SELECT item, count(*) AS item_n FROM basket GROUP BY item
+        ),
+        freq AS (
+            SELECT item, item_n FROM isup, nt
+            WHERE item_n >= CAST(floor(0.3 * n) AS BIGINT)
+        ),
+        fb AS (
+            SELECT b.doc_id, b.item, f.item_n
+            FROM basket b JOIN freq f ON b.item = f.item
+        ),
+        p AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   a.item_n AS n_a, b.item_n AS n_b, count(*) AS pair_n
+            FROM fb a JOIN fb b
+              ON a.doc_id = b.doc_id AND a.item < b.item
+            GROUP BY 1, 2, 3, 4
+        ),
+        pf AS (
+            SELECT * FROM p, nt
+            WHERE pair_n >= CAST(floor(0.3 * n) AS BIGINT)
+        ),
+        r AS (
+            SELECT item_a AS antecedent, item_b AS consequent, pair_n,
+                   n_a AS n_ante, n_b AS n_cons, n FROM pf
+            UNION ALL
+            SELECT item_b, item_a, pair_n, n_b, n_a, n FROM pf
+        )
+        SELECT antecedent, consequent, pair_n AS pair_support,
+               floor(pair_n * 10000.0 / n_ante + 0.5) / 10000.0
+                   AS confidence,
+               floor(pair_n * n * 10000.0 / (n_ante * n_cons) + 0.5)
+                   / 10000.0 AS lift
+        FROM r
+        WHERE floor(pair_n * 10000.0 / n_ante + 0.5) / 10000.0 >= 0.5
+        ORDER BY lift DESC, antecedent, consequent
+    """
 
     # q_customer_skyline: independent NOT EXISTS dominance formulation
     # (cross-checks the bucketed strict-suffix-max plan row for row);

@@ -1,4 +1,5 @@
-"""Temporal join operators: as-of join and bucketed range (interval) join.
+"""Temporal join operators: as-of join, bucketed range (interval)
+join, and point-in-time (SCD2 interval) join.
 
 Neither exists in the reference (SURVEY.md §2.9 — it has no joins at all)
 nor as a Spark built-in; both are staple operators of a time-series /
@@ -222,4 +223,72 @@ def q_events_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nearby_value", F.lit(0.0)).alias("nearby_value"),
         )
         .orderBy("error_id")
+    )
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "us",
+) -> DataFrame:
+    """Point-in-time (time-travel) join: each fact row picks up the
+    SCD2 interval covering its timestamp — ``valid_from_us <= ts <
+    valid_to_us`` with the open current interval matching everything
+    after its start. Left join: facts before the key's first interval
+    keep NULL state.
+
+    The third member of the temporal-join family (asof_join = nearest
+    earlier EVENT, range_join = neighborhood, pit_join = enclosing
+    VERSION), and the consumption side of ``events.scd2_history`` —
+    together they are the CDC time-travel story: build the interval
+    history once, then join any fact stream against it.
+
+    Scale shape: an equi-join on the key with the interval predicate
+    as residual — per-key history is small (one row per state change),
+    so the join fans out by history length, then the residual keeps
+    exactly one row per fact (intervals partition the timeline).
+    """
+    h = history.select(
+        F.col(key_col).alias("_k"),
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    cond = (
+        (facts[key_col] == h["_k"])
+        & (h["valid_from_us"] <= facts[ts_us_col])
+        & (
+            h["valid_to_us"].isNull()
+            | (facts[ts_us_col] < h["valid_to_us"])
+        )
+    )
+    return facts.join(h, cond, "left").drop(
+        "_k", "valid_from_us", "valid_to_us"
+    )
+
+
+def q_events_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What state was each user in when they purchased? Builds the
+    SCD2 history from the NON-purchase stream, then point-in-time
+    joins every purchase against it and aggregates per prior state
+    ('none' = purchased before any tracked state)."""
+    from bigdataminingproject_spark.operators.events import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev.filter(F.col("event_type") != "purchase"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+    joined = pit_join(purchases, hist)
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("state"), F.lit("none")).alias("prior_state")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("prior_state")
     )

@@ -458,3 +458,57 @@ def test_incremental_rollup_merge_equals_full(spark, sf_dir):
         )
     )
     assert [tuple(r) for r in ident.collect()] == full
+
+
+def test_pit_join_picks_enclosing_interval(spark):
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.temporal import pit_join
+
+    # history: user 1 is A on [10, 20), B from 20 (current)
+    hist = spark.createDataFrame(
+        [(1, "A", 10, 20), (1, "B", 20, None)],
+        "user_id: long, state: string, valid_from_us: long, "
+        "valid_to_us: long",
+    )
+    facts = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 19), (1, 20), (1, 99), (2, 15)],
+        "user_id: long, us: long",
+    )
+    got = {
+        (r.user_id, r.us): r.state
+        for r in pit_join(facts, hist).collect()
+    }
+    assert got[(1, 5)] is None  # before first interval
+    assert got[(1, 10)] == "A"  # inclusive start
+    assert got[(1, 19)] == "A"
+    assert got[(1, 20)] == "B"  # exclusive end -> next interval
+    assert got[(1, 99)] == "B"  # open current interval
+    assert got[(2, 15)] is None  # unknown key
+    assert len(got) == 6  # exactly one row per fact
+
+
+def test_pit_join_composes_with_scd2_history(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.events import scd2_history
+    from bigdataminingproject_spark.operators.temporal import pit_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0, 0), 7, "browse", 0.0, "{}"),
+            (2, datetime(2024, 1, 1, 0, 0, 5), 7, "cart", 0.0, "{}"),
+            (3, datetime(2024, 1, 1, 0, 0, 9), 7, "purchase", 9.5, "{}"),
+        ],
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    hist = scd2_history(ev.filter(F.col("event_type") != "purchase"))
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    rows = pit_join(pur, hist).collect()
+    assert len(rows) == 1
+    assert rows[0].state == "cart"  # the state at purchase time

@@ -119,6 +119,10 @@ PROBE_QUERIES = [
     "q_customer_skyline",
     "q_segment_skyline",
     "q_events_transitions",
+    # round-4 eighth batch: Apriori rules (pruned pair join), PIT join
+    # (equi-key + interval residual)
+    "q_doc_association_rules",
+    "q_events_pit_state",
 ]
 
 
