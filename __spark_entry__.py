@@ -59,13 +59,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved EVERY plan, so tier 1 below is the 52-query backlog still
     # carrying r1/r2 driver rows from before that change — burning it
     # down is this round's rotation priority (VERDICT r3 #4).
-    # Tier 0 grew through round 4 as operators landed (30 new queries
+    # Tier 0 grew through round 4 as operators landed (31 new queries
     # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
     # cohort triangle, streaming twins, curation v4, funnel latency,
     # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
     # mixture executor, Gopher gate, probe curve, histogram quantiles
     # x2, incremental rollup, FK-integrity audit, column profiler,
-    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join) — all
+    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join, session paths) — all
     # never driver-attested, so they
     # outrank everything; the driver's ~50 slots cover tier 0 plus the
     # oldest tier-1 backlog heads.
@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier 0 (round 4): new or semantics-changed this round
         "q_doc_association_rules": association.q_doc_association_rules,
         "q_events_pit_state": temporal.q_events_pit_state,
+        "q_events_session_paths": events.q_events_session_paths,
         "q_customer_skyline": skyline.q_customer_skyline,
         "q_segment_skyline": skyline.q_segment_skyline,
         "q_events_transitions": events.q_events_transitions,
@@ -3785,6 +3786,45 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY v3.doc_id
     """
     )
+
+    # q_events_session_paths: the sessionize derivation reused (same
+    # lag/gap/running-sum), then in-session rank -> first-5 path string
+    # -> path counts; string_agg skips the NULLed-out rows past the
+    # cut, mirroring collect_list.
+    sql["q_events_session_paths"] = """
+        WITH marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   epoch_ms(ts) AS ts_ms,
+                   CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                             OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                                > 1800000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_seq
+            FROM marked
+        ), rk AS (
+            SELECT user_id, session_seq, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts, event_id) AS rk
+            FROM numbered
+        ), p AS (
+            SELECT user_id, session_seq,
+                   string_agg(CASE WHEN rk <= 5 THEN event_type END,
+                              '>' ORDER BY rk) AS path
+            FROM rk GROUP BY user_id, session_seq
+        )
+        SELECT path, count(*) AS n_sessions
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+    """
 
     # q_events_pit_state: the SCD2 oracle reused verbatim (FROM filter
     # swapped to the non-purchase stream, trailing ORDER BY kept — legal

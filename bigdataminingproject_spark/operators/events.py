@@ -877,3 +877,71 @@ def transition_matrix(events: DataFrame) -> DataFrame:
 def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition matrix of consecutive same-user events."""
     return transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+def session_paths(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    max_steps: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top event-type paths: the first ``max_steps`` event types of
+    each session joined ``a>b>c``, counted across sessions — the
+    sequential-pattern summary behind "what do users actually do"
+    product analytics (north-star; sequence mining is absent from the
+    reference).
+
+    Scale shape: ONE shuffle on user_id serves everything. The
+    session-scoped window and aggregate key on (user_id, session_seq),
+    which hashpartitioning(user_id) already satisfies (subset rule),
+    so Catalyst plans sorts but no further exchanges until the final
+    tiny path-count relation. Agg state per session stays bounded at
+    ``max_steps`` structs — collect_list only accumulates ranked
+    entries at or below the cut (the CASE yields null past it), same
+    device as the inverted-index posting head.
+    """
+    by_user = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    marked = (
+        events.withColumn("ts_ms", F.unix_millis("ts"))
+        .withColumn("prev_ms", F.lag("ts_ms").over(by_user))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ms").isNull()
+                | ((F.col("ts_ms") - F.col("prev_ms")) > F.lit(gap_ms))
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session")
+            .over(by_user.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    in_session = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts_ms", "event_id"
+    )
+    ranked = marked.withColumn("rk", F.row_number().over(in_session))
+    entry = F.when(
+        F.col("rk") <= max_steps,
+        F.struct(F.col("rk"), F.col("event_type").alias("t")),
+    )
+    paths = ranked.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(entry)), lambda x: x["t"]
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(top_n)
+    )
+
+
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 five-step session paths over 30-min-gap sessions."""
+    return session_paths(load_table(spark, sf_dir, "events"))

@@ -123,3 +123,41 @@ def test_transition_matrix_tie_broken_by_event_id(spark):
         (r.from_type, r.to_type) for r in transition_matrix(ev).collect()
     }
     assert got == {("A", "B"), ("B", "C")}
+
+
+def test_session_paths_split_truncate_and_count(spark):
+    # user 1: A,B at t=0,1s then (gap > 30min) C alone;
+    # user 2: 7 events -> path truncated to first 5
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, 0, "A"), (1, 1, "B"), (1, 4000, "C")] + [
+        (2, i, t) for i, t in enumerate(["A", "B", "C", "D", "E", "F", "G"])
+    ]
+    ev = spark.createDataFrame(
+        [
+            (i, t0 + timedelta(seconds=s), u, t, 0.0, "{}")
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    from bigdataminingproject_spark.operators.events import session_paths
+
+    out = {r.path: r.n_sessions for r in session_paths(ev).collect()}
+    assert out == {"A>B": 1, "C": 1, "A>B>C>D>E": 1}
+
+
+def test_session_paths_one_user_exchange(spark):
+    # the in-session window and session aggregate must ride the
+    # user_id partitioning (subset rule): no exchange keyed on
+    # (user_id, session_seq) may appear
+    from bigdataminingproject_spark.operators.events import session_paths
+
+    ev = _ev(spark, [(1, 0, "A"), (1, 1, "B")])
+    plan = session_paths(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in plan
+    assert "hashpartitioning(user_id#" in plan
+    import re
+
+    assert not re.search(r"hashpartitioning\(user_id#\d+L, session_seq", plan)

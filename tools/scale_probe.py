@@ -123,6 +123,7 @@ PROBE_QUERIES = [
     # (equi-key + interval residual)
     "q_doc_association_rules",
     "q_events_pit_state",
+    "q_events_session_paths",
 ]
 
 
