@@ -68,6 +68,13 @@ HEADLINE = [
     "q_corpus_curation_v4",
     "q_kmeans_clusters",
     "q_token_pagerank",
+    # round-4 late batches: index build (token exchange reuse), fuzzy
+    # join (deletion-variant blocking), skyline (bucketed suffix-max),
+    # Apriori rules (pruned pair join)
+    "q_doc_inverted_index",
+    "q_customer_fuzzy_matches",
+    "q_customer_skyline",
+    "q_doc_association_rules",
 ]
 
 
