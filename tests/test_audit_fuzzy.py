@@ -225,3 +225,26 @@ def test_fuzzy_pairs_no_cartesian_in_plan(spark):
     plan = fuzzy_pairs(terms)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_inverted_index_single_token_exchange(spark):
+    # the window's token partitioning must be reused by the final
+    # aggregate: exactly two hash exchanges total — (token, doc_id)
+    # for the tf agg and token for window+agg — plus the presentation
+    # range sort
+    import re
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha")], "doc_id: long, text: string"
+    )
+    plan = (
+        build_inverted_index(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    hashes = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    token_only = [h for h in hashes if "token" in h and "doc_id" not in h]
+    token_doc = [h for h in hashes if "token" in h and "doc_id" in h]
+    assert len(set(token_only)) <= 1 and len(token_only) == 1
+    assert len(token_doc) == 1
