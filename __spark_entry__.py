@@ -59,19 +59,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved EVERY plan, so tier 1 below is the 52-query backlog still
     # carrying r1/r2 driver rows from before that change — burning it
     # down is this round's rotation priority (VERDICT r3 #4).
-    # Tier 0 grew through round 4 as operators landed (31 new queries
+    # Tier 0 grew through round 4 as operators landed (32 new queries
     # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
     # cohort triangle, streaming twins, curation v4, funnel latency,
     # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
     # mixture executor, Gopher gate, probe curve, histogram quantiles
     # x2, incremental rollup, FK-integrity audit, column profiler,
-    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join, session paths) — all
+    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join, session paths, embedding covariance) — all
     # never driver-attested, so they
     # outrank everything; the driver's ~50 slots cover tier 0 plus the
     # oldest tier-1 backlog heads.
     return {
         # tier 0 (round 4): new or semantics-changed this round
         "q_doc_association_rules": association.q_doc_association_rules,
+        "q_embedding_covariance": similarity.q_embedding_covariance,
         "q_events_pit_state": temporal.q_events_pit_state,
         "q_events_session_paths": events.q_events_session_paths,
         "q_customer_skyline": skyline.q_customer_skyline,
@@ -3787,6 +3788,36 @@ def oracle_sql() -> dict[str, str]:
     """
     )
 
+    # q_embedding_covariance: independent per-vector self-join
+    # formulation (the Spark side merges per-batch gram partials);
+    # identical covariance arithmetic, float32 widened before products,
+    # 6dp rounding absorbs summation-order ulps.
+    sql["q_embedding_covariance"] = """
+        WITH ev AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        nt AS (SELECT count(*) AS n FROM ev),
+        a AS (
+            SELECT vec_id, unnest(v) AS x,
+                   unnest(range(0, len(v))) AS i
+            FROM ev
+        ),
+        sums AS (SELECT i, sum(x) AS s FROM a GROUP BY i),
+        g AS (
+            SELECT ai.i AS i, aj.i AS j, sum(ai.x * aj.x) AS g
+            FROM a ai JOIN a aj ON ai.vec_id = aj.vec_id
+            GROUP BY ai.i, aj.i
+        )
+        SELECT g.i, g.j,
+               round((g.g - si.s * sj.s / nt.n) / nt.n, 6) + 0 AS cov
+        FROM g
+        JOIN sums si ON si.i = g.i
+        JOIN sums sj ON sj.i = g.j
+        CROSS JOIN nt
+        ORDER BY g.i, g.j
+    """
+
     # q_events_session_paths: the sessionize derivation reused (same
     # lag/gap/running-sum), then in-session rank -> first-5 path string
     # -> path counts; string_agg skips the NULLed-out rows past the
@@ -4036,7 +4067,7 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY token ORDER BY tf DESC, doc_id) AS rk
             FROM tf
         )
-        SELECT token, count(*) AS df, sum(tf) AS cf,
+        SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
                string_agg(CASE WHEN rk <= 5 THEN doc_id || ':' || tf END,
                           ',' ORDER BY rk) AS postings
         FROM rk

@@ -1232,3 +1232,129 @@ def q_knn_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = load_table(spark, sf_dir, "embeddings")
     queries = vecs.filter(F.col("vec_id") < 5)
     return ivf_probe_curve(vecs, queries, k=10)
+
+
+def embedding_covariance(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Full d x d covariance matrix of an embedding corpus as a
+    (i, j, cov) relation — the building block of PCA drift audits,
+    whitening transforms, and anisotropy diagnostics over a vector
+    index (north-star; no reference counterpart).
+
+    Scale shape — mergeable partial linear algebra, the matrix twin of
+    ``shard_embedding_stats``: each Arrow batch folds its vectors into
+    ONE partial row (count, per-dim sums, flattened X^T X gram) inside
+    a vectorized numpy pass, so the shuffle carries d^2+d doubles per
+    BATCH instead of per vector — at 100 TB the reduction input is
+    ~(#batches) rows, and the final elementwise sum + covariance
+    arithmetic runs on a d^2-row relation. The naive relational
+    alternative (posexplode twice) multiplies the corpus by d^2 before
+    aggregating; this plan never materializes it.
+
+    cov(i,j) = (G_ij - S_i*S_j/n) / n (population covariance), rounded
+    at 6 dp — float32 inputs are widened to float64 BEFORE any product
+    on both engines, and the rounding absorbs summation-order ulp
+    noise. Oracle: DuckDB recomputes via the per-vector self-join
+    formulation (independent plan, same arithmetic).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial_gram(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "sums": [x.sum(axis=0).tolist()],
+                    "gram": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    parts = vectors.select(vec_col).mapInPandas(
+        partial_gram, "n long, sums array<double>, gram array<double>"
+    )
+    n_total = parts.groupBy().agg(F.sum("n").alias("n"))
+    sums = (
+        parts.select(F.posexplode("sums").alias("i", "s"))
+        .groupBy("i")
+        .agg(F.sum("s").alias("s"))
+    )
+    gram = (
+        parts.select(F.posexplode("gram").alias("pos", "g"))
+        .groupBy("pos")
+        .agg(F.sum("g").alias("g"))
+    )
+    # derive dim from the sums relation (bounded, d rows) — avoids a
+    # separate scan of the vectors
+    dim_df = sums.groupBy().agg(F.count(F.lit(1)).alias("d"))
+    cells = (
+        gram.crossJoin(F.broadcast(dim_df))
+        .select(
+            (F.col("pos") / F.col("d")).cast("int").alias("i"),
+            (F.col("pos") % F.col("d")).alias("j"),
+            "g",
+        )
+    )
+    si = sums.select(F.col("i"), F.col("s").alias("s_i"))
+    sj = sums.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    return (
+        cells.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    (
+                        F.col("g")
+                        - F.col("s_i") * F.col("s_j") / F.col("n")
+                    )
+                    / F.col("n"),
+                    6,
+                )
+                # + 0.0 collapses IEEE negative zero to +0.0 (the two
+                # engines round tiny negatives to differently-signed
+                # zeros, which the driver's %.10g would distinguish)
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def top_principal_component(cov_rows, dim: int, iters: int = 50):
+    """Dominant eigenvector of a collected (i, j, cov) relation via
+    power iteration — driver-side on the bounded d x d matrix (same
+    legitimacy class as the IVF training sample). Returns a unit
+    numpy vector with a deterministic sign (first nonzero component
+    positive)."""
+    import numpy as np
+
+    m = np.zeros((dim, dim))
+    for r in cov_rows:
+        m[r["i"], r["j"]] = r["cov"]
+    v = np.ones(dim) / np.sqrt(dim)
+    for _ in range(iters):
+        v = m @ v
+        norm = np.linalg.norm(v)
+        if norm == 0:
+            return v
+        v = v / norm
+    nz = np.nonzero(v)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    return v
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix (64x64 -> 4096 rows) of the
+    embedding corpus via mergeable per-batch gram partials."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(vecs)

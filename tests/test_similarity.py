@@ -375,3 +375,65 @@ def test_ivf_probe_curve_monotone(spark, sf_dir):
         rows[0]["recall_bp"] <= rows[1]["recall_bp"] <= rows[2]["recall_bp"]
     )
     assert all(rows[r]["n_exact"] == 50 for r in (0, 1, 2))
+
+
+def test_embedding_covariance_exact_small(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    vecs = [[1.0, 2.0], [3.0, 0.0], [5.0, 4.0]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id: long, embedding: array<float>",
+    )
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(df).collect()}
+    x = np.array(vecs)
+    want = np.cov(x, rowvar=False, bias=True)  # population covariance
+    assert len(got) == 4
+    for (i, j), c in got.items():
+        assert c == round(float(want[i, j]), 6)
+
+
+def test_embedding_covariance_layout_invariant(spark):
+    # per-batch partials must merge to the same matrix under any
+    # partitioning of the input
+    from bigdataminingproject_spark.operators.similarity import (
+        embedding_covariance,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {(r.i, r.j): r.cov for r in embedding_covariance(vecs).collect()}
+    b = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(vecs.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_top_principal_component_recovers_dominant_axis(spark):
+    import numpy as np
+
+    from bigdataminingproject_spark.operators.similarity import (
+        embedding_covariance,
+        top_principal_component,
+    )
+
+    # deterministic anisotropic cloud: variance concentrated on an
+    # axis rotated 45 degrees in dims (0, 1) of an 4-dim space
+    rows = []
+    for k in range(64):
+        t = (k % 16) - 7.5  # big spread along (1,1,0,0)/sqrt(2)
+        e = ((k * 7) % 5 - 2) * 0.05  # small noise on dim 2
+        rows.append((k, [t + e, t - e, e, 0.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>"
+    )
+    cov = [r.asDict() for r in embedding_covariance(df).collect()]
+    v = top_principal_component(cov, dim=4)
+    expect = np.array([1.0, 1.0, 0.0, 0.0]) / np.sqrt(2)
+    assert abs(float(np.dot(v, expect))) > 0.999

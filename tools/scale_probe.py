@@ -124,6 +124,7 @@ PROBE_QUERIES = [
     "q_doc_association_rules",
     "q_events_pit_state",
     "q_events_session_paths",
+    "q_embedding_covariance",
 ]
 
 
