@@ -59,13 +59,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved EVERY plan, so tier 1 below is the 52-query backlog still
     # carrying r1/r2 driver rows from before that change — burning it
     # down is this round's rotation priority (VERDICT r3 #4).
-    # Tier 0 grew through round 4 as operators landed (32 new queries
+    # Tier 0 grew through round 4 as operators landed (33 new queries
     # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
     # cohort triangle, streaming twins, curation v4, funnel latency,
     # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
     # mixture executor, Gopher gate, probe curve, histogram quantiles
     # x2, incremental rollup, FK-integrity audit, column profiler,
-    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join, session paths, embedding covariance) — all
+    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join, session paths, embedding covariance, incremental index) — all
     # never driver-attested, so they
     # outrank everything; the driver's ~50 slots cover tier 0 plus the
     # oldest tier-1 backlog heads.
@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tier 0 (round 4): new or semantics-changed this round
         "q_doc_association_rules": association.q_doc_association_rules,
         "q_embedding_covariance": similarity.q_embedding_covariance,
+        "q_doc_inverted_index_incremental": (
+            retrieval.q_doc_inverted_index_incremental
+        ),
         "q_events_pit_state": temporal.q_events_pit_state,
         "q_events_session_paths": events.q_events_session_paths,
         "q_customer_skyline": skyline.q_customer_skyline,
@@ -4075,6 +4078,11 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) >= 2
         ORDER BY df DESC, token
     """
+
+    # q_doc_inverted_index_incremental: snapshot+delta merge must land
+    # exactly on the full rebuild — same oracle (k-head closure under
+    # disjoint union makes the merged posting head exact).
+    sql["q_doc_inverted_index_incremental"] = sql["q_doc_inverted_index"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

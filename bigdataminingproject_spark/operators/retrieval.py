@@ -248,3 +248,118 @@ def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index manifest over the documents table (min_df=2,
     top-5 posting heads)."""
     return build_inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def inverted_index_partial(
+    docs: DataFrame, top_postings: int = 5
+) -> DataFrame:
+    """Mergeable partial of the inverted index: per token, df/cf plus
+    the ranked posting HEAD as an array of (neg_tf, doc_id) structs
+    (ascending struct order == tf desc, doc asc). See
+    ``merge_inverted_index`` for why heads merge exactly."""
+    from bigdataminingproject_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(remove_stopwords(tokenize(F.col("text")))).alias("token"),
+    )
+    tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), "doc_id")
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    entry = F.when(
+        F.col("rk") <= top_postings,
+        F.struct(
+            (-F.col("tf")).alias("neg_tf"), F.col("doc_id").alias("doc_id")
+        ),
+    )
+    return ranked.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_sort(F.collect_list(entry)).alias("heads"),
+    )
+
+
+def merge_inverted_index(
+    a: DataFrame, b: DataFrame, top_postings: int = 5
+) -> DataFrame:
+    """Merge two disjoint-corpus index partials. df/cf add; the merged
+    posting head is the top-``top_postings`` of the CONCATENATED heads
+    — exact, not approximate, because every doc lives in exactly one
+    partial, so any doc in the merged global top-k is in its own
+    side's top-k (k-head closure under disjoint union). This is the
+    index-maintenance twin of ``events.merge_hourly_rollup``: nightly
+    delta builds merge into the snapshot without touching the full
+    (token, doc) relation again."""
+    empty = F.array().cast("array<struct<neg_tf:long,doc_id:bigint>>")
+    aa = a.select(
+        "token",
+        F.col("df").alias("df_a"),
+        F.col("cf").alias("cf_a"),
+        F.col("heads").alias("h_a"),
+    )
+    bb = b.select(
+        "token",
+        F.col("df").alias("df_b"),
+        F.col("cf").alias("cf_b"),
+        F.col("heads").alias("h_b"),
+    )
+    return aa.join(bb, "token", "full_outer").select(
+        "token",
+        (
+            F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))
+        ).alias("df"),
+        (
+            F.coalesce("cf_a", F.lit(0)) + F.coalesce("cf_b", F.lit(0))
+        ).alias("cf"),
+        F.slice(
+            F.array_sort(
+                F.concat(
+                    F.coalesce(F.col("h_a"), empty),
+                    F.coalesce(F.col("h_b"), empty),
+                )
+            ),
+            1,
+            top_postings,
+        ).alias("heads"),
+    )
+
+
+def finish_inverted_index(partial: DataFrame, min_df: int = 2) -> DataFrame:
+    """Presentation pass: render heads as the ``doc:tf,...`` posting
+    string and apply the min_df cut — same output contract as
+    ``build_inverted_index``."""
+    return (
+        partial.filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            "df",
+            "cf",
+            F.array_join(
+                F.transform(
+                    F.col("heads"),
+                    lambda x: F.concat_ws(
+                        ":",
+                        x["doc_id"].cast("string"),
+                        (-x["neg_tf"]).cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "token")
+    )
+
+
+def q_doc_inverted_index_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental twin of q_doc_inverted_index: index 80% of the
+    corpus as the snapshot, the other 20% as a delta build, merge, and
+    finish — must land exactly on the full rebuild (same oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    snapshot = inverted_index_partial(docs.filter(F.col("doc_id") % 5 != 0))
+    delta = inverted_index_partial(docs.filter(F.col("doc_id") % 5 == 0))
+    return finish_inverted_index(merge_inverted_index(snapshot, delta))

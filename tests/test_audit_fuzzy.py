@@ -248,3 +248,54 @@ def test_inverted_index_single_token_exchange(spark):
     token_doc = [h for h in hashes if "token" in h and "doc_id" in h]
     assert len(set(token_only)) <= 1 and len(token_only) == 1
     assert len(token_doc) == 1
+
+
+def test_incremental_index_merge_equals_full_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.retrieval import (
+        finish_inverted_index,
+        inverted_index_partial,
+        merge_inverted_index,
+    )
+
+    # delta doc 10 has tf=4 for beta -> must displace a snapshot doc
+    # from the merged head; gamma exists only in the delta
+    docs = spark.createDataFrame(
+        [
+            (1, "beta beta"),
+            (2, "beta alpha"),
+            (3, "beta beta beta alpha"),
+            (10, "beta beta beta beta gamma"),
+            (11, "gamma alpha"),
+        ],
+        "doc_id: long, text: string",
+    )
+    from bigdataminingproject_spark.operators.retrieval import (
+        build_inverted_index,
+    )
+
+    full = {
+        r.token: r
+        for r in build_inverted_index(docs, min_df=1, top_postings=2).collect()
+    }
+    snap = inverted_index_partial(
+        docs.filter(F.col("doc_id") < 10), top_postings=2
+    )
+    delta = inverted_index_partial(
+        docs.filter(F.col("doc_id") >= 10), top_postings=2
+    )
+    merged = {
+        r.token: r
+        for r in finish_inverted_index(
+            merge_inverted_index(snap, delta, top_postings=2), min_df=1
+        ).collect()
+    }
+    assert set(merged) == set(full)
+    for t in full:
+        assert merged[t].df == full[t].df, t
+        assert merged[t].cf == full[t].cf, t
+        assert merged[t].postings == full[t].postings, t
+    # and the displacement actually happened: beta's head leads with
+    # the delta doc
+    assert full["beta"].postings.startswith("10:4")
