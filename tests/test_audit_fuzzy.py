@@ -299,3 +299,15 @@ def test_incremental_index_merge_equals_full_rebuild(spark):
     # and the displacement actually happened: beta's head leads with
     # the delta doc
     assert full["beta"].postings.startswith("10:4")
+
+
+def test_fuzzy_pairs_single_char_terms(spark):
+    # "a" vs "b": both delete to the empty string at position 1 ->
+    # substitution detected through the empty-variant bucket
+    terms = spark.createDataFrame([("a",), ("b",)], "term: string")
+    assert [(r.term_a, r.term_b) for r in fuzzy_pairs(terms).collect()] == [
+        ("a", "b")
+    ]
+    # and empty input yields empty output, no crash
+    empty = spark.createDataFrame([], "term: string")
+    assert fuzzy_pairs(empty).count() == 0
