@@ -107,13 +107,33 @@ def skyline2d(
     y_col: str,
     group_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    x_dir: str = "max",
+    y_dir: str = "max",
 ) -> DataFrame:
     """Every input row lying on the (per-group) Pareto frontier (equal
-    points don't dominate each other, so co-located rows all
-    survive)."""
+    points don't dominate each other, so co-located rows all survive).
+
+    ``x_dir``/``y_dir`` choose the preference per dimension ("max" or
+    "min"): minimizing a dimension is the same frontier on its
+    negation, so both directions reduce to the maximize-maximize core
+    without touching the plan shape.
+    """
+    for d in (x_dir, y_dir):
+        if d not in ("max", "min"):
+            raise ValueError(f"direction must be 'max' or 'min', got {d!r}")
     groups = list(group_cols or [])
-    pts = skyline2d_points(df, x_col, y_col, groups, num_partitions)
-    return df.join(F.broadcast(pts), [*groups, x_col, y_col])
+    work = df
+    nx, ny = x_col, y_col
+    if x_dir == "min":
+        nx = f"_neg_{x_col}"
+        work = work.withColumn(nx, -F.col(x_col))
+    if y_dir == "min":
+        ny = f"_neg_{y_col}"
+        work = work.withColumn(ny, -F.col(y_col))
+    pts = skyline2d_points(work, nx, ny, groups, num_partitions)
+    return work.join(F.broadcast(pts), [*groups, nx, ny]).drop(
+        *[c for c in (nx, ny) if c not in (x_col, y_col)]
+    )
 
 
 def q_customer_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -161,3 +161,42 @@ def test_session_paths_one_user_exchange(spark):
     import re
 
     assert not re.search(r"hashpartitioning\(user_id#\d+L, session_seq", plan)
+
+
+def test_skyline_mixed_directions(spark):
+    # maximize x, MINIMIZE y (e.g. spend vs latency): p dominates q iff
+    # p.x >= q.x and p.y <= q.y with one strict
+    pts = [(10, 8), (9, 2), (8, 1), (7, 1), (10, 9), (1, 1), (10, 1)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    got = {
+        (r.x, r.y)
+        for r in skyline2d(df, "x", "y", y_dir="min").collect()
+    }
+    want = {
+        p
+        for p in set(pts)
+        if not any(
+            q[0] >= p[0] and q[1] <= p[1] and (q[0] > p[0] or q[1] < p[1])
+            for q in pts
+        )
+    }
+    assert got == want == {(10, 1)}
+
+
+def test_skyline_min_min_directions(spark):
+    pts = [(1, 5), (2, 2), (5, 1), (3, 3), (1, 5)]
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    got = sorted(
+        (r.x, r.y)
+        for r in skyline2d(df, "x", "y", x_dir="min", y_dir="min").collect()
+    )
+    # (1,5) duplicated and on the frontier -> both rows survive
+    assert got == [(1, 5), (1, 5), (2, 2), (5, 1)]
+
+
+def test_skyline_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 1)], "x: long, y: long")
+    with _pytest.raises(ValueError):
+        skyline2d(df, "x", "y", x_dir="up")
