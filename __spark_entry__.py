@@ -150,7 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_topk_cumulative": snapshots.q_doc_topk_cumulative,
         "q_doc_burst": snapshots.q_doc_burst,
         "q_knn_bruteforce": similarity.q_knn_bruteforce,
-        "q_embedding_neardup": similarity.q_embedding_neardup,
+        "q_embedding_neardup_anchor": similarity.q_embedding_neardup_anchor,
         "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
         "q_benchmark_contamination": dedup.q_benchmark_contamination,
         "q_dedup_clusters": dedup.q_dedup_clusters,
@@ -1372,7 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY query_id, rank
     """
 
-    sql["q_embedding_neardup"] = """
+    sql["q_embedding_neardup_anchor"] = """
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
         ),
@@ -3891,9 +3891,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # q_doc_association_rules: Apriori support cut before the pair
-    # join on both engines; confidence/lift are stable half-up 4dp
-    # quotients of integer products; the confidence floor applies to
-    # the ROUNDED value, mirroring the Spark filter.
+    # join on both engines — ceil(min_support*N), the true ">= floor"
+    # semantics (ADVICE r4: int() truncation admitted sub-threshold
+    # supports); confidence/lift are stable half-up 4dp quotients of
+    # integer products; the confidence floor applies to the ROUNDED
+    # value, mirroring the Spark filter.
     sql["q_doc_association_rules"] = f"""
         WITH {_TOKS_CTE},
         basket AS (
@@ -3905,7 +3907,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         freq AS (
             SELECT item, item_n FROM isup, nt
-            WHERE item_n >= CAST(floor(0.3 * n) AS BIGINT)
+            WHERE item_n >= CAST(ceil(0.3 * n) AS BIGINT)
         ),
         fb AS (
             SELECT b.doc_id, b.item, f.item_n
@@ -3920,7 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         pf AS (
             SELECT * FROM p, nt
-            WHERE pair_n >= CAST(floor(0.3 * n) AS BIGINT)
+            WHERE pair_n >= CAST(ceil(0.3 * n) AS BIGINT)
         ),
         r AS (
             SELECT item_a AS antecedent, item_b AS consequent, pair_n,

@@ -29,6 +29,8 @@ half-up 4 dp divisions of integer products.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -66,7 +68,10 @@ def association_rules(
     (lift desc, antecedent, consequent).
     """
     n_total = baskets.select(n_baskets_col).distinct().count()
-    min_count = int(min_support * n_total)
+    # ceil, not floor: support(X) >= min_support means count >=
+    # ceil(min_support * N); truncation would admit items strictly
+    # below the floor (e.g. 2/7 at min_support=0.3). Oracle mirrors.
+    min_count = math.ceil(min_support * n_total)
     item_support = baskets.groupBy("item").agg(
         F.count(F.lit(1)).alias("item_n")
     )

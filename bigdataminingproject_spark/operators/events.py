@@ -900,7 +900,10 @@ def session_paths(
     entries at or below the cut (the CASE yields null past it), same
     device as the inverted-index posting head.
     """
-    by_user = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    # Windows order by full-precision ts (not the ms-truncated ts_ms,
+    # which is only the gap operand) so same-user same-millisecond
+    # events rank identically to the DuckDB oracle and to sessionize.
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = (
         events.withColumn("ts_ms", F.unix_millis("ts"))
         .withColumn("prev_ms", F.lag("ts_ms").over(by_user))
@@ -919,7 +922,7 @@ def session_paths(
         )
     )
     in_session = Window.partitionBy("user_id", "session_seq").orderBy(
-        "ts_ms", "event_id"
+        "ts", "event_id"
     )
     ranked = marked.withColumn("rk", F.row_number().over(in_session))
     entry = F.when(

@@ -342,8 +342,9 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(vecs, queries, k=10)
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding near-duplicate pairs at cosine >= 0.45.
+def q_embedding_neardup_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-duplicate pairs at cosine >= 0.45
+    (ground-truth verifier; test SFs only).
 
     GROUND-TRUTH ORACLE ANCHOR, not the scale path: this is an exact
     all-pairs join (quadratic by construction) kept in the registry as
@@ -367,7 +368,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup, deterministic-planes variant: the DuckDB
     oracle recomputes signatures, buckets, candidates, and the cosine
     verify from the same inlined plane constants (subset of the exact
-    q_embedding_neardup result; the numpy-matmul variant is the
+    q_embedding_neardup_anchor result; the numpy-matmul variant is the
     identical-shape scale path)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return lsh_bucketed_neardup_det(vecs, threshold=0.45)

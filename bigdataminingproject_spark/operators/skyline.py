@@ -53,9 +53,15 @@ def skyline2d_points(
     groups = list(group_cols or [])
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        # shuffle.partitions may be non-numeric on some deployments
+        # (e.g. "auto" under Databricks AQE) — degrade to a fixed
+        # bucket count rather than raising.
+        try:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        except (TypeError, ValueError):
+            num_partitions = 32
     m = df.groupBy(*groups, x_col).agg(F.max(y_col).alias(y_col))
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = (

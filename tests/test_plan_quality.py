@@ -148,7 +148,7 @@ def test_registry_wide_plan_audit(spark, sf_dir):
     SinglePartition over unaggregated fact rows, and a shuffle
     CartesianProduct. Declared exceptions only:
 
-    - q_embedding_neardup: the exact all-pairs verifier — kept as the
+    - q_embedding_neardup_anchor: the exact all-pairs verifier — kept as the
       LSH oracle anchor, documented non-scalable in its docstring.
 
     (BroadcastNestedLoopJoin is allowed: in this engine it only ever
@@ -162,7 +162,7 @@ def test_registry_wide_plan_audit(spark, sf_dir):
         unsafe_single_partition_exchanges,
     )
 
-    declared_cartesian = {"q_embedding_neardup"}
+    declared_cartesian = {"q_embedding_neardup_anchor"}
     failures = []
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
