@@ -50,27 +50,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the capped run always re-attests what moved and staleness decays
     # round over round. Unchanged tiers keep their last-green driver rows
     # (append-only git diffs prove non-movement).
-    # Round 4 note: q_knn_ivf (k-means IVF, rows-only) is RETIRED from
-    # the registry per VERDICT r3 #3 — the deterministic twin
-    # q_knn_ivf_det is the IVF family's oracle face; the k-means
-    # quantizer stays a library function under its recall pytest
-    # (tests/test_similarity.py). Every remaining entry has a DuckDB
-    # oracle. Also: the round-3 session-config change (excludedRules)
-    # moved EVERY plan, so tier 1 below is the 52-query backlog still
-    # carrying r1/r2 driver rows from before that change — burning it
-    # down is this round's rotation priority (VERDICT r3 #4).
-    # Tier 0 grew through round 4 as operators landed (33 new queries
-    # in the later sessions: span dedup, SQ8/kmeans/pagerank, drift,
-    # cohort triangle, streaming twins, curation v4, funnel latency,
-    # hard negatives, corpus diff, Z-order, SCD2, truncation audit,
-    # mixture executor, Gopher gate, probe curve, histogram quantiles
-    # x2, incremental rollup, FK-integrity audit, column profiler,
-    # inverted index, fuzzy join, skyline x2, transition matrix, association rules, PIT join, session paths, embedding covariance, incremental index) — all
-    # never driver-attested, so they
-    # outrank everything; the driver's ~50 slots cover tier 0 plus the
-    # oldest tier-1 backlog heads.
-    return {
-        # tier 0 (round 4): new or semantics-changed this round
+    # ROUND 5 is the CONSOLIDATION round VERDICT r4 #1 prescribed:
+    # tier 0 is capped at 5 (two new queries, the renamed cartesian
+    # anchor, and the two ADVICE-fix re-attestations) so the driver's
+    # 50 slots finally rotate onto the 50-query r1/r2 attestation
+    # backlog (every registry query predating the round-3 optimizer
+    # config change). 5 tier-0 + 15 r1 + 30 r2 fills the 50 slots
+    # exactly; the 5 deferred r2 queries (_R5_DEFERRED below) are the
+    # simplest map-only doc transforms, each pinned by pytest units
+    # and this round's local full-gate runs. The skyline conf-read
+    # hardening (operators/skyline.py) is non-semantic — plans and
+    # output bit-identical, locally re-attested at all 3 SFs — so the
+    # two skyline queries keep their fresh r4 rows instead of burning
+    # slots. Dict-literal order below no longer carries the rotation:
+    # the explicit _R5_* lists at the end of this function do.
+    reg = {
+        # round 4 additions (driver-attested green in r4)
         "q_doc_association_rules": association.q_doc_association_rules,
         "q_embedding_covariance": similarity.q_embedding_covariance,
         "q_doc_inverted_index_incremental": (
@@ -144,6 +139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-replayed to a memory sink; same oracle as q_doc_snapshots
         "q_stream_snapshots": streaming_pipeline.q_stream_snapshots,
         "q_corpus_curation": curation.q_corpus_curation,
+        # round 5: snapshot+delta incremental maintenance of the v1
+        # curation manifest (VERDICT r4 #3); oracle = full rerun
+        "q_corpus_curation_incremental": (
+            curation.q_corpus_curation_incremental
+        ),
         "q_doc_quality": textstats.q_doc_quality,
         "q_doc_token_counts": textstats.q_doc_token_counts,
         "q_doc_snapshots": snapshots.q_doc_snapshots,
@@ -235,6 +235,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q_media_features": multimodal.q_media_features,
     }
+    # Round-5 rotation: driver consumes ~50 rows in dict order.
+    tier0 = [
+        # new this round
+        "q_corpus_curation_incremental",
+        "q_stream_hourly_maintenance",
+        # renamed this round (VERDICT r4 #6) — orphaned r2 row
+        "q_embedding_neardup_anchor",
+        # semantics touched this round (ADVICE r4 fixes)
+        "q_doc_association_rules",
+        "q_events_session_paths",
+    ]
+    backlog_r1 = [
+        "q_doc_term_estimates",
+        "q_doc_source_topk",
+        "q_doc_bigrams",
+        "q_doc_vocab_stats",
+        "q_dup_scores",
+        "q_dup_summary",
+        "q_exact_duplicates",
+        "q_ngram_jaccard",
+        "q_doc_stats",
+        "q_doc_fingerprints",
+        "q_doc_lang_stats",
+        "q_doc_lang_id",
+        "q10_returned_revenue",
+        "q_status_price_quantiles",
+        "q_media_dims",
+    ]
+    backlog_r2 = [
+        "q_minhash_lsh",
+        "q_simhash_neardup",
+        "q_embedding_neardup_lsh",
+        "q_stream_snapshots",
+        "q_corpus_curation",
+        "q_doc_quality",
+        "q_doc_token_counts",
+        "q_doc_snapshots",
+        "q_doc_topk_cumulative",
+        "q_doc_burst",
+        "q_knn_bruteforce",
+        "q_doc_sample_stratified",
+        "q_benchmark_contamination",
+        "q_dedup_clusters",
+        "q_doc_mixture_plan",
+        "q2_min_price_part",
+        "q11_part_value_concentration",
+        "q16_supplier_part_variety",
+        "q20_excess_shippers",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_profit_by_nation",
+        "q13_order_distribution",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_qty_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q21_late_sole_shippers",
+        "q22_idle_customers",
+    ]
+    # deferred r2 backlog (slots 51-55): map-only doc transforms,
+    # pytest-pinned + locally full-gate-green; first in line for the
+    # round-6 rotation.
+    deferred = [
+        "q_doc_pack_sequences",
+        "q_doc_repetition",
+        "q_doc_pii_redact",
+        "q_doc_decontaminate",
+        "q_doc_length_buckets",
+    ]
+    head = tier0 + backlog_r1 + backlog_r2 + deferred
+    ordered = {k: reg[k] for k in head if k in reg}
+    ordered.update({k: v for k, v in reg.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -1080,6 +1154,19 @@ def oracle_sql() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
         ORDER BY doc_id
     """
+
+    # q_corpus_curation_incremental: the oracle is the FULL v1 curation
+    # pipeline over the whole table plus the snapshot/delta flag (ids >
+    # floor(0.8 * max id) are the delta crawl) — a green row is a
+    # cross-engine attestation that the Spark incremental merge equals
+    # a full rerun on the merged corpus.
+    sql["q_corpus_curation_incremental"] = sql["q_corpus_curation"].replace(
+        "SELECT doc_id FROM exact_kept",
+        """SELECT doc_id,
+               CAST(doc_id > (SELECT CAST(floor(max(doc_id) * 0.8) AS BIGINT)
+                              FROM documents) AS INT) AS is_new
+        FROM exact_kept""",
+    )
 
     sql["q_doc_lang_stats"] = """
         SELECT lang, count(*) AS num_docs,

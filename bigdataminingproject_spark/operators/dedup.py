@@ -140,6 +140,7 @@ def ngram_jaccard_pairs(
     k: int = SHINGLE_K,
     text_col: str = "text",
     id_col: str = "doc_id",
+    b_side_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -154,6 +155,14 @@ def ngram_jaccard_pairs(
     cuts candidate pairs ~3x vs the naive join; at 100 TB the gap grows
     with corpus repetition. MinHash+LSH (minhash_lsh_pairs) is the
     approximate alternative when even prefix joins are too wide.
+
+    ``b_side_ids`` (optional, one ``id_col`` column) restricts the
+    HIGHER-id side of each emitted pair: only pairs whose ``doc_b`` is
+    in the set are produced. Prefix ordering, document frequencies, and
+    the a-side stay global, so the restricted output is exactly the
+    subset of the unrestricted output with ``doc_b`` ∈ the set — the
+    delta-bounded join the incremental curation pass runs (candidates
+    explode only for delta docs; the retained corpus is probe-side).
     """
     tk = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -222,9 +231,18 @@ def ngram_jaccard_pairs(
     # re-run tokenize/shingle/docfreq on each branch of the self-join
     # (measured ~30% slower at sf0.1). At cluster scale a broadcast of
     # the corpus-wide prefix set is impossible anyway.
-    prefix = prefix.hint("shuffle_hash")
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+    if b_side_ids is not None:
+        # semi-join, no broadcast hint: a day's delta id set can be
+        # arbitrarily large; AQE picks broadcast when it actually fits.
+        b_src = prefix.join(
+            b_side_ids.select(F.col(id_col).alias("doc_id")),
+            "doc_id",
+            "left_semi",
+        ).hint("shuffle_hash")
+    else:
+        b_src = prefix.hint("shuffle_hash")
+    a = prefix.hint("shuffle_hash").alias("a")
+    b = b_src.alias("b")
     return (
         a.join(b, F.col("a.shingle_h") == F.col("b.shingle_h"))
         .filter(

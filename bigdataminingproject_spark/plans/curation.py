@@ -15,9 +15,13 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.functions.text import tokenize
-from bigdataminingproject_spark.operators.dedup import exact_duplicates
+from bigdataminingproject_spark.operators.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+)
 from bigdataminingproject_spark.operators.minhash import minhash_lsh_pairs
 from bigdataminingproject_spark.operators.textstats import quality_features
 
@@ -113,6 +117,168 @@ def q_corpus_curation(spark, sf_dir: str) -> DataFrame:
     return (
         exact_kept.join(near_losers, "doc_id", "left_anti")
         .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def curation_state(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.9,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """Day-0 curation state for the incremental pass: the exact-kept
+    manifest (doc_id, text, dropped_neardup).
+
+    The state a 100 TB incremental pipeline persists between crawls is
+    NOT the raw corpus — it is the quality-gated, exact-deduped
+    manifest (one row per distinct normalized text, min-id keeper),
+    with a flag marking which members the near-dup prune dropped.
+    Everything the next day's merge needs is derivable from it:
+    a new doc loses exact dedup iff its md5 appears here, and loses the
+    near-dup prune iff it Jaccard-pairs with ANY row here or a
+    same-day keeper of smaller id. Quality/dup losers from past crawls
+    are gone for good and never rescanned.
+    """
+    tk = docs.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("_toks")
+    )
+    f = quality_features(F.col("text"), tokens=F.col("_toks"))
+    gated = tk.filter(
+        (f["n_tokens"] >= min_tokens)
+        & (f["stopword_ratio"] <= max_stopword_ratio)
+    ).drop("_toks")
+    groups = exact_duplicates(gated, text_col="text", id_col="doc_id")
+    losers = (
+        groups.select(F.explode("member_ids").alias("doc_id"), "keeper_id")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
+    )
+    exact_kept = gated.join(losers, "doc_id", "left_anti")
+    near_losers = (
+        ngram_jaccard_pairs(exact_kept, threshold=neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return exact_kept.join(near_losers, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("_dropped"), F.lit(0)).alias("dropped_neardup"),
+    )
+
+
+def curate_corpus_increment(
+    state: DataFrame,
+    delta: DataFrame,
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.9,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """Merge a delta crawl into yesterday's curation state WITHOUT
+    rescanning the corpus the state was built from. Returns the updated
+    state (same schema as ``curation_state``); today's kept set is its
+    ``dropped_neardup == 0`` rows.
+
+    Exactness (increment == full rerun on the union), provable from id
+    monotonicity — every delta id exceeds every state id (crawl order):
+
+    1. Quality gate: a per-doc predicate; snapshot verdicts can't move.
+    2. Exact dedup, min-id keeper: a union md5-group seen in the
+       snapshot keeps its snapshot keeper (the min over the union IS
+       the min over the snapshot — all delta ids are larger), so state
+       rows never change; delta-only groups resolve within the delta.
+    3. Near-dup prune drops the HIGHER id of every Jaccard >= t pair,
+       so a pair can only ever drop a delta doc unless both ends are
+       snapshot docs — and those pairs were already decided yesterday.
+       Snapshot flags are therefore final, and a delta keeper drops iff
+       it pairs with any exact-kept doc of smaller id. That membership
+       is computed with the PPJoin restricted to delta-side candidates
+       (``b_side_ids``): prefix explosion and candidate pairs are
+       delta-bounded; the retained manifest is probe-side only.
+
+    Daily cost is O(delta scan + |state| re-shingle for the probe side
+    + delta-bounded candidate join) — the state side's shingle relation
+    is itself persistable (carry (doc_id, shingle_h) alongside the
+    manifest) to make the probe side a pure read, which is the shape a
+    production run would use; the recompute here keeps the registry
+    query self-contained.
+    """
+    tk = delta.select(
+        "doc_id", "text", tokenize(F.col("text")).alias("_toks")
+    )
+    f = quality_features(F.col("text"), tokens=F.col("_toks"))
+    gated = tk.filter(
+        (f["n_tokens"] >= min_tokens)
+        & (f["stopword_ratio"] <= max_stopword_ratio)
+    ).drop("_toks")
+    # exact dedup against the state (md5 membership; any match loses to
+    # the older keeper) then within the delta (min-id keeper).
+    norm = F.md5(F.regexp_replace(F.lower(F.col("text")), "\\s+", " "))
+    state_hashes = state.select(norm.alias("_h")).distinct()
+    fresh = gated.withColumn("_h", norm).join(
+        state_hashes, "_h", "left_anti"
+    )
+    delta_keepers = (
+        fresh.withColumn(
+            "_keeper",
+            F.min("doc_id").over(Window.partitionBy("_h")),
+        )
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "text")
+    )
+    # near-dup: delta keepers drop iff they pair with ANY exact-kept
+    # doc (state rows — dropped ones included, matching the full
+    # pipeline, which prunes against every exact-kept doc — or an
+    # earlier delta keeper).
+    union_kept = state.select("doc_id", "text").unionByName(delta_keepers)
+    pairs = ngram_jaccard_pairs(
+        union_kept,
+        threshold=neardup_threshold,
+        b_side_ids=delta_keepers.select("doc_id"),
+    )
+    delta_losers = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    delta_state = delta_keepers.join(delta_losers, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        F.coalesce(F.col("_dropped"), F.lit(0)).alias("dropped_neardup"),
+    )
+    return state.unionByName(delta_state)
+
+
+def q_corpus_curation_incremental(spark, sf_dir: str) -> DataFrame:
+    """Incremental curation manifest (VERDICT r4 #3): the first 80% of
+    doc ids are yesterday's crawl (folded into a curation state), the
+    rest are today's delta; the delta is merged WITHOUT rescanning
+    yesterday's corpus. The DuckDB oracle runs the FULL v1 curation
+    pipeline over the whole table — the driver row is therefore a
+    cross-engine attestation that increment == full rerun (the
+    merge==full equivalence also holds Spark-vs-Spark; see
+    tests/test_curation.py).
+    """
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the cutoff collect is one scalar row (bounded driver state)
+    cutoff = int(
+        docs.agg(
+            F.floor(F.max("doc_id") * F.lit(0.8)).cast("long")
+        ).collect()[0][0]
+    )
+    snap = docs.filter(F.col("doc_id") <= cutoff)
+    delta = docs.filter(F.col("doc_id") > cutoff)
+    state = curation_state(snap)
+    merged = curate_corpus_increment(state, delta)
+    return (
+        merged.filter(F.col("dropped_neardup") == 0)
+        .select(
+            "doc_id",
+            (F.col("doc_id") > cutoff).cast("int").alias("is_new"),
+        )
         .orderBy("doc_id")
     )
 

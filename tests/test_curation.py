@@ -237,3 +237,80 @@ def test_curate_v4_semantic_layer_not_vacuous(spark, sf_dir):
         F.col("vec_id") % 25 != 0
     )
     assert semantic_dedup(vecs).count() > 0
+
+
+def test_incremental_merge_equals_full(spark):
+    """curate_corpus_increment(state(A), B) must equal the full v1
+    pipeline on A ∪ B — including the tricky memberships: a delta
+    exact-dup of a snapshot doc, a delta near-dup of a snapshot
+    near-dup LOSER (state rows that are themselves dropped still prune
+    new arrivals, as in the full pipeline), a delta-internal dup pair,
+    and a genuinely new doc."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.plans.curation import (
+        curate_corpus_increment,
+        curation_state,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river today"
+    snap_rows = [
+        (0, base),
+        (1, base.replace("river", "ocean")),  # near-dup loser to 0
+        (2, "a completely different document about spark physical planning"),
+        (3, "tiny"),  # quality-gated out of the snapshot
+    ]
+    delta_rows = [
+        (10, base.upper()),  # exact dup of 0 after normalization
+        (11, base.replace("river", "ocean").replace("today", "tonight")),
+        # 11: near-dup of snapshot near-dup LOSER 1 → must still drop
+        (12, "fresh prose with entirely novel content and nothing shared"),
+        (13, "fresh prose with entirely novel content and nothing shared"),
+        # 13: delta-internal exact dup of 12
+        (14, "short"),  # quality-gated delta doc
+    ]
+    snap = spark.createDataFrame(snap_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    full = spark.createDataFrame(
+        snap_rows + delta_rows, "doc_id long, text string"
+    )
+
+    merged = curate_corpus_increment(
+        curation_state(snap, neardup_threshold=0.5),
+        delta,
+        neardup_threshold=0.5,
+    )
+    inc_kept = sorted(
+        r["doc_id"]
+        for r in merged.filter(F.col("dropped_neardup") == 0).collect()
+    )
+
+    full_state = curation_state(full, neardup_threshold=0.5)
+    full_kept = sorted(
+        r["doc_id"]
+        for r in full_state.filter(F.col("dropped_neardup") == 0).collect()
+    )
+    assert inc_kept == full_kept
+    # the full state relation itself must match row-for-row (flags too)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full_state.collect())
+    )
+    # and the scenario actually exercised every edge
+    assert 11 not in inc_kept and 10 not in inc_kept and 13 not in inc_kept
+    assert 12 in inc_kept
+
+
+def test_incremental_query_matches_full_query(spark, sf_dir):
+    """q_corpus_curation_incremental's kept ids == q_corpus_curation's
+    on the same table (the Spark-vs-Spark half of merge==full; the
+    driver row is the cross-engine half)."""
+    from bigdataminingproject_spark.plans.curation import (
+        q_corpus_curation,
+        q_corpus_curation_incremental,
+    )
+
+    inc = q_corpus_curation_incremental(spark, sf_dir).collect()
+    full = q_corpus_curation(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in inc] == [r["doc_id"] for r in full]
+    assert any(r["is_new"] == 1 for r in inc)
+    assert any(r["is_new"] == 0 for r in inc)
