@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_divergence": textstats.q_source_divergence,
         "q_events_cohort_retention": events.q_events_cohort_retention,
         "q_stream_hourly": streaming_pipeline.q_stream_hourly,
+        # round 5: foreachBatch sink-side rollup maintenance twin
+        "q_stream_hourly_maintenance": (
+            streaming_pipeline.q_stream_hourly_maintenance
+        ),
         "q_corpus_curation_v4": curation.q_corpus_curation_v4,
         "q_events_funnel_latency": events.q_events_funnel_latency,
         "q_hard_negatives": retrieval.q_hard_negatives,
@@ -1484,6 +1488,8 @@ def oracle_sql() -> dict[str, str]:
     # aggregation and must land on exactly the batch hourly rollup —
     # same oracle.
     sql["q_stream_hourly"] = sql["q_events_hourly"]
+    # live foreachBatch rollup maintenance lands on the same batch truth
+    sql["q_stream_hourly_maintenance"] = sql["q_events_hourly"]
 
     # q_events_hourly_incremental folds an 80% snapshot with a 20%
     # delta and must land exactly on the full recompute — same oracle.

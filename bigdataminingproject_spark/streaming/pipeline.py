@@ -729,3 +729,68 @@ def q_stream_sessions(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+def q_stream_hourly_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live incremental materialized-view maintenance twin (registry
+    entry; VERDICT r4 #4) — the fourth Structured Streaming shape: a
+    sink-side rollup upsert.
+
+    Where q_stream_hourly keeps the hourly aggregate INSIDE the
+    streaming engine's state store, this twin keeps it OUTSIDE, in a
+    persisted parquet snapshot a ``foreachBatch`` sink maintains: each
+    micro-batch folds its slice of the event log into the stored
+    rollup via ``merge_hourly_rollup`` (operators/events.py) — the
+    union-and-reaggregate merge whose exactness rests on (count, sum)
+    being associative partials. This is the production pattern for
+    rollups that outlive any one streaming query (downstream jobs read
+    the table, the stream only maintains it), and it is exactly the
+    batch incremental path (q_events_hourly_incremental) driven by a
+    live source instead of a manual 80/20 split.
+
+    Snapshot versions are written to per-batch directories (write-new,
+    then-swap — a foreachBatch sink must never read and overwrite the
+    same files in one batch); state size is bounded by the rollup
+    cardinality (hours x types), never the log. Output lands on
+    q_events_hourly's DuckDB oracle: same columns, same 2 dp
+    presentation rounding applied only at the end (stored partials stay
+    raw, so merges never compound rounding).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from bigdataminingproject_spark.operators.events import (
+        finish_hourly_rollup,
+        hourly_rollup_partial,
+        merge_hourly_rollup,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select("event_id", "ts", "event_type", "value")
+    staging = tempfile.mkdtemp(prefix="q_stream_maint_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_maint_state_")
+    stream = file_replay_source(
+        spark, src, staging, chunks=10, order_col="event_id"
+    )
+    latest: dict[str, str] = {}
+
+    def upsert(batch_df, batch_id):
+        delta = batch_df
+        if latest:
+            snapshot = spark.read.parquet(latest["path"])
+            merged = merge_hourly_rollup(snapshot, delta)
+        else:
+            merged = hourly_rollup_partial(delta)
+        out = os.path.join(
+            state_root, f"rollup_{batch_id}_{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(out)
+        latest["path"] = out
+
+    snapshot_sink(stream, upsert)
+    return finish_hourly_rollup(spark.read.parquet(latest["path"]))

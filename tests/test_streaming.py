@@ -462,3 +462,20 @@ def test_stream_sessions_gap_boundary_semantics(spark, tmp_path):
         r["count"] for r in spark.table("gap_boundary_t").collect()
     )
     assert counts == [1, 2]
+
+
+def test_stream_hourly_maintenance_equals_batch_hourly(spark, sf_dir):
+    """The foreachBatch sink-side rollup-maintenance twin lands exactly
+    on the batch hourly rollup: ten micro-batch upserts of raw (count,
+    sum) partials merge to the full recompute, with presentation
+    rounding applied only once at the end."""
+    from bigdataminingproject_spark.operators.events import q_events_hourly
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_hourly_maintenance,
+    )
+
+    batch = [tuple(r) for r in q_events_hourly(spark, sf_dir).collect()]
+    live = [
+        tuple(r) for r in q_stream_hourly_maintenance(spark, sf_dir).collect()
+    ]
+    assert live == batch
