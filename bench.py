@@ -75,7 +75,78 @@ HEADLINE = [
     "q_customer_fuzzy_matches",
     "q_customer_skyline",
     "q_doc_association_rules",
+    # round-5 additions: the incremental curation merge, the foreachBatch
+    # rollup-maintenance streaming twin, and the reference CLI pipeline
+    # itself (VERDICT r4 #7) so the actual §2 workload has a tracked
+    # number alongside the north-star queries
+    "q_corpus_curation_incremental",
+    "q_stream_hourly_maintenance",
+    "cli_reference_pipeline",
 ]
+
+
+def _run_cli_pipeline(spark) -> tuple[float, int]:
+    """Time the reference CLI (§2 pipeline) end-to-end on a generated
+    conversation corpus: 300 JSON conversations -> load/split/order ->
+    duplicate + frequency + burst detectors, 200-message stream (the
+    reference's own workload size, run_detectors.py defaults). Each
+    timed run uses --force-reload with a fresh cache dir so the full
+    ingest is measured, mirroring a cold reference run."""
+    import shutil
+    import tempfile
+
+    from click.testing import CliRunner
+
+    from bigdataminingproject_spark.cli import main as cli_main
+
+    corpus = tempfile.mkdtemp(prefix="bench_cli_corpus_")
+    bodies = [
+        "please send the payment confirmation code",
+        "the delivery arrived broken and late",
+        "quick question about the invoice total",
+        "reset my password please",
+        "the payment code did not arrive",
+    ]
+    for i in range(300):
+        msgs = [
+            {
+                "body": f"{bodies[(i + j) % len(bodies)]} case {i % 40}",
+                "time": i * 100 + j,
+                "medium": "Email",
+                "is_inbound": True,
+            }
+            for j in range(5)
+        ]
+        with open(os.path.join(corpus, f"c{i:04d}.json"), "w") as fh:
+            json.dump({"messages": msgs}, fh)
+    runner = CliRunner()
+    best, processed = None, 0
+    for _ in range(3):
+        cache = tempfile.mkdtemp(prefix="bench_cli_cache_")
+        summary_path = os.path.join(cache, "summary.json")
+        start = time.perf_counter()
+        result = runner.invoke(
+            cli_main,
+            [
+                "--data-dir", corpus,
+                "--split", "test",
+                "--max-messages", "200",
+                "--update-interval", "100",
+                "--exclude-duplicates",
+                "--force-reload",
+                "--cache-dir", cache,
+                "--summary-out", summary_path,
+            ],
+            catch_exceptions=False,
+        )
+        elapsed = time.perf_counter() - start
+        assert result.exit_code == 0, result.output
+        with open(summary_path) as fh:
+            processed = json.load(fh)["processed"]
+        best = elapsed if best is None else min(best, elapsed)
+        shutil.rmtree(cache, ignore_errors=True)
+    shutil.rmtree(corpus, ignore_errors=True)
+    return best, processed
 
 
 def run_one(name: str, sf_dir: str) -> None:
@@ -87,6 +158,16 @@ def run_one(name: str, sf_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
+
+    if name == "cli_reference_pipeline":
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        best, processed = _run_cli_pipeline(spark)
+        print(
+            json.dumps(
+                {"query": name, "sec": round(best, 3), "rows": processed}
+            )
+        )
+        return
 
     fn = entrymod.queries()[name]
     # generic JVM/codegen + Python-worker-pool warmup so the timed runs

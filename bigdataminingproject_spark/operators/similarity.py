@@ -14,6 +14,8 @@ shuffles on (band, bucket) instead of cross-joining.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -112,11 +114,29 @@ def embedding_neardup_pairs(
     )
 
 
+def _auto_band_bits(
+    n: int, n_planes: int, target_occupancy: int = 8
+) -> tuple[int, int]:
+    """Size the LSH band layout for corpus size ``n``: bits per band ~
+    log2(n / target_occupancy) keeps expected bucket occupancy — and so
+    candidate-pair count per vector — roughly CONSTANT as the corpus
+    grows (fixed bits would grow occupancy linearly and candidates
+    quadratically; the 10x scale probe measures exactly that). Floor of
+    8 bits (the historical default, so every corpus up to ~2k vectors,
+    incl. all attested SFs, keeps bit-identical output); more bits per
+    band = fewer bands from the same ``n_planes`` budget, the standard
+    LSH precision/recall trade — at real scale raise ``n_planes`` too.
+    Returns (per_band, n_bands)."""
+    per_band = max(8, math.ceil(math.log2(max(n, 2) / target_occupancy)))
+    per_band = min(per_band, n_planes)
+    return per_band, max(1, n_planes // per_band)
+
+
 def lsh_bucketed_neardup(
     vectors: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 64,
-    n_bands: int = 8,
+    n_bands: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -135,8 +155,15 @@ def lsh_bucketed_neardup(
     (numpy matmul against the broadcast plane matrix) — O(N·planes·dim)
     with no per-plane expression trees; candidates then shuffle once on
     (band, bucket), and only candidate pairs pay the exact-cosine verify.
+
+    ``n_bands=None`` (default) auto-sizes the band layout from the
+    corpus count via ``_auto_band_bits`` — one scalar count job up
+    front buys occupancy-invariant candidate growth at 10x/100x.
     """
-    per_band = n_planes // n_bands
+    if n_bands is None:
+        per_band, n_bands = _auto_band_bits(vectors.count(), n_planes)
+    else:
+        per_band = n_planes // n_bands
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
@@ -241,7 +268,7 @@ def lsh_bucketed_neardup_det(
     vectors: DataFrame,
     threshold: float = 0.45,
     n_planes: int = 64,
-    n_bands: int = 8,
+    n_bands: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -263,8 +290,18 @@ def lsh_bucketed_neardup_det(
     1e-16 of a round-to-6 midpoint or of the threshold itself —
     probability ~1e-10 across an entire run. Output is a subset of
     ``embedding_neardup_pairs`` (shared subset pytest).
+
+    ``n_bands=None`` auto-sizes the band layout from the corpus count
+    (``_auto_band_bits``); at every attested SF (<= 2k vectors) this
+    resolves to the historical 8x8 layout, so the inlined-constant
+    DuckDB oracle keeps recomputing the identical pipeline — a corpus
+    big enough to widen the bands would inline that width's constants
+    the same way.
     """
-    per_band = n_planes // n_bands
+    if n_bands is None:
+        per_band, n_bands = _auto_band_bits(vectors.count(), n_planes)
+    else:
+        per_band = n_planes // n_bands
     planes = det_planes(dim, n_planes)
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
@@ -715,7 +752,7 @@ SEMDEDUP_THRESHOLD = 0.35
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
-    n_cell_planes: int = 6,
+    n_cell_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -739,10 +776,19 @@ def semantic_dedup(
 
     Scale: the self-join is an equi-join on ``cell`` (never cartesian);
     per-cell fanout is C(cell_size, 2) with cell_size ~ N/2^planes, and
-    ``n_cell_planes`` scales with the corpus (SemDeDup's cluster count
-    does the same job). One shuffle on cell, one rank window partitioned
-    by dup_id over candidates already cut to the threshold.
+    ``n_cell_planes=None`` (default) ACTUALLY scales the cell count
+    with the corpus — max(6, ceil(log2(n/32))), i.e. ~32 vectors per
+    cell held constant, the job SemDeDup's growing cluster count does.
+    Every attested SF (<= 2k vectors) resolves to the historical 6
+    planes, so the inlined-constant DuckDB oracle recomputes the
+    identical pipeline; the 10x probe gets 2^10 cells and ~linear
+    candidate growth instead of quadratic occupancy blowup. One shuffle
+    on cell, one rank window partitioned by dup_id over candidates
+    already cut to the threshold.
     """
+    if n_cell_planes is None:
+        n = vectors.count()
+        n_cell_planes = max(6, math.ceil(math.log2(max(n, 2) / 32)))
     planes = det_planes(dim, n_cell_planes)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),

@@ -7,6 +7,19 @@ with remapped keys (key spaces stay disjoint so join/group cardinalities
 scale realistically) and comparing wall times. Near-linear scaling means
 no single-partition choke points or quadratic joins snuck in.
 
+Replicas are MUTATED, not verbatim clones (VERDICT r4 #2): verbatim
+replication made every near-dup probe output-bound — true pair counts
+grew ~clones² per original, so jaccard/semantic/LSH/winnow ratios
+measured the fixture's quadratic output instead of the plan. Replica i
+gets (a) its text passed through an alphabet rotation by i (disjoint
+token/shingle/fingerprint sets across replicas, so lexical near-dup
+pairs grow exactly linearly — each replica reproduces the base pair
+set and nothing crosses), and (b) its embeddings circularly shifted by
+i positions (norm-preserving; a shifted near-random vector is
+~uncorrelated with every unshifted one, so cross-replica cosines sit
+in the background distribution and vector near-dup output also grows
+~linearly). Replica 0 stays pristine.
+
 Usage: python tools/scale_probe.py [factor] (default 10)
 """
 
@@ -48,10 +61,9 @@ PROBE_QUERIES = [
     "q_doc_tokens_topk",
     "q_dup_scores",
     "q_ngram_jaccard",
-    # the ANN scale path: must stay sub-quadratic when embeddings
-    # replicate (every replica is an exact clone, so true near-dup
-    # output grows ~clones² per original — candidate generation must
-    # grow with output size, not corpus²)
+    # the ANN scale path: replicas are shift-mutated, so true pair
+    # output grows ~linearly and the ratio measures candidate
+    # generation, not fixture output
     "q_embedding_neardup_lsh",
     # round-3 additions: grouping-sets rollup (one scan for all grains),
     # deterministic-cell IVF (equi-join probe), tfidf (two-shuffle +
@@ -60,9 +72,9 @@ PROBE_QUERIES = [
     "q_knn_ivf_det",
     "q_doc_tfidf_topk",
     "q_events_active_users",
-    # round-3 additions, second batch: winnowing (replicated docs are
-    # verbatim clones — pair output explodes by design), unigram LM,
-    # source-pair contamination (fanout bounded by #sources)
+    # round-3 additions, second batch: winnowing (rotation-mutated
+    # replicas keep pair output ~linear), unigram LM, source-pair
+    # contamination (fanout bounded by #sources)
     "q_doc_winnow",
     "q_doc_winnow_pairs",
     "q_doc_unigram_nll",
@@ -71,9 +83,9 @@ PROBE_QUERIES = [
     "q_corpus_curation_v2",
     # round-4 additions: map-only signals (blocklist/classifier/chunks
     # should scale ~linearly with zero shuffle growth), PMI (vocab
-    # joins + exchange reuse), SemDeDup (within-cell self-join —
-    # replicated vectors are verbatim clones, so the drop list grows
-    # with clone count by design), leakage split
+    # joins + exchange reuse), SemDeDup (within-cell self-join over
+    # shift-mutated replicas — drop list grows ~linearly), leakage
+    # split
     "q_doc_blocklist",
     "q_doc_quality_classifier",
     "q_doc_chunks",
@@ -128,9 +140,37 @@ PROBE_QUERIES = [
 ]
 
 
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _mutate(rep, table: str, i: int):
+    """Replica-i mutation (no-op for i=0): rotate text alphabets /
+    circular-shift embeddings so replicas are near-dup-disjoint."""
+    if i == 0:
+        return rep
+    if table == "documents":
+        rot = ALPHA[i % 26 :] + ALPHA[: i % 26]
+        rep = rep.withColumn(
+            "text",
+            F.translate(
+                "text", ALPHA + ALPHA.upper(), rot + rot.upper()
+            ),
+        )
+    elif table == "embeddings":
+        shift = i % 64
+        rep = rep.withColumn(
+            "embedding",
+            F.concat(
+                F.slice("embedding", shift + 1, 64 - shift),
+                F.slice("embedding", 1, shift),
+            ),
+        )
+    return rep
+
+
 def build_scaled(spark, factor: int) -> str:
     dst = f"{DST}_{factor}x"
-    marker = os.path.join(dst, "_built")
+    marker = os.path.join(dst, "_built_v2_mutated")
     if os.path.exists(marker):
         return dst
     os.makedirs(dst, exist_ok=True)
@@ -142,7 +182,7 @@ def build_scaled(spark, factor: int) -> str:
         if keys:
             parts = []
             for i in range(factor):
-                rep = df
+                rep = _mutate(df, table, i)
                 for k in keys:
                     rep = rep.withColumn(
                         k, F.col(k) + F.lit(i * 100_000_000)
