@@ -75,6 +75,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_session_paths": events.q_events_session_paths,
         "q_customer_skyline": skyline.q_customer_skyline,
         "q_segment_skyline": skyline.q_segment_skyline,
+        # round 5 stretch (VERDICT r4 #8): 3-D grouped RFM skyline.
+        # Deliberately ordered BELOW the backlog this round (rotation
+        # lists at the end of this function) so it cannot displace a
+        # backlog re-attestation slot; next round it ranks as
+        # never-attested.
+        "q_segment_rfm_skyline": skyline.q_segment_rfm_skyline,
         "q_events_transitions": events.q_events_transitions,
         "q_table_integrity": audit.q_table_integrity,
         "q_doc_profile": audit.q_doc_profile,
@@ -4036,6 +4042,38 @@ def oracle_sql() -> dict[str, str]:
     # q_customer_skyline: independent NOT EXISTS dominance formulation
     # (cross-checks the bucketed strict-suffix-max plan row for row);
     # money quantized to exact integer cents on both engines.
+    # q_segment_rfm_skyline: independent NOT EXISTS dominance oracle in
+    # 3 integer dimensions (days / count / cents), per segment.
+    sql["q_segment_rfm_skyline"] = """
+        WITH t AS (
+            SELECT o_custkey AS custkey,
+                   CAST(CAST(max(o_orderdate) AS DATE) - DATE '1970-01-01' AS INT)
+                       AS recency_days,
+                   count(*) AS frequency,
+                   CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+                       AS cents
+            FROM orders GROUP BY o_custkey
+        ), s AS (
+            SELECT c.c_mktsegment, t.*
+            FROM t JOIN customer c ON c.c_custkey = t.custkey
+        )
+        SELECT a.c_mktsegment, a.custkey,
+               DATE '1970-01-01' + a.recency_days AS last_order,
+               a.frequency, a.cents / 100.0 AS total_spent
+        FROM s a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM s b
+            WHERE b.c_mktsegment = a.c_mktsegment
+              AND b.recency_days >= a.recency_days
+              AND b.frequency >= a.frequency
+              AND b.cents >= a.cents
+              AND (b.recency_days > a.recency_days
+                   OR b.frequency > a.frequency
+                   OR b.cents > a.cents)
+        )
+        ORDER BY a.c_mktsegment, total_spent DESC, a.custkey
+    """
+
     sql["q_customer_skyline"] = """
         WITH t AS (
             SELECT o_custkey AS custkey,

@@ -200,3 +200,88 @@ def test_skyline_rejects_bad_direction(spark):
     df = spark.createDataFrame([(1, 1)], "x: long, y: long")
     with _pytest.raises(ValueError):
         skyline2d(df, "x", "y", x_dir="up")
+
+
+def brute_skyline_nd(points, dirs=None):
+    d = len(points[0])
+    dirs = dirs or ["max"] * d
+    sgn = [1 if x == "max" else -1 for x in dirs]
+    norm = [tuple(s * v for s, v in zip(sgn, p)) for p in points]
+    out = set()
+    for p, raw in zip(norm, points):
+        dominated = any(
+            all(q[i] >= p[i] for i in range(d))
+            and any(q[i] > p[i] for i in range(d))
+            for q in norm
+        )
+        if not dominated:
+            out.add(raw)
+    return out
+
+
+def test_skyline_nd_matches_bruteforce_3d(spark):
+    from bigdataminingproject_spark.operators.skyline import (
+        skyline_nd_points,
+    )
+
+    pts = [
+        (10, 1, 1), (10, 5, 2), (9, 6, 9), (8, 6, 3), (8, 2, 8),
+        (7, 7, 7), (7, 7, 7), (6, 3, 10), (5, 9, 1), (5, 8, 5),
+        (4, 9, 4), (1, 10, 2), (1, 1, 1), (10, 5, 2), (2, 2, 11),
+        (3, 10, 6), (9, 9, 1), (1, 4, 11),
+    ]
+    df = spark.createDataFrame(pts, "x: long, y: long, z: long")
+    got = {
+        (r.x, r.y, r.z)
+        for r in skyline_nd_points(df, ["x", "y", "z"]).collect()
+    }
+    assert got == brute_skyline_nd(pts)
+
+
+def test_skyline_nd_min_direction_and_groups(spark):
+    from bigdataminingproject_spark.operators.skyline import skyline_nd
+
+    pts = [
+        ("a", 10, 3, 5), ("a", 10, 3, 7), ("a", 9, 1, 5), ("a", 2, 9, 1),
+        ("a", 5, 5, 5), ("b", 1, 1, 1), ("b", 2, 2, 2), ("b", 3, 1, 2),
+    ]
+    df = spark.createDataFrame(pts, "g: string, x: long, y: long, z: long")
+    dirs = ["max", "min", "max"]
+    got = {
+        (r.g, r.x, r.y, r.z)
+        for r in skyline_nd(
+            df, ["x", "y", "z"], group_cols=["g"], dirs=dirs
+        ).collect()
+    }
+    exp = set()
+    for g in ("a", "b"):
+        gp = [p[1:] for p in pts if p[0] == g]
+        exp |= {(g, *p) for p in brute_skyline_nd(gp, dirs)}
+    assert got == exp
+    # duplicated frontier point: both copies survive the join-back
+    assert ("a", 10, 3, 7) in got
+
+
+def test_skyline_nd_local_phase_is_safe_across_partitions(spark):
+    """Force many small partitions so the local-skyline phase sees
+    fragments: phase-1 pruning must never drop a global frontier
+    point (its guarantee is superset, not exactness)."""
+    import random
+
+    from bigdataminingproject_spark.operators.skyline import (
+        skyline_nd_points,
+    )
+
+    rng = random.Random(7)
+    pts = [
+        (rng.randint(0, 50), rng.randint(0, 50), rng.randint(0, 50))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(
+        pts, "x: long, y: long, z: long"
+    ).repartition(16)
+    got = {
+        (r.x, r.y, r.z)
+        for r in skyline_nd_points(df, ["x", "y", "z"]).collect()
+    }
+    assert got == brute_skyline_nd(pts)
