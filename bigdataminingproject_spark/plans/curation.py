@@ -260,6 +260,8 @@ def q_corpus_curation_incremental(spark, sf_dir: str) -> DataFrame:
     merge==full equivalence also holds Spark-vs-Spark; see
     tests/test_curation.py).
     """
+    import tempfile
+
     from bigdataminingproject_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -271,7 +273,15 @@ def q_corpus_curation_incremental(spark, sf_dir: str) -> DataFrame:
     )
     snap = docs.filter(F.col("doc_id") <= cutoff)
     delta = docs.filter(F.col("doc_id") > cutoff)
-    state = curation_state(snap)
+    # MATERIALIZE the day-0 state (exactly what the day boundary does
+    # in production — state is read from storage, not recomputed): the
+    # merge references the state relation three times (md5 set, pair
+    # probe side, final union), and without the parquet round trip
+    # each reference re-runs the whole snapshot pipeline (measured 2.2x
+    # slower at sf0.1).
+    state_dir = tempfile.mkdtemp(prefix="curation_state_")
+    curation_state(snap).write.mode("overwrite").parquet(state_dir)
+    state = spark.read.parquet(state_dir)
     merged = curate_corpus_increment(state, delta)
     return (
         merged.filter(F.col("dropped_neardup") == 0)

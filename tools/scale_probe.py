@@ -137,6 +137,10 @@ PROBE_QUERIES = [
     "q_events_pit_state",
     "q_events_session_paths",
     "q_embedding_covariance",
+    # round-5 additions: incremental curation merge (delta-bounded
+    # candidate join), 3-D grouped skyline (two-phase local/global SFS)
+    "q_corpus_curation_incremental",
+    "q_segment_rfm_skyline",
 ]
 
 
