@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bigdataminingproject_spark.session import shuffle_partitions
 from bigdataminingproject_spark.sources.tables import load_table
 
 
@@ -53,15 +54,7 @@ def skyline2d_points(
     groups = list(group_cols or [])
     spark = df.sparkSession
     if num_partitions is None:
-        # shuffle.partitions may be non-numeric on some deployments
-        # (e.g. "auto" under Databricks AQE) — degrade to a fixed
-        # bucket count rather than raising.
-        try:
-            num_partitions = int(
-                spark.conf.get("spark.sql.shuffle.partitions", "32")
-            )
-        except (TypeError, ValueError):
-            num_partitions = 32
+        num_partitions = shuffle_partitions(spark)
     m = df.groupBy(*groups, x_col).agg(F.max(y_col).alias(y_col))
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = (

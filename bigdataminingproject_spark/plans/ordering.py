@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bigdataminingproject_spark.session import shuffle_partitions
+
 
 def with_global_position(
     df: DataFrame,
@@ -41,9 +43,7 @@ def with_global_position(
     tiebreakers = list(tiebreakers or [])
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        num_partitions = shuffle_partitions(spark)
     # deterministic value boundaries (nulls ignored by approxQuantile)
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
@@ -107,9 +107,7 @@ def with_global_cumsum(
     tiebreakers = list(tiebreakers or [])
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        num_partitions = shuffle_partitions(spark)
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = (
         sorted(set(df.approxQuantile(order_col, probs, 0.001)))

@@ -75,3 +75,14 @@ def get_spark(app_name: str = "bigdataminingproject-spark") -> SparkSession:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return tune_session(spark)
+
+
+def shuffle_partitions(spark: SparkSession, default: int = 32) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, degrading to
+    ``default`` when the conf is non-numeric (e.g. "auto" under
+    Databricks AQE) — operators that derive bucket counts from it must
+    never raise on exotic deployments (ADVICE r4)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", str(default)))
+    except (TypeError, ValueError):
+        return default
