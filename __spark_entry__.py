@@ -127,8 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_dsir_weights": sampling.q_doc_dsir_weights,
         "q_corpus_curation_v2": curation.q_corpus_curation_v2,
         "q_doc_token_budget": sampling.q_doc_token_budget,
-        # tier 1: never attested under the round-3+ optimizer config
-        # (r1/r2 rows only — re-attest before anything r3-green)
+        # (historical r1/r2 batch — actual round-5 rotation order is
+        # set by the explicit lists at the end of this function)
         "q_doc_tokens_topk": frequency.q_doc_tokens_topk,
         "q_doc_term_estimates": frequency.q_doc_term_estimates,
         "q_doc_source_topk": frequency.q_doc_source_topk,
@@ -188,12 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": tpch.q19_disjunctive_revenue,
         "q21_late_sole_shippers": tpch.q21_late_sole_shippers,
         "q22_idle_customers": tpch.q22_idle_customers,
-        # tier 2: attested green in ROUND 3 (current optimizer config —
-        # freshest rows, re-attest last). q_doc_domain_cap and
-        # q_events_latest_state call functions that gained OPTIONAL
-        # skew-mitigation paths this round; their default plans are
-        # expression-identical (pinned by tests/test_skew.py), so their
-        # r3 rows stand.
+        # (historical r3 batch — freshest rows; r4 note on
+        # q_doc_domain_cap / q_events_latest_state skew paths stands:
+        # default plans expression-identical, pinned by test_skew.py)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_region_revenue": relational.q5_region_revenue,
