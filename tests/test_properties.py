@@ -128,3 +128,49 @@ def test_zorder_python_roundtrip(avals, bvals):
         da = sum(((z >> (2 * i)) & 1) << i for i in range(16))
         db = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (da, db) == (a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30), st.integers(0, 30), st.integers(0, 30)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_skyline_mask_matches_bruteforce(points):
+    """_skyline_mask (SFS scan, kept-only comparisons) equals the full
+    pairwise dominance check on arbitrary integer point sets."""
+    import numpy as np
+
+    from bigdataminingproject_spark.operators.skyline import _skyline_mask
+
+    arr = np.array(points)
+    mask = _skyline_mask(arr)
+    for i, p in enumerate(points):
+        dominated = any(
+            all(q[d] >= p[d] for d in range(3))
+            and any(q[d] > p[d] for d in range(3))
+            for q in points
+        )
+        assert mask[i] == (not dominated)
+
+
+@given(st.integers(0, 10**12), st.integers(8, 256))
+@settings(max_examples=200, deadline=None)
+def test_auto_band_bits_invariants(n, n_planes):
+    """Band auto-sizing: bits never below the historical floor of 8 or
+    above the plane budget; at least one band; expected occupancy
+    n / 2^bits stays <= the target once n clears the floor regime."""
+    from bigdataminingproject_spark.operators.similarity import (
+        _auto_band_bits,
+    )
+
+    per_band, n_bands = _auto_band_bits(n, n_planes)
+    assert 8 <= per_band <= max(8, n_planes)
+    assert n_bands >= 1
+    assert n_bands * per_band <= max(n_planes, per_band)
+    if per_band > 8 and per_band < n_planes:
+        assert n / (2 ** per_band) <= 8.0
