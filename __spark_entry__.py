@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_bpe_pairs": textstats.q_doc_bpe_pairs,
         "q_label_centroid_stats": similarity.q_label_centroid_stats,
         "q_hybrid_search": retrieval.q_hybrid_search,
+        # round 5, below the fold: MMR diversified re-ranking
+        "q_mmr_rerank": retrieval.q_mmr_rerank,
         "q_corpus_datacard": report.q_corpus_datacard,
         "q_corpus_curation_v3": curation.q_corpus_curation_v3,
         "q_doc_bm25_topk": frequency.q_doc_bm25_topk,
@@ -1348,6 +1350,151 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, cosine_sim, rank
         FROM ranked WHERE rank <= 10
         ORDER BY query_id, rank
+    """
+
+    # q_mmr_rerank: the same unrolled greedy — candidate pool,
+    # pairwise sims, then one argmax stage per result slot; the
+    # diversity weight literal is written as repr(1.0 - 0.7) so both
+    # engines multiply by the identical double.
+    sql["q_mmr_rerank"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round(list_dot_product(q.vec, n.vec) /
+                         (sqrt(list_dot_product(q.vec, q.vec)) *
+                          sqrt(list_dot_product(n.vec, n.vec))), 6) AS rel
+            FROM v q JOIN v n ON n.vec_id <> q.vec_id
+            WHERE q.vec_id < 3
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, neighbor_id) AS rn FROM scored)
+            WHERE rn <= 20
+        ),
+        sims AS (
+            SELECT a.query_id, a.neighbor_id AS id_a,
+                   b.neighbor_id AS id_b,
+                   round(list_dot_product(va.vec, vb.vec) /
+                         (sqrt(list_dot_product(va.vec, va.vec)) *
+                          sqrt(list_dot_product(vb.vec, vb.vec))), 6)
+                       AS sim
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id
+             AND a.neighbor_id <> b.neighbor_id
+            JOIN v va ON va.vec_id = a.neighbor_id
+            JOIN v vb ON vb.vec_id = b.neighbor_id
+        ),
+        s1 AS (
+            SELECT query_id, neighbor_id, rel AS mmr_score, 1 AS mmr_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rel DESC, neighbor_id) AS rn FROM cand)
+            WHERE rn = 1
+        ),
+        sel1 AS (SELECT query_id, neighbor_id FROM s1),
+        r2 AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(0.7 * c.rel - 0.30000000000000004 * m.maxsim, 6)
+                       + 0 AS mmr_score
+            FROM cand c
+            JOIN (SELECT p.query_id, p.id_a, max(p.sim) AS maxsim
+                  FROM sims p JOIN sel1 s
+                    ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+                  GROUP BY p.query_id, p.id_a) m
+              ON m.query_id = c.query_id AND m.id_a = c.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel1 s
+                WHERE s.query_id = c.query_id
+                  AND s.neighbor_id = c.neighbor_id)
+        ),
+        s2 AS (
+            SELECT query_id, neighbor_id, mmr_score, 2 AS mmr_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY mmr_score DESC, neighbor_id) AS rn
+                  FROM r2)
+            WHERE rn = 1
+        ),
+        sel2 AS (SELECT query_id, neighbor_id FROM sel1
+                   UNION ALL SELECT query_id, neighbor_id FROM s2),
+        r3 AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(0.7 * c.rel - 0.30000000000000004 * m.maxsim, 6)
+                       + 0 AS mmr_score
+            FROM cand c
+            JOIN (SELECT p.query_id, p.id_a, max(p.sim) AS maxsim
+                  FROM sims p JOIN sel2 s
+                    ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+                  GROUP BY p.query_id, p.id_a) m
+              ON m.query_id = c.query_id AND m.id_a = c.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel2 s
+                WHERE s.query_id = c.query_id
+                  AND s.neighbor_id = c.neighbor_id)
+        ),
+        s3 AS (
+            SELECT query_id, neighbor_id, mmr_score, 3 AS mmr_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY mmr_score DESC, neighbor_id) AS rn
+                  FROM r3)
+            WHERE rn = 1
+        ),
+        sel3 AS (SELECT query_id, neighbor_id FROM sel2
+                   UNION ALL SELECT query_id, neighbor_id FROM s3),
+        r4 AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(0.7 * c.rel - 0.30000000000000004 * m.maxsim, 6)
+                       + 0 AS mmr_score
+            FROM cand c
+            JOIN (SELECT p.query_id, p.id_a, max(p.sim) AS maxsim
+                  FROM sims p JOIN sel3 s
+                    ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+                  GROUP BY p.query_id, p.id_a) m
+              ON m.query_id = c.query_id AND m.id_a = c.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel3 s
+                WHERE s.query_id = c.query_id
+                  AND s.neighbor_id = c.neighbor_id)
+        ),
+        s4 AS (
+            SELECT query_id, neighbor_id, mmr_score, 4 AS mmr_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY mmr_score DESC, neighbor_id) AS rn
+                  FROM r4)
+            WHERE rn = 1
+        ),
+        sel4 AS (SELECT query_id, neighbor_id FROM sel3
+                   UNION ALL SELECT query_id, neighbor_id FROM s4),
+        r5 AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(0.7 * c.rel - 0.30000000000000004 * m.maxsim, 6)
+                       + 0 AS mmr_score
+            FROM cand c
+            JOIN (SELECT p.query_id, p.id_a, max(p.sim) AS maxsim
+                  FROM sims p JOIN sel4 s
+                    ON s.query_id = p.query_id AND s.neighbor_id = p.id_b
+                  GROUP BY p.query_id, p.id_a) m
+              ON m.query_id = c.query_id AND m.id_a = c.neighbor_id
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel4 s
+                WHERE s.query_id = c.query_id
+                  AND s.neighbor_id = c.neighbor_id)
+        ),
+        s5 AS (
+            SELECT query_id, neighbor_id, mmr_score, 5 AS mmr_rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY mmr_score DESC, neighbor_id) AS rn
+                  FROM r5)
+            WHERE rn = 1
+        ),
+        sel5 AS (SELECT query_id, neighbor_id FROM sel4
+                   UNION ALL SELECT query_id, neighbor_id FROM s5)
+        SELECT query_id, mmr_rank, neighbor_id, mmr_score
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+              UNION ALL SELECT * FROM s5)
+        ORDER BY query_id, mmr_rank
     """
 
     # q_kmeans_clusters: DuckDB replays the SAME deterministic Lloyd

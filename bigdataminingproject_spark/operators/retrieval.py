@@ -363,3 +363,121 @@ def q_doc_inverted_index_incremental(
     snapshot = inverted_index_partial(docs.filter(F.col("doc_id") % 5 != 0))
     delta = inverted_index_partial(docs.filter(F.col("doc_id") % 5 == 0))
     return finish_inverted_index(merge_inverted_index(snapshot, delta))
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98): from each query's top-``pool`` cosine candidates, pick
+    ``k`` results greedily maximizing ``lam * relevance - (1 - lam) *
+    max-similarity-to-already-selected`` — the diversity-aware final
+    stage of a RAG retrieval stack (kNN finds near-duplicates of the
+    same passage; MMR spends the k result slots on distinct content).
+
+    Fully relational, no UDF loop: the greedy recurrence is UNROLLED
+    into ``k`` DataFrame stages — each joins the bounded remaining-
+    candidate relation (<= queries x pool rows) to the per-candidate
+    max-similarity-over-selected aggregate and rank-picks one winner
+    per query. All relations are candidate-pool-sized, never
+    corpus-sized; at 100 TB the pool comes from the ANN path
+    (ivf_knn_det / LSH) instead of brute force and everything after
+    the pool is unchanged. Scores quantize half-up at 6 dp with the
+    id tiebreak, so the DuckDB oracle (same unrolled stages) matches
+    row-for-row.
+    """
+    from bigdataminingproject_spark.operators.similarity import (
+        _as_double,
+        cosine,
+    )
+
+    cand = knn_bruteforce(
+        vectors, queries, k=pool, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
+    )
+    ca = cand.select("query_id", F.col("neighbor_id").alias("id_a")).join(
+        v.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("vec_a")),
+        "id_a",
+    )
+    cb = cand.select("query_id", F.col("neighbor_id").alias("id_b")).join(
+        v.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("vec_b")),
+        "id_b",
+    )
+    sims = (
+        ca.join(cb, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias(
+                "sim"
+            ),
+        )
+    )
+    pick_w = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_score"), F.asc("neighbor_id")
+    )
+    sel = (
+        cand.withColumn("mmr_score", F.col("rel"))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "mmr_score",
+            F.lit(1).alias("mmr_rank"),
+        )
+    )
+    chosen = sel.select("query_id", "neighbor_id")
+    for t in range(2, k + 1):
+        maxsim = (
+            sims.join(
+                chosen.withColumnRenamed("neighbor_id", "id_b"),
+                ["query_id", "id_b"],
+            )
+            .groupBy("query_id", F.col("id_a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("_maxsim"))
+        )
+        stage = (
+            cand.join(chosen, ["query_id", "neighbor_id"], "left_anti")
+            .join(maxsim, ["query_id", "neighbor_id"])
+            .withColumn(
+                "mmr_score",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("_maxsim"),
+                    6,
+                )
+                + F.lit(0.0),  # never emit -0.0 (oracle hash parity)
+            )
+            .withColumn("rn", F.row_number().over(pick_w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "mmr_score",
+                F.lit(t).alias("mmr_rank"),
+            )
+        )
+        sel = sel.unionByName(stage)
+        chosen = sel.select("query_id", "neighbor_id")
+    return sel.select(
+        "query_id", "mmr_rank", "neighbor_id", "mmr_score"
+    ).orderBy("query_id", "mmr_rank")
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 from each of the first 3 query vectors'
+    top-20 cosine pool (lambda = 0.7)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < 3)
+    return mmr_rerank(vecs, queries, k=5, pool=20, lam=0.7)

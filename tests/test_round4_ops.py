@@ -751,3 +751,68 @@ def test_third_batch_event_ops_single_user(spark):
     assert fl["signup->click"]["n_reached"] == 1
     assert fl["signup->click"]["n_converted"] == 0
     assert fl["signup->click"]["p50_latency_s"] is None
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    """MMR semantics on a crafted pool: the second-most-relevant
+    candidate is a near-clone of the first pick, so MMR demotes it
+    below a less-relevant-but-distinct candidate; a brute-force greedy
+    recompute pins every (rank, id, score)."""
+    import itertools
+    import math
+
+    from bigdataminingproject_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),            # query
+        (1, [0.99, 0.141, 0.0, 0.0]),         # highly relevant
+        (2, [0.985, 0.17, 0.0, 0.0]),         # near-clone of 1
+        (3, [0.975, -0.2222, 0.0, 0.0]),      # nearly as relevant,
+        #   noise anti-aligned with 1's -> low enough mutual sim that
+        #   MMR at lambda=0.7 promotes it over the clone
+        (4, [0.6, 0.0, 0.0, 0.8]),            # less relevant, distinct
+        (5, [0.1, 0.99, 0.0, 0.0]),           # barely relevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank(
+        df, df.filter("vec_id = 0"), k=4, pool=5, lam=0.7
+    ).collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return round(num / den, 6)
+
+    vec = dict(rows)
+    cands = sorted(
+        ((cos(vec[0], vec[i]), i) for i in range(1, 6)),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    rel = {i: r for r, i in cands}
+    selected, expect = [], []
+    for rank in range(1, 5):
+        best = None
+        for i in rel:
+            if i in selected:
+                continue
+            if not selected:
+                score = rel[i]
+            else:
+                ms = max(cos(vec[i], vec[s]) for s in selected)
+                score = round(0.7 * rel[i] - (1.0 - 0.7) * ms, 6) + 0.0
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        selected.append(best[1])
+        expect.append((0, rank, best[1], best[2]))
+    got = [
+        (r["query_id"], r["mmr_rank"], r["neighbor_id"], r["mmr_score"])
+        for r in out
+    ]
+    assert got == expect
+    # the crafted near-clone (id 2) must NOT hold rank 2 despite being
+    # the 2nd-most-relevant — diversity demoted it
+    assert got[1][2] != 2
+    assert 2 in [g[2] for g in got]  # but it is still selected later
