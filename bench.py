@@ -81,6 +81,8 @@ HEADLINE = [
     # number alongside the north-star queries
     "q_corpus_curation_incremental",
     "q_stream_hourly_maintenance",
+    "q_segment_rfm_skyline",
+    "q_mmr_rerank",
     "cli_reference_pipeline",
 ]
 

@@ -391,6 +391,14 @@ def mmr_rerank(
     the pool is unchanged. Scores quantize half-up at 6 dp with the
     id tiebreak, so the DuckDB oracle (same unrolled stages) matches
     row-for-row.
+
+    Lineage control: stage t's plan references every earlier stage, so
+    the naive lazy composition grows EXPONENTIALLY in k (measured 18 s
+    for a pool-bounded workload). The pool, the pairwise sims, and
+    each stage's one-row-per-query pick are therefore
+    ``localCheckpoint``ed — the standard iterative-algorithm lineage
+    cut (k-means/GraphFrames do the same); data stays distributed,
+    nothing is collected to the driver.
     """
     from bigdataminingproject_spark.operators.similarity import (
         _as_double,
@@ -399,7 +407,8 @@ def mmr_rerank(
 
     cand = knn_bruteforce(
         vectors, queries, k=pool, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))
+    ).select("query_id", "neighbor_id", F.col("cosine_sim").alias("rel"))\
+        .localCheckpoint(eager=True)
     v = vectors.select(
         F.col(id_col).alias("_vid"), _as_double(F.col(vec_col)).alias("_vec")
     )
@@ -422,6 +431,7 @@ def mmr_rerank(
                 "sim"
             ),
         )
+    .localCheckpoint(eager=True)
     )
     pick_w = Window.partitionBy("query_id").orderBy(
         F.desc("mmr_score"), F.asc("neighbor_id")
@@ -467,6 +477,7 @@ def mmr_rerank(
                 "mmr_score",
                 F.lit(t).alias("mmr_rank"),
             )
+        .localCheckpoint(eager=True)
         )
         sel = sel.unionByName(stage)
         chosen = sel.select("query_id", "neighbor_id")

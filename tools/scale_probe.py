@@ -141,6 +141,7 @@ PROBE_QUERIES = [
     # candidate join), 3-D grouped skyline (two-phase local/global SFS)
     "q_corpus_curation_incremental",
     "q_segment_rfm_skyline",
+    "q_mmr_rerank",
 ]
 
 
