@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-attested.
         "q_segment_rfm_skyline": skyline.q_segment_rfm_skyline,
         "q_events_transitions": events.q_events_transitions,
+        # round 5, below the fold: LTTB time-series downsampling
+        "q_events_downsample": events.q_events_downsample,
         "q_table_integrity": audit.q_table_integrity,
         "q_doc_profile": audit.q_doc_profile,
         "q_doc_inverted_index": retrieval.q_doc_inverted_index,
@@ -4181,6 +4183,61 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE floor(pair_n * 10000.0 / n_ante + 0.5) / 10000.0 >= 0.5
         ORDER BY lift DESC, antecedent, consequent
+    """
+
+    # q_events_downsample: same fixed-anchor LTTB pipeline — bucket by
+    # integer-scaled time, stable 6dp bucket means, 6dp half-up triangle
+    # area as a negated metric, then the two-stage min-metric/min-id
+    # argmax; output carries the exact integer microsecond offset.
+    sql["q_events_downsample"] = f"""
+        WITH mm AS (
+            SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+            FROM events
+        ),
+        pts AS (
+            SELECT e.event_id,
+                   epoch_us(e.ts) - m.mn AS t_us,
+                   (epoch_us(e.ts) - m.mn) / 1000000.0 AS x,
+                   CAST(e.value AS DOUBLE) AS value,
+                   CAST(floor((epoch_us(e.ts) - m.mn) * 50.0
+                              / (m.mx - m.mn + 1)) AS INT) AS bucket,
+                   CAST(floor((m.mx - m.mn) * 50.0
+                              / (m.mx - m.mn + 1)) AS INT) AS bmax
+            FROM events e, mm m
+        ),
+        means AS (
+            SELECT bucket,
+                   {stable_avg_sql('x', 6)} AS xm,
+                   {stable_avg_sql('value', 6)} AS ym
+            FROM pts GROUP BY bucket
+        ),
+        scoredpts AS (
+            SELECT p.bucket, p.event_id, p.t_us, p.value,
+                   -(floor(abs((a.xm - c.xm) * (p.value - a.ym)
+                               - (a.xm - p.x) * (c.ym - a.ym))
+                           * 1000000.0 + 0.5) / 1000000.0) AS metric
+            FROM pts p
+            JOIN means a ON a.bucket = p.bucket - 1
+            JOIN means c ON c.bucket = p.bucket + 1
+            WHERE p.bucket <> 0 AND p.bucket <> p.bmax
+            UNION ALL
+            SELECT bucket, event_id, t_us, value,
+                   CASE WHEN bucket = 0 THEN x ELSE -x END AS metric
+            FROM pts WHERE bucket = 0 OR bucket = bmax
+        ),
+        best AS (
+            SELECT bucket, min(metric) AS m FROM scoredpts GROUP BY bucket
+        ),
+        wid AS (
+            SELECT s.bucket, min(s.event_id) AS event_id
+            FROM scoredpts s
+            JOIN best b ON b.bucket = s.bucket AND s.metric = b.m
+            GROUP BY s.bucket
+        )
+        SELECT s.bucket, s.event_id, s.t_us, s.value
+        FROM scoredpts s
+        JOIN wid w ON w.bucket = s.bucket AND w.event_id = s.event_id
+        ORDER BY s.bucket
     """
 
     # q_customer_skyline: independent NOT EXISTS dominance formulation

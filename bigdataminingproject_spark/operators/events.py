@@ -948,3 +948,132 @@ def session_paths(
 def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 five-step session paths over 30-min-gap sessions."""
     return session_paths(load_table(spark, sf_dir, "events"))
+
+
+def lttb_downsample(events: DataFrame, n_buckets: int = 50) -> DataFrame:
+    """Largest-triangle time-series downsampling (Steinarsson 2013,
+    fixed neighbor-mean anchors): reduce the event value series to one
+    representative point per time bucket — the point forming the
+    biggest triangle with the NEIGHBOR buckets' mean points, which is
+    what keeps peaks/valleys a naive per-bucket average flattens. The
+    dashboard-feeding shape every monitoring stack runs over raw
+    events at scale (north-star; the reference has no time-series
+    reduction at all). The classic LTTB anchors on the previously
+    SELECTED point (sequential); the fixed-anchor variant trades that
+    for full parallelism — every bucket decides independently — which
+    is the published MapReduce adaptation and the right 100 TB shape.
+
+    Plan: one scalar min/max agg (broadcast), bucket assignment as a
+    pure projection, bucket means via one hash agg (``n_buckets``
+    rows, broadcast back), then the per-bucket argmax WITHOUT a rank
+    window: min-metric hash agg -> equality join -> min-id hash agg ->
+    detail join. No window ever partitions the scaling relation; every
+    aggregate map-side combines. First/last buckets pin the series
+    endpoints (ts-min / ts-max points), the LTTB convention.
+
+    Parity: bucket ids, x offsets, rounded means (stable_avg 6dp), and
+    the 6dp half-up triangle area are deterministic double functions
+    of integer inputs, so metric equality and the min aggregates match
+    the SQL oracle exactly. Output carries the exact integer
+    microsecond offset rather than the raw timestamp (the parquet
+    stores nanos; Spark reads micros — emitting the offset keeps the
+    value hash engine-neutral).
+    """
+    from bigdataminingproject_spark.functions.numeric import stable_avg
+
+    base = events.select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    mm = base.agg(
+        F.min("us").alias("mn"),
+        F.max("us").alias("mx"),
+    )
+    nb = float(n_buckets)
+    pts = (
+        base.join(F.broadcast(mm))
+        .withColumn(
+            "bucket",
+            F.floor(
+                (F.col("us") - F.col("mn"))
+                * F.lit(nb)
+                / (F.col("mx") - F.col("mn") + F.lit(1))
+            ).cast("int"),
+        )
+        .withColumn("t_us", (F.col("us") - F.col("mn")))
+        .withColumn("x", F.col("t_us") / F.lit(1e6))
+        .withColumn(
+            "bmax",
+            F.floor(
+                (F.col("mx") - F.col("mn"))
+                * F.lit(nb)
+                / (F.col("mx") - F.col("mn") + F.lit(1))
+            ).cast("int"),
+        )
+    )
+    means = pts.groupBy("bucket").agg(
+        stable_avg(F.col("x"), 6).alias("xm"),
+        stable_avg(F.col("value"), 6).alias("ym"),
+    )
+    prev = means.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("xm").alias("xa"),
+        F.col("ym").alias("ya"),
+    )
+    nxt = means.select(
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("xm").alias("xc"),
+        F.col("ym").alias("yc"),
+    )
+    interior = (
+        pts.filter(
+            (F.col("bucket") != 0) & (F.col("bucket") != F.col("bmax"))
+        )
+        .join(F.broadcast(prev), "bucket")
+        .join(F.broadcast(nxt), "bucket")
+        .withColumn(
+            "_diff",
+            (F.col("xa") - F.col("xc")) * (F.col("value") - F.col("ya"))
+            - (F.col("xa") - F.col("x")) * (F.col("yc") - F.col("ya")),
+        )
+        # half-up 6dp quantized area, negated so min() = biggest triangle
+        .withColumn(
+            "metric",
+            -(
+                F.floor(F.abs(F.col("_diff")) * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ),
+        )
+        .select("bucket", "event_id", "t_us", "value", "metric")
+    )
+    edges = pts.filter(
+        (F.col("bucket") == 0) | (F.col("bucket") == F.col("bmax"))
+    ).select(
+        "bucket",
+        "event_id",
+        "t_us",
+        "value",
+        # first bucket keeps its earliest point, last its latest
+        F.when(F.col("bucket") == 0, F.col("x"))
+        .otherwise(-F.col("x"))
+        .alias("metric"),
+    )
+    scoredpts = interior.unionByName(edges)
+    best = scoredpts.groupBy("bucket").agg(F.min("metric").alias("_m"))
+    winner_ids = (
+        scoredpts.join(F.broadcast(best), "bucket")
+        .filter(F.col("metric") == F.col("_m"))
+        .groupBy("bucket")
+        .agg(F.min("event_id").alias("event_id"))
+    )
+    return (
+        scoredpts.join(F.broadcast(winner_ids), ["bucket", "event_id"])
+        .select("bucket", "event_id", "t_us", "value")
+        .orderBy("bucket")
+    )
+
+
+def q_events_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB-style 50-bucket downsample of the full event value series."""
+    return lttb_downsample(load_table(spark, sf_dir, "events"), 50)

@@ -816,3 +816,30 @@ def test_mmr_rerank_prefers_diversity(spark):
     # the 2nd-most-relevant — diversity demoted it
     assert got[1][2] != 2
     assert 2 in [g[2] for g in got]  # but it is still selected later
+
+
+def test_lttb_downsample_keeps_peaks_and_endpoints(spark):
+    """Fixed-anchor LTTB on a crafted series: the interior spike (the
+    point a per-bucket mean would flatten) must be the bucket's
+    representative, and the first/last buckets pin the series
+    endpoints."""
+    from datetime import datetime, timedelta
+
+    from bigdataminingproject_spark.operators.events import lttb_downsample
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        # flat series at 1.0 except a spike at i=17 (bucket 2 of 4)
+        rows.append(
+            (i, t0 + timedelta(minutes=i), 100.0 if i == 17 else 1.0)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    )
+    out = {r["bucket"]: r for r in lttb_downsample(df, 4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0]["event_id"] == 0       # first point pinned
+    assert out[3]["event_id"] == 39      # last point pinned
+    assert out[1]["event_id"] == 17      # the spike survives
+    assert out[1]["value"] == 100.0

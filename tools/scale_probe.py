@@ -142,6 +142,7 @@ PROBE_QUERIES = [
     "q_corpus_curation_incremental",
     "q_segment_rfm_skyline",
     "q_mmr_rerank",
+    "q_events_downsample",
 ]
 
 
