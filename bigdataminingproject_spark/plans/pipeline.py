@@ -62,15 +62,23 @@ def run_detector_pipeline(
     if exclude_duplicates:
         # F7 (run_detectors.py:167-169): drop flagged messages from the
         # analyzed stream; counters below reflect the exclusion.
+        # Reference loop semantics (run_detectors.py:166-194): an
+        # excluded message never increments `processed`, and since
+        # every flagged message is excluded, `duplicates.total` is 0 by
+        # construction — so ALL totals aggregate over the KEPT scores
+        # (caught by tests/test_reference_differential.py; previously
+        # the totals row covered the full stream).
         kept = scores.filter(~F.col("is_duplicate")).select("stream_pos")
         analyzed = stream.join(kept, "stream_pos")
         excluded = scores.filter(F.col("is_duplicate")).count()
+        stats_src = scores.filter(~F.col("is_duplicate"))
     else:
         analyzed = stream
         excluded = 0
+        stats_src = scores
     analyzed = analyzed.persist()
 
-    totals = scores.agg(
+    totals = stats_src.agg(
         F.count(F.lit(1)).alias("processed"),
         F.sum(F.col("is_duplicate").cast("int")).alias("dups"),
         F.sum("duplicate_score").alias("score_sum"),

@@ -1,0 +1,199 @@
+"""Differential parity against the ACTUAL reference implementation.
+
+Every other parity check in this repo compares against semantics
+derived by reading the reference (SURVEY.md) or against DuckDB SQL.
+This module closes the loop: it imports the reference's own
+dependency-free detector layer (`streaming/` — CountMinSketch, Bloom,
+DGIM, the three detectors; the nltk/sklearn-bound data loader is NOT
+needed) from /root/reference, drives it with the same preprocessed
+message stream our Spark pipeline consumes, and asserts the summary
+fields the SURVEY declared exact-parity are EQUAL:
+
+- processed / excluded counts
+- the duplicates block (total, rate, avg_score) — our exact
+  check-then-insert dedup vs the reference's Bloom path (identical on
+  this fixture: no Bloom false positives fire, which is deterministic
+  for a fixed corpus and seed)
+- per-snapshot message_count / duplicates_so_far / top_10_tokens — our
+  exact cumulative counts vs the reference's CMS estimates (identical
+  here: the fixture vocabulary is far below the CMS width, so no
+  counter collisions; also deterministic for the fixed seed)
+- final frequency estimates for a query list
+
+The burst block is deliberately OUT of scope: the reference reports
+per-CMS-column DGIM bins with reservoir representatives (a different
+output domain than exact per-token windows); that surface is covered
+by the dedicated parity mode + golden DGIM tests
+(tests/test_streaming_burst.py), per the SURVEY §2 W2-W4 decision.
+
+Reference drive loop mirrors run_detectors.py:159-224 (the public CLI
+semantics), via the reference's public API only.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "streaming")),
+    reason="reference checkout not available",
+)
+
+
+@pytest.fixture(scope="module")
+def corpus() -> list[str]:
+    """~110 preprocessed messages built as a token-frequency STAIRCASE:
+    message i carries the prefix w01..w0k (k cycling 1..15) plus a
+    unique alphabetic marker, so every top-10 token has a strictly
+    distinct cumulative count at every snapshot boundary (the two
+    engines order equal counts differently — reference: insertion
+    order; ours: deterministic tiebreak — so ties would compare dict
+    MEMBERSHIP, not semantics). Messages with k >= 8 are near-dups of
+    their earlier same-k twin (prefix shingles repeat; only the two
+    marker-bearing shingles are fresh), giving a healthy duplicate mix
+    both engines must flag identically."""
+    # strictly alphabetic staircase words (digits would be
+    # loader-dropped in real preprocessed text)
+    words = ["w" + chr(97 + j) * 2 for j in range(15)]
+
+    def marker(i: int) -> str:
+        return "mk" + chr(97 + i % 26) + chr(97 + (i // 26) % 26)
+
+    msgs = []
+    for i in range(110):
+        k = 1 + (i % 15)
+        msgs.append(" ".join(words[:k] + [marker(i)]))
+    return msgs
+
+
+def _run_reference(corpus, update_interval, freq_queries, exclude):
+    sys.path.insert(0, REF)
+    try:
+        from streaming.streaming_pipeline import StreamingPipeline
+        from streaming.utils.token_handler import (
+            split_preprocessed_tokens,
+        )
+
+        pipe = StreamingPipeline()
+        processed = excluded = dup_count = 0
+        score_sum = 0.0
+        snapshots = []
+        recent: set[str] = set()
+        for text in corpus:
+            out = pipe.process_message(text)
+            dup = out.get("duplicate") or {}
+            is_dup = dup.get("is_duplicate", False)
+            if exclude and is_dup:
+                excluded += 1
+                continue
+            if is_dup:
+                dup_count += 1
+            score_sum += float(dup.get("duplicate_score", 0.0))
+            recent.update(split_preprocessed_tokens(text))
+            processed += 1
+            if processed % update_interval == 0:
+                pipe.frequency_detector.periodic_update(recent)
+                snapshots.append(
+                    {
+                        "message_count": processed,
+                        "top_10_tokens": (
+                            pipe.frequency_detector.get_frequency_analysis(
+                                top_n=10
+                            )
+                        ),
+                        "duplicates_so_far": dup_count,
+                    }
+                )
+                recent.clear()
+        if recent:
+            pipe.frequency_detector.periodic_update(recent)
+        return {
+            "processed": processed,
+            "excluded": excluded,
+            "duplicates": {
+                "total": dup_count,
+                "rate": (dup_count / processed) if processed else 0.0,
+                "avg_score": (score_sum / processed) if processed else 0.0,
+            },
+            "snapshots": snapshots,
+            "frequency_estimates": (
+                pipe.frequency_detector.estimate_batch(freq_queries)
+            ),
+            "final_top": pipe.frequency_detector.get_frequency_analysis(
+                top_n=10
+            ),
+        }
+    finally:
+        sys.path.remove(REF)
+        # drop the reference modules so they can't shadow anything later
+        for mod in [m for m in sys.modules if m.startswith("streaming")]:
+            del sys.modules[mod]
+
+
+def _run_ours(spark, corpus, update_interval, freq_queries, exclude):
+    from bigdataminingproject_spark.plans.pipeline import (
+        run_detector_pipeline,
+    )
+
+    stream = spark.createDataFrame(
+        list(enumerate(corpus)), "stream_pos long, body string"
+    )
+    return run_detector_pipeline(
+        stream,
+        update_interval=update_interval,
+        top_frequency=10,
+        freq_queries=freq_queries,
+        exclude_duplicates=exclude,
+    )
+
+
+def test_summary_matches_reference_engine(spark, corpus):
+    queries = ["waa", "wll", "mkba", "absent"]
+    ref = _run_reference(corpus, 50, queries, exclude=False)
+    ours = _run_ours(spark, corpus, 50, queries, exclude=False)
+
+    assert ours["processed"] == ref["processed"]
+    assert ours["duplicates"]["total"] == ref["duplicates"]["total"]
+    assert ours["duplicates"]["rate"] == pytest.approx(
+        ref["duplicates"]["rate"]
+    )
+    # our per-message score carries the oracle-attested 4dp half-up
+    # quantization (q_dup_scores); the reference keeps the raw ratio —
+    # the averages agree within half a quantum
+    assert ours["duplicates"]["avg_score"] == pytest.approx(
+        ref["duplicates"]["avg_score"], abs=5e-5
+    )
+    assert ours["frequency_estimates"] == ref["frequency_estimates"]
+
+    # our pipeline emits one EXTRA trailing snapshot for the final
+    # partial bucket (a documented improvement — the reference leaves
+    # the tail only in final_top_tokens); every shared boundary must
+    # match exactly
+    assert len(ours["periodic_snapshots"]) == len(ref["snapshots"]) + 1
+    for got, exp in zip(ours["periodic_snapshots"], ref["snapshots"]):
+        assert got["message_count"] == exp["message_count"]
+        assert got["duplicates_so_far"] == exp["duplicates_so_far"]
+        assert got["top_10_tokens"] == exp["top_10_tokens"]
+    tail = ours["periodic_snapshots"][-1]
+    assert tail["message_count"] == ref["processed"]
+    assert ours["final_top_tokens"] == ref["final_top"]
+
+
+def test_exclude_mode_counts_match_reference(spark, corpus):
+    """Exclusion bookkeeping (processed/excluded totals) matches the
+    reference CLI loop. Token-count comparisons are scoped OUT here by
+    design: after an exclusion the reference's CMS has already
+    absorbed the duplicate's tokens (observe-before-exclude,
+    run_detectors.py:161-170) while our pipeline analyzes kept
+    messages only — a documented semantic divergence where ours is the
+    conservative choice (excluded text contributes nothing
+    downstream)."""
+    ref = _run_reference(corpus, 50, [], exclude=True)
+    ours = _run_ours(spark, corpus, 50, [], exclude=True)
+    assert ours["processed"] == ref["processed"]
+    assert ours["excluded_duplicates"] == ref["excluded"]
