@@ -197,3 +197,86 @@ def test_exclude_mode_counts_match_reference(spark, corpus):
     ours = _run_ours(spark, corpus, 50, [], exclude=True)
     assert ours["processed"] == ref["processed"]
     assert ours["excluded_duplicates"] == ref["excluded"]
+
+
+def test_burst_parity_mode_matches_reference_detector(spark, tmp_path):
+    """End-of-stream spike sets from our per-token DGIM parity operator
+    equal the reference BurstDetector's per-CMS-column output, deduped
+    by representative token. Scoped to the regime where the two are
+    EXACTLY comparable: a fixture vocabulary with no CMS column
+    collisions (asserted below via the reference's own hash) and every
+    spiking token's occurrences inside the DGIM-exact window (no
+    bucket merges: at most TWO ones per token in the window, so both
+    implementations hold singleton buckets and their deliberately
+    different merged-bucket estimators — ours subtracts half the
+    oldest counted bucket, the reference adds half the straddler —
+    never engage; that divergence is covered by the golden DGIM
+    tests)."""
+    sys.path.insert(0, REF)
+    try:
+        from streaming.detectors.burst_detector import BurstDetector
+
+        msgs = []
+        for i in range(1, 61):
+            body = "steady filler"
+            if i > 58:
+                body += " spikea"     # 2 hits in the last 2 positions
+            if i in (52, 56):
+                body += " calm"       # 2 spread hits, still merge-free
+            msgs.append(body)
+
+        det = BurstDetector(window_size=50)
+        # collision-free fixture precondition (deterministic for the
+        # fixed seed): no two vocabulary tokens share any CMS column
+        # ("calm" chosen over e.g. "spikeb", whose columns collide
+        #  with "steady" under the fixed seed)
+        vocab = ["steady", "filler", "spikea", "calm"]
+        cols = {
+            t: {det.cms._hash(t, r) % det.cms.width
+                for r in range(det.cms.depth)}
+            for t in vocab
+        }
+        for a in vocab:
+            for b in vocab:
+                if a < b:
+                    assert not (cols[a] & cols[b]), "fixture collision"
+        for m in msgs:
+            det.observe_message(m)
+        ref_map = {}
+        for row in det.detect_spikes():
+            rep = row["representative"]
+            ref_map[rep] = (row["recent_count"], row["prev_count"])
+
+        from bigdataminingproject_spark.streaming.pipeline import (
+            run_to_memory,
+            streaming_burst_parity,
+        )
+        from bigdataminingproject_spark.streaming.replay import (
+            file_replay_source,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(msgs, start=1)), "stream_pos long, body string"
+        )
+        stream = file_replay_source(
+            spark,
+            df,
+            str(tmp_path / "diffburst"),
+            chunks=4,
+            files_per_trigger=1,
+            order_col="stream_pos",
+        )
+        out = streaming_burst_parity(stream, window=50)
+        run_to_memory(out, "diff_burst_parity", output_mode="append")
+        ours = {
+            r["token"]: (r["recent_count"], r["prev_count"])
+            for r in spark.table("diff_burst_parity").collect()
+            if r["boundary"] == 60
+        }
+        assert ours == ref_map
+        assert ours["spikea"] == (2, 0)
+        assert ours["calm"] == (2, 0)
+    finally:
+        sys.path.remove(REF)
+        for mod in [m for m in sys.modules if m.startswith("streaming")]:
+            del sys.modules[mod]
