@@ -11,6 +11,7 @@ Usage: python tools/check_correctness.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -54,9 +55,12 @@ def main() -> int:
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
+        # Spark-written tables are directories of part files (e.g. the
+        # scale-probe's 10x dir); the driver's testdata are single files
+        path = f"{sf_dir}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{pattern}'"
         )
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
