@@ -93,7 +93,10 @@ def _run_cli_pipeline(spark) -> tuple[float, int]:
     duplicate + frequency + burst detectors, 200-message stream (the
     reference's own workload size, run_detectors.py defaults). Each
     timed run uses --force-reload with a fresh cache dir so the full
-    ingest is measured, mirroring a cold reference run."""
+    ingest is measured, mirroring a cold reference run (no
+    --exclude-duplicates: the generated corpus is deliberately
+    dup-heavy to exercise the scorer, and exclusion would shrink the
+    processed stream to the handful of first-occurrence bodies)."""
     import shutil
     import tempfile
 
@@ -134,7 +137,6 @@ def _run_cli_pipeline(spark) -> tuple[float, int]:
                 "--split", "test",
                 "--max-messages", "200",
                 "--update-interval", "100",
-                "--exclude-duplicates",
                 "--force-reload",
                 "--cache-dir", cache,
                 "--summary-out", summary_path,
