@@ -1654,41 +1654,53 @@ def oracle_sql() -> dict[str, str]:
 
     # q_embedding_neardup_lsh: DuckDB reruns the full deterministic LSH
     # pipeline — signature bits from list_dot_product against the SAME
-    # ±1 plane constants (similarity.det_planes, inlined below), 8 × 8-bit
-    # band buckets, candidate equi-join, exact-cosine verify.
+    # ±1 plane constants (similarity.det_planes, inlined below), then a
+    # COUNT-DERIVED band layout: per_band / n_bands are computed from
+    # count(*) with the exact _auto_band_bits arithmetic (ADVICE r5 —
+    # the static 8x8 constants silently diverged from the Spark side's
+    # auto-sizing on any corpus > 2k vectors, e.g. the 10x-dir runs).
+    # All 64 sign bits are materialized as a DOUBLE list and each band's
+    # bucket is a slice x weight-vector dot (weights 2^(pb-1-i), the
+    # numpy MSB-first convention) — exact in doubles for pb <= 53.
     _planes = similarity.det_planes(dim=64, n_planes=64)
-    _per_band = 8
 
     def _plane_lit(p: int) -> str:
         vals = ", ".join(str(x) for x in _planes[p])
         return f"CAST([{vals}] AS DOUBLE[])"
 
-    _bucket_exprs = []
-    for _b in range(8):
-        terms = " + ".join(
-            f"(CASE WHEN list_dot_product(vec, {_plane_lit(_b * _per_band + _i)}) > 0 "
-            f"THEN {1 << (_per_band - 1 - _i)} ELSE 0 END)"
-            for _i in range(_per_band)
-        )
-        _bucket_exprs.append(f"CAST({terms} AS BIGINT) AS band_{_b}")
-    _bucket_sql = ",\n                   ".join(_bucket_exprs)
-    _band_list = ", ".join(str(b) for b in range(8))
-    _bucket_list = ", ".join(f"band_{b}" for b in range(8))
+    _bits64 = ",\n                    ".join(
+        f"CASE WHEN list_dot_product(vec, {_plane_lit(_p)}) > 0 "
+        "THEN 1.0 ELSE 0.0 END"
+        for _p in range(64)
+    )
 
     sql["q_embedding_neardup_lsh"] = f"""
-        WITH v AS (
+        WITH prm AS (
+            SELECT CAST(least(greatest(8.0,
+                       ceil(log2(greatest(count(*), 2) / 8.0))), 64.0)
+                       AS INT) AS pb
+            FROM embeddings
+        ),
+        prm2 AS (SELECT pb, CAST(64 // pb AS INT) AS nb FROM prm),
+        v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
         ),
-        sig AS (
+        bits AS (
             SELECT vec_id,
-                   {_bucket_sql}
+                   [{_bits64}] AS bits
             FROM v
         ),
         bands AS (
-            SELECT vec_id,
-                   unnest([{_band_list}]) AS band,
-                   unnest([{_bucket_list}]) AS bucket
-            FROM sig
+            SELECT t.vec_id, gs.band,
+                   CAST(list_dot_product(
+                       t.bits[gs.band * p.pb + 1 : gs.band * p.pb + p.pb],
+                       list_transform(range(0, p.pb),
+                                      i -> 2.0 ** (p.pb - 1 - i))
+                   ) AS BIGINT) AS bucket
+            FROM bits t
+            CROSS JOIN prm2 p
+            CROSS JOIN (SELECT unnest(range(0, 8)) AS band) gs
+            WHERE gs.band < p.nb
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -3387,16 +3399,41 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 25
     """
 
-    # q_semantic_dedup: SemDeDup drop list — same 6-bit deterministic
-    # cells as the IVF oracle (_cell_terms), within-cell pairs, best
-    # surviving representative per dropped vector.
+    # q_semantic_dedup: SemDeDup drop list — deterministic sign-bit
+    # cells with a COUNT-DERIVED plane count (ADVICE r5: the Spark side
+    # auto-sizes n_cell_planes = max(6, ceil(log2(n/32))); the static
+    # 6-plane constants diverged on any corpus > 2k vectors). 16 sign
+    # bits are inlined (enough for ~2M vectors); the cell id dots the
+    # first ncp of them with LSB-first weights 2^i, matching cell_id's
+    # ``1 << p`` fold exactly.
+    _cbits16 = ",\n                    ".join(
+        f"CASE WHEN list_dot_product(vec, {_plane_lit(_p)}) > 0 "
+        "THEN 1.0 ELSE 0.0 END"
+        for _p in range(16)
+    )
     sql["q_semantic_dedup"] = f"""
-        WITH v AS (
+        WITH prmc AS (
+            SELECT CAST(greatest(6.0,
+                       ceil(log2(greatest(count(*), 2) / 32.0)))
+                       AS INT) AS ncp
+            FROM embeddings
+        ),
+        v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
             FROM embeddings
         ),
+        cbits AS (
+            SELECT vec_id, vec,
+                   [{_cbits16}] AS cb
+            FROM v
+        ),
         cells AS (
-            SELECT vec_id, vec, {_cell_terms} AS cell FROM v
+            SELECT t.vec_id, t.vec,
+                   CAST(list_dot_product(
+                       t.cb[1 : p.ncp],
+                       list_transform(range(0, p.ncp), i -> 2.0 ** i)
+                   ) AS INT) AS cell
+            FROM cbits t CROSS JOIN prmc p
         ),
         pairs AS (
             SELECT a.vec_id AS dup_id, b.vec_id AS rep_id,
@@ -4189,6 +4226,9 @@ def oracle_sql() -> dict[str, str]:
     # integer-scaled time, stable 6dp bucket means, 6dp half-up triangle
     # area as a negated metric, then the two-stage min-metric/min-id
     # argmax; output carries the exact integer microsecond offset.
+    # Neighbor means LEFT-join with a coalesce fallback to the own-bucket
+    # mean (ADVICE r5: empty equal-width neighbor buckets must not drop
+    # the adjacent bucket's representative), mirroring the Spark plan.
     sql["q_events_downsample"] = f"""
         WITH mm AS (
             SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
@@ -4213,12 +4253,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         scoredpts AS (
             SELECT p.bucket, p.event_id, p.t_us, p.value,
-                   -(floor(abs((a.xm - c.xm) * (p.value - a.ym)
-                               - (a.xm - p.x) * (c.ym - a.ym))
+                   -(floor(abs((coalesce(a.xm, o.xm) - coalesce(c.xm, o.xm))
+                                   * (p.value - coalesce(a.ym, o.ym))
+                               - (coalesce(a.xm, o.xm) - p.x)
+                                   * (coalesce(c.ym, o.ym)
+                                      - coalesce(a.ym, o.ym)))
                            * 1000000.0 + 0.5) / 1000000.0) AS metric
             FROM pts p
-            JOIN means a ON a.bucket = p.bucket - 1
-            JOIN means c ON c.bucket = p.bucket + 1
+            JOIN means o ON o.bucket = p.bucket
+            LEFT JOIN means a ON a.bucket = p.bucket - 1
+            LEFT JOIN means c ON c.bucket = p.bucket + 1
             WHERE p.bucket <> 0 AND p.bucket <> p.bmax
             UNION ALL
             SELECT bucket, event_id, t_us, value,

@@ -1026,12 +1026,29 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 50) -> DataFrame:
         F.col("xm").alias("xc"),
         F.col("ym").alias("yc"),
     )
+    own = means.select(
+        "bucket",
+        F.col("xm").alias("xo"),
+        F.col("ym").alias("yo"),
+    )
+    # Neighbor means are LEFT-joined with a fallback to the point's own
+    # bucket mean: with equal-width time buckets a neighbor can be empty
+    # (sparse/clustered series), and an inner join would silently drop
+    # every point of the adjacent bucket — no representative emitted.
+    # Falling back to the own-bucket mean degenerates the triangle for
+    # the missing side (that term contributes 0 area), so the bucket
+    # still elects a deterministic winner (min event_id on area ties).
     interior = (
         pts.filter(
             (F.col("bucket") != 0) & (F.col("bucket") != F.col("bmax"))
         )
-        .join(F.broadcast(prev), "bucket")
-        .join(F.broadcast(nxt), "bucket")
+        .join(F.broadcast(own), "bucket")
+        .join(F.broadcast(prev), "bucket", "left")
+        .join(F.broadcast(nxt), "bucket", "left")
+        .withColumn("xa", F.coalesce("xa", "xo"))
+        .withColumn("ya", F.coalesce("ya", "yo"))
+        .withColumn("xc", F.coalesce("xc", "xo"))
+        .withColumn("yc", F.coalesce("yc", "yo"))
         .withColumn(
             "_diff",
             (F.col("xa") - F.col("xc")) * (F.col("value") - F.col("ya"))

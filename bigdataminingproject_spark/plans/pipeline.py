@@ -41,6 +41,22 @@ def run_detector_pipeline(
 
     ``stream`` must have columns (stream_pos long/int, body string) —
     produced by ``sources.conversations.ordered_message_stream``.
+
+    DOCUMENTED DIVERGENCE (``exclude_duplicates=True``): the reference
+    loop feeds every message's tokens to the CMS/top-k state BEFORE the
+    exclusion check (run_detectors.py:166-178 — process_message runs,
+    then the duplicate verdict gates only downstream snapshot/summary
+    accounting), so excluded duplicates' tokens still count toward
+    frequency estimates there. This pipeline analyzes KEPT messages
+    only — the exclusion is a real filter on the analyzed relation —
+    which is the semantics a batch consumer of "the deduplicated
+    stream" expects, and the totals/snapshot accounting matches the
+    reference loop exactly (differential-tested). If strict frequency
+    parity under exclude-mode is ever needed, score-and-observe before
+    filtering: feed ``estimate_batch``/``top_k_tokens`` from ``stream``
+    and keep the exclusion for the snapshot/summary relations only.
+    ``tests/test_reference_differential.py`` scopes frequency parity
+    out under exclude-mode for this reason.
     """
     stream = stream.select(
         F.col("stream_pos").cast("long").alias("stream_pos"), "body"

@@ -755,8 +755,16 @@ def q_stream_hourly_maintenance(spark, sf_dir: str) -> DataFrame:
     q_events_hourly's DuckDB oracle: same columns, same 2 dp
     presentation rounding applied only at the end (stored partials stay
     raw, so merges never compound rounding).
+
+    ADVICE r5 hardening: the final rollup is eagerly localCheckpoint'ed
+    (it is rollup-cardinality small) so every temp dir — replay staging
+    plus all per-batch snapshot versions — can be removed before
+    returning instead of leaking across bench best-of-N and registry
+    runs, and a zero-batch stream falls back to an empty partial rather
+    than raising KeyError.
     """
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -792,5 +800,14 @@ def q_stream_hourly_maintenance(spark, sf_dir: str) -> DataFrame:
         merged.write.mode("overwrite").parquet(out)
         latest["path"] = out
 
-    snapshot_sink(stream, upsert)
-    return finish_hourly_rollup(spark.read.parquet(latest["path"]))
+    try:
+        snapshot_sink(stream, upsert)
+        if "path" in latest:
+            final = spark.read.parquet(latest["path"])
+        else:  # zero-batch stream: empty partial with the right schema
+            final = hourly_rollup_partial(src.limit(0))
+        # materialize off the temp parquet before it is removed
+        return finish_hourly_rollup(final).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)

@@ -843,3 +843,35 @@ def test_lttb_downsample_keeps_peaks_and_endpoints(spark):
     assert out[3]["event_id"] == 39      # last point pinned
     assert out[1]["event_id"] == 17      # the spike survives
     assert out[1]["value"] == 100.0
+
+
+def test_lttb_downsample_sparse_neighbor_buckets(spark):
+    """ADVICE r5 regression: with equal-width time buckets a clustered
+    series leaves interior buckets with EMPTY neighbors; the neighbor
+    means must left-join with an own-bucket-mean fallback so the bucket
+    still emits a representative (inner joins silently dropped it)."""
+    from datetime import datetime, timedelta
+
+    from bigdataminingproject_spark.operators.events import lttb_downsample
+
+    t0 = datetime(2024, 1, 1)
+    # minutes 0,1 -> bucket 0; 22,23 -> bucket 2; 49 -> bucket 4 (=bmax)
+    # buckets 1 and 3 are empty, so bucket 2 has no live neighbors.
+    rows = [
+        (0, t0, 1.0),
+        (1, t0 + timedelta(minutes=1), 2.0),
+        (22, t0 + timedelta(minutes=22), 5.0),
+        (23, t0 + timedelta(minutes=23), 7.0),
+        (49, t0 + timedelta(minutes=49), 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    )
+    out = {r["bucket"]: r for r in lttb_downsample(df, 5).collect()}
+    # every non-empty bucket keeps a representative
+    assert sorted(out) == [0, 2, 4]
+    assert out[0]["event_id"] == 0
+    assert out[4]["event_id"] == 49
+    # degenerate triangles (both anchors fall back to the own-bucket
+    # mean) tie at zero area -> deterministic min-event_id winner
+    assert out[2]["event_id"] == 22
