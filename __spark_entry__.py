@@ -50,20 +50,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so the capped run always re-attests what moved and staleness decays
     # round over round. Unchanged tiers keep their last-green driver rows
     # (append-only git diffs prove non-movement).
-    # ROUND 5 is the CONSOLIDATION round VERDICT r4 #1 prescribed:
-    # tier 0 is capped at 5 (two new queries, the renamed cartesian
-    # anchor, and the two ADVICE-fix re-attestations) so the driver's
-    # 50 slots finally rotate onto the 50-query r1/r2 attestation
-    # backlog (every registry query predating the round-3 optimizer
-    # config change). 5 tier-0 + 15 r1 + 30 r2 fills the 50 slots
-    # exactly; the 5 deferred r2 queries (_R5_DEFERRED below) are the
-    # simplest map-only doc transforms, each pinned by pytest units
-    # and this round's local full-gate runs. The skyline conf-read
-    # hardening (operators/skyline.py) is non-semantic — plans and
-    # output bit-identical, locally re-attested at all 3 SFs — so the
-    # two skyline queries keep their fresh r4 rows instead of burning
-    # slots. Dict-literal order below no longer carries the rotation:
-    # the explicit _R5_* lists at the end of this function do.
+    # ROUND 6 rotation (VERDICT r5 #1): tier 0 = the two new round-6
+    # queries + every query whose code or oracle changed this round
+    # (LTTB fallback fix; count-aware LSH/SemDeDup oracles and the v4
+    # composition that embeds one; curation cache keying; maintenance
+    # temp hygiene); then the 3 never-driver-attested round-5 queries
+    # and the 5 r2-deferred map-only transforms — after this round,
+    # every registry query's latest driver row is r3+ config and no
+    # entry is driver-unattested. The remaining ~35 slots burn the
+    # oldest (r3) backlog in registry order; ~13 r3 rows roll to round
+    # 7. Dict-literal order below does not carry the rotation: the
+    # explicit _R6_* lists at the end of this function do.
     reg = {
         # round 4 additions (driver-attested green in r4)
         "q_doc_association_rules": association.q_doc_association_rules,
@@ -99,6 +96,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hourly_maintenance": (
             streaming_pipeline.q_stream_hourly_maintenance
         ),
+        # round 6: foreachBatch corpus-state upsert (VERDICT r5 #3) —
+        # incremental curation driven by a live micro-batch stream
+        "q_stream_curation_maintenance": (
+            streaming_pipeline.q_stream_curation_maintenance
+        ),
+        # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
+        # purely through spark.sql over the registered catalog
+        "q_sql_region_revenue": relational.q_sql_region_revenue,
         "q_corpus_curation_v4": curation.q_corpus_curation_v4,
         "q_events_funnel_latency": events.q_events_funnel_latency,
         "q_hard_negatives": retrieval.q_hard_negatives,
@@ -246,77 +251,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q_media_features": multimodal.q_media_features,
     }
-    # Round-5 rotation: driver consumes ~50 rows in dict order.
+    # Round-6 rotation: driver consumes ~50 rows in dict order.
     tier0 = [
         # new this round
+        "q_stream_curation_maintenance",
+        "q_sql_region_revenue",
+        # semantics changed this round (ADVICE r5: LTTB sparse-bucket
+        # fallback) — also previously never driver-attested
+        "q_events_downsample",
+        # oracle rewritten this round (count-aware band/cell layout;
+        # v4 embeds the SemDeDup oracle)
+        "q_embedding_neardup_lsh",
+        "q_semantic_dedup",
+        "q_corpus_curation_v4",
+        # code touched this round (cache keying / temp hygiene —
+        # non-semantic, re-attested anyway since the functions moved)
         "q_corpus_curation_incremental",
         "q_stream_hourly_maintenance",
-        # renamed this round (VERDICT r4 #6) — orphaned r2 row
-        "q_embedding_neardup_anchor",
-        # semantics touched this round (ADVICE r4 fixes)
-        "q_doc_association_rules",
-        "q_events_session_paths",
     ]
-    backlog_r1 = [
-        "q_doc_term_estimates",
-        "q_doc_source_topk",
-        "q_doc_bigrams",
-        "q_doc_vocab_stats",
-        "q_dup_scores",
-        "q_dup_summary",
-        "q_exact_duplicates",
-        "q_ngram_jaccard",
-        "q_doc_stats",
-        "q_doc_fingerprints",
-        "q_doc_lang_stats",
-        "q_doc_lang_id",
-        "q10_returned_revenue",
-        "q_status_price_quantiles",
-        "q_media_dims",
+    # never driver-attested (below-fold round-5 additions)
+    never_attested = [
+        "q_segment_rfm_skyline",
+        "q_mmr_rerank",
     ]
-    backlog_r2 = [
-        "q_minhash_lsh",
-        "q_simhash_neardup",
-        "q_embedding_neardup_lsh",
-        "q_stream_snapshots",
-        "q_corpus_curation",
-        "q_doc_quality",
-        "q_doc_token_counts",
-        "q_doc_snapshots",
-        "q_doc_topk_cumulative",
-        "q_doc_burst",
-        "q_knn_bruteforce",
-        "q_doc_sample_stratified",
-        "q_benchmark_contamination",
-        "q_dedup_clusters",
-        "q_doc_mixture_plan",
-        "q2_min_price_part",
-        "q11_part_value_concentration",
-        "q16_supplier_part_variety",
-        "q20_excess_shippers",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_profit_by_nation",
-        "q13_order_distribution",
-        "q14_promo_share",
-        "q15_top_supplier",
-        "q17_small_qty_revenue",
-        "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q21_late_sole_shippers",
-        "q22_idle_customers",
-    ]
-    # deferred r2 backlog (slots 51-55): map-only doc transforms,
-    # pytest-pinned + locally full-gate-green; first in line for the
-    # round-6 rotation.
-    deferred = [
+    # r2-deferred map-only transforms (VERDICT r5 #1: burn first)
+    deferred_r2 = [
         "q_doc_pack_sequences",
         "q_doc_repetition",
         "q_doc_pii_redact",
         "q_doc_decontaminate",
         "q_doc_length_buckets",
     ]
-    head = tier0 + backlog_r1 + backlog_r2 + deferred
+    # oldest backlog: every remaining r3-attested query, registry order;
+    # the first ~35 fit this round's slots, the tail rolls to round 7.
+    backlog_r3 = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "q_top_customers",
+        "q_nation_balance",
+        "q_part_brand_stats",
+        "q_order_priority",
+        "q_customer_order_rank",
+        "q_monthly_discount",
+        "q_rollup_order_stats",
+        "q_cube_lineitem_flags",
+        "q_grouping_sets_orders",
+        "q_pivot_priority_by_status",
+        "q_nation_customer_supplier_balance",
+        "q_customers_without_orders",
+        "q_brands_shipped",
+        "q_custkeys_1997_not_1998",
+        "q_late_ship_priority",
+        "q6_discount_revenue",
+        "q_events_hourly",
+        "q_events_burst",
+        "q_events_sessionize",
+        "q_events_attribution",
+        "q_events_error_context",
+        "q_events_funnel",
+        "q_events_top_users",
+        "q_events_props",
+        "q_events_session_native",
+        "q_events_daily_users",
+        "q_user_gap_stats",
+        "q_events_retention",
+        "q_knn_ivf_det",
+        "q_events_anomalous_hours",
+        "q_events_time_rollup",
+        "q_doc_tfidf_topk",
+        "q_doc_domain_cap",
+        "q_doc_shards",
+        "q_doc_unigram_nll",
+        "q_doc_winnow",
+        "q_source_contamination",
+        "q_doc_winnow_pairs",
+        "q_embedding_shard_stats",
+        "q_events_latest_state",
+        "q_events_rolling_7d",
+        "q_events_active_users",
+        "q_media_frames",
+        "q12_priority_by_returnflag",
+        "q_media_features",
+    ]
+    head = tier0 + never_attested + deferred_r2 + backlog_r3
     ordered = {k: reg[k] for k in head if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
@@ -1178,6 +1196,18 @@ def oracle_sql() -> dict[str, str]:
                               FROM documents) AS INT) AS is_new
         FROM exact_kept""",
     )
+    # q_stream_curation_maintenance: identical output contract — the
+    # foreachBatch-driven merge must land on the same full-rerun
+    # manifest as the one-shot incremental (k micro-batch merges ==
+    # one full rerun, proven cross-engine).
+    sql["q_stream_curation_maintenance"] = sql[
+        "q_corpus_curation_incremental"
+    ]
+
+    # q_sql_region_revenue: the SQL front door's oracle IS the query —
+    # one ANSI string both engines run verbatim (exact integer cents,
+    # so no float surface to reconcile).
+    sql["q_sql_region_revenue"] = relational.REGION_REVENUE_SQL
 
     sql["q_doc_lang_stats"] = """
         SELECT lang, count(*) AS num_docs,

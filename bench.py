@@ -84,6 +84,12 @@ HEADLINE = [
     "q_segment_rfm_skyline",
     "q_mmr_rerank",
     "cli_reference_pipeline",
+    # round-6 additions: the foreachBatch corpus-state upsert (curation
+    # driven by a live stream), the SQL front door, and the LTTB
+    # downsample (now that its sparse-bucket fallback landed)
+    "q_stream_curation_maintenance",
+    "q_sql_region_revenue",
+    "q_events_downsample",
 ]
 
 
@@ -192,16 +198,29 @@ def run_one(name: str, sf_dir: str) -> None:
     except Exception:
         pass  # warmup is best-effort; timing below still runs
     best, rows = None, 0
-    # best-of-3: the first run of a plan shape can still pay residual
-    # one-time costs a long-running deployment amortizes to zero
-    for _ in range(3):
+    # best-of-3, escalating to best-of-5 for sub-2 s rows (VERDICT r5
+    # #5): round-5 showed bit-unchanged cheap queries swinging +27-37%
+    # from subprocess-JVM noise alone — the noise floor is a fixed
+    # per-run cost, so it dominates exactly the rows that are cheap to
+    # re-run. Two extra runs on those rows cost seconds and cut the
+    # min-estimator's spread below the regression-adjudication bar.
+    runs = 3
+    i = 0
+    while i < runs:
         start = time.perf_counter()
         # Materialize fully: small results → collect is fair and forces
         # every stage, incl. final sort/limit.
         rows = len(fn(spark, sf_dir).collect())
         elapsed = time.perf_counter() - start
         best = elapsed if best is None else min(best, elapsed)
-    print(json.dumps({"query": name, "sec": round(best, 3), "rows": rows}))
+        i += 1
+        if i == 3 and best < 2.0:
+            runs = 5
+    print(
+        json.dumps(
+            {"query": name, "sec": round(best, 3), "rows": rows, "runs": runs}
+        )
+    )
 
 
 def main() -> None:
@@ -236,7 +255,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": 3,
+                "runs_per_query": "3 (5 when min<2s)",
                 "aggregation": "min",
                 "isolation": "subprocess-per-query",
             }

@@ -134,6 +134,30 @@ def exact_duplicates(
     )
 
 
+def shingle_relation(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, shingle_h) relation: distinct k-shingles per doc as
+    64-bit xxhash64 values — the canonical input of the PPJoin and the
+    unit an incremental pipeline PERSISTS as its shingle index (smaller
+    shuffle rows, long equality instead of string compare; collision
+    odds over a corpus's distinct shingles are ~n²/2^65 — immaterial).
+    """
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("_toks"),
+    )
+    return tk.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("_toks"), k))).alias(
+            "shingle"
+        ),
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -141,6 +165,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     b_side_ids: DataFrame | None = None,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -163,20 +188,20 @@ def ngram_jaccard_pairs(
     subset of the unrestricted output with ``doc_b`` ∈ the set — the
     delta-bounded join the incremental curation pass runs (candidates
     explode only for delta docs; the retained corpus is probe-side).
+
+    ``shingle_rel`` (optional, columns ``doc_id``/``shingle_h``) skips
+    the tokenize→shingle→hash pass entirely and feeds the join from a
+    PRECOMPUTED shingle relation — the persisted shingle index an
+    incremental corpus pipeline maintains alongside its manifest, so
+    the probe (retained) side is a pure parquet read instead of an
+    O(|corpus|) re-shingle every day. Must be produced by
+    ``shingle_relation`` (same tokenizer/k/hash) for identical output.
     """
-    tk = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokenize(F.col(text_col)).alias("_toks"),
+    sh = (
+        shingle_rel
+        if shingle_rel is not None
+        else shingle_relation(docs, k=k, text_col=text_col, id_col=id_col)
     )
-    # work on the 64-bit shingle hash, not the string: smaller shuffle
-    # rows, long equality instead of string compare. Collision odds over
-    # a corpus's distinct shingles are ~n²/2^65 — immaterial.
-    sh = tk.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col("_toks"), k))).alias(
-            "shingle"
-        ),
-    ).select("doc_id", F.xxhash64("shingle").alias("shingle_h"))
     # global document frequency orders the prefix (rarest first).
     # groupBy + shuffle_hash self-join (round 2, replacing the r1
     # count-over-window): the partial aggregation map-side-combines, so

@@ -174,6 +174,7 @@ def curate_corpus_increment(
     min_tokens: int = 5,
     max_stopword_ratio: float = 0.9,
     neardup_threshold: float = 0.5,
+    state_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Merge a delta crawl into yesterday's curation state WITHOUT
     rescanning the corpus the state was built from. Returns the updated
@@ -198,12 +199,42 @@ def curate_corpus_increment(
        delta-bounded; the retained manifest is probe-side only.
 
     Daily cost is O(delta scan + |state| re-shingle for the probe side
-    + delta-bounded candidate join) — the state side's shingle relation
-    is itself persistable (carry (doc_id, shingle_h) alongside the
-    manifest) to make the probe side a pure read, which is the shape a
-    production run would use; the recompute here keeps the registry
-    query self-contained.
+    + delta-bounded candidate join) — pass ``state_shingles`` (the
+    persisted (doc_id, shingle_h) index ``shingle_relation`` produces)
+    to make the probe side a pure read, the shape a production run and
+    the streaming maintenance twin use; without it the state side is
+    re-shingled from text, keeping the one-shot registry query
+    self-contained.
     """
+    return state.unionByName(
+        curate_delta_state(
+            state,
+            delta,
+            min_tokens=min_tokens,
+            max_stopword_ratio=max_stopword_ratio,
+            neardup_threshold=neardup_threshold,
+            state_shingles=state_shingles,
+        )
+    )
+
+
+def curate_delta_state(
+    state: DataFrame,
+    delta: DataFrame,
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.9,
+    neardup_threshold: float = 0.5,
+    state_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The NEW manifest rows a delta crawl adds to the curation state
+    (same schema as the state; ``curate_corpus_increment`` is this plus
+    the union). Split out so an append-only store — the production
+    manifest pattern and the streaming twin — can write ONLY the delta
+    rows per day instead of rewriting the whole state."""
+    from bigdataminingproject_spark.operators.dedup import (
+        shingle_relation,
+    )
+
     tk = delta.select(
         "doc_id", "text", tokenize(F.col("text")).alias("_toks")
     )
@@ -232,22 +263,29 @@ def curate_corpus_increment(
     # pipeline, which prunes against every exact-kept doc — or an
     # earlier delta keeper).
     union_kept = state.select("doc_id", "text").unionByName(delta_keepers)
+    union_sh = None
+    if state_shingles is not None:
+        # probe side from the persisted index; only the (small) delta
+        # keepers pay the tokenize/shingle pass
+        union_sh = state_shingles.select("doc_id", "shingle_h").unionByName(
+            shingle_relation(delta_keepers)
+        )
     pairs = ngram_jaccard_pairs(
         union_kept,
         threshold=neardup_threshold,
         b_side_ids=delta_keepers.select("doc_id"),
+        shingle_rel=union_sh,
     )
     delta_losers = (
         pairs.select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("_dropped", F.lit(1))
     )
-    delta_state = delta_keepers.join(delta_losers, "doc_id", "left").select(
+    return delta_keepers.join(delta_losers, "doc_id", "left").select(
         "doc_id",
         "text",
         F.coalesce(F.col("_dropped"), F.lit(0)).alias("dropped_neardup"),
     )
-    return state.unionByName(delta_state)
 
 
 def _source_fingerprint(sf_dir: str, table: str) -> str:
@@ -275,46 +313,40 @@ def _source_fingerprint(sf_dir: str, table: str) -> str:
     return "|".join(sorted(entries))
 
 
-def q_corpus_curation_incremental(spark, sf_dir: str) -> DataFrame:
-    """Incremental curation manifest (VERDICT r4 #3): the first 80% of
-    doc ids are yesterday's crawl (folded into a curation state), the
-    rest are today's delta; the delta is merged WITHOUT rescanning
-    yesterday's corpus. The DuckDB oracle runs the FULL v1 curation
-    pipeline over the whole table — the driver row is therefore a
-    cross-engine attestation that increment == full rerun (the
-    merge==full equivalence also holds Spark-vs-Spark; see
-    tests/test_curation.py).
+def _split_cutoff(docs: DataFrame) -> int:
+    """80/20 snapshot/delta doc_id cutoff (one scalar collect)."""
+    return int(
+        docs.agg(
+            F.floor(F.max("doc_id") * F.lit(0.8)).cast("long")
+        ).collect()[0][0]
+    )
+
+
+def materialized_state_dir(
+    spark, sf_dir: str, snap: DataFrame, cutoff: int
+) -> str:
+    """Build-or-reuse the day-0 curation state parquet and return its dir.
+
+    MATERIALIZING the state is exactly what the day boundary does in
+    production — state is read from storage, not recomputed: the merge
+    references the state relation three times (md5 set, pair probe
+    side, final union), and without the parquet round trip each
+    reference re-runs the whole snapshot pipeline (measured 2.2x
+    slower at sf0.1). The dir is KEYED by (corpus dir, cutoff, a
+    CONTENT fingerprint of the source parquet files) and reused when
+    present — repeated calls, like a production day-2 run or the
+    bench's best-of-3, pay only the incremental merge. ADVICE r5
+    hardening: the fingerprint covers file sizes + mtimes (in-place
+    fixture regeneration rotates the key even at identical row
+    counts), and the state is written to a unique temp dir then
+    atomically renamed so concurrent runs can never observe a
+    half-written or mid-overwrite state; the rename loser reuses the
+    winner's identical state.
     """
     import hashlib
     import os
     import tempfile
 
-    from bigdataminingproject_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    # the cutoff collect is one scalar row (bounded driver state)
-    cutoff = int(
-        docs.agg(
-            F.floor(F.max("doc_id") * F.lit(0.8)).cast("long")
-        ).collect()[0][0]
-    )
-    snap = docs.filter(F.col("doc_id") <= cutoff)
-    delta = docs.filter(F.col("doc_id") > cutoff)
-    # MATERIALIZE the day-0 state (exactly what the day boundary does
-    # in production — state is read from storage, not recomputed): the
-    # merge references the state relation three times (md5 set, pair
-    # probe side, final union), and without the parquet round trip
-    # each reference re-runs the whole snapshot pipeline (measured 2.2x
-    # slower at sf0.1). The state dir is KEYED by (corpus dir, cutoff,
-    # a CONTENT fingerprint of the source parquet files) and reused when
-    # present — repeated calls, like a production day-2 run or the
-    # bench's best-of-3, pay only the incremental merge, which is the
-    # quantity this query exists to measure. ADVICE r5 hardening: the
-    # fingerprint covers file sizes + mtimes (regenerating fixture data
-    # in place rotates the key even at identical row counts), and the
-    # state is written to a unique temp dir then atomically renamed so
-    # concurrent runs can never observe a half-written or mid-overwrite
-    # state; the rename loser reuses the winner's identical state.
     n_snap = snap.count()
     sig = _source_fingerprint(sf_dir, "documents")
     key = hashlib.md5(
@@ -337,7 +369,58 @@ def q_corpus_curation_incremental(spark, sf_dir: str) -> DataFrame:
             import shutil
 
             shutil.rmtree(stage_dir, ignore_errors=True)
-    state = spark.read.parquet(state_dir)
+    return state_dir
+
+
+def materialized_shingles_dir(spark, state_dir: str) -> str:
+    """Build-or-reuse the persisted shingle index of a materialized
+    curation state — the (doc_id, shingle_h) parquet a production
+    incremental pipeline carries alongside its manifest so the PPJoin's
+    probe side is a pure read. Keyed off the (already content-keyed)
+    state dir; same stage-then-atomic-rename discipline."""
+    import os
+    import shutil
+    import tempfile
+
+    sh_dir = state_dir.rstrip("/") + "_shingles"
+    if not os.path.exists(os.path.join(sh_dir, "_SUCCESS")):
+        from bigdataminingproject_spark.operators.dedup import (
+            shingle_relation,
+        )
+
+        stage_dir = tempfile.mkdtemp(prefix="bdmp_shingle_stage_")
+        stage = os.path.join(stage_dir, "shingles")
+        shingle_relation(spark.read.parquet(state_dir)).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        try:
+            os.rename(stage, sh_dir)
+        except OSError:
+            pass  # concurrent builder won; identical content
+        finally:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+    return sh_dir
+
+
+def q_corpus_curation_incremental(spark, sf_dir: str) -> DataFrame:
+    """Incremental curation manifest (VERDICT r4 #3): the first 80% of
+    doc ids are yesterday's crawl (folded into a curation state), the
+    rest are today's delta; the delta is merged WITHOUT rescanning
+    yesterday's corpus. The DuckDB oracle runs the FULL v1 curation
+    pipeline over the whole table — the driver row is therefore a
+    cross-engine attestation that increment == full rerun (the
+    merge==full equivalence also holds Spark-vs-Spark; see
+    tests/test_curation.py).
+    """
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = _split_cutoff(docs)
+    snap = docs.filter(F.col("doc_id") <= cutoff)
+    delta = docs.filter(F.col("doc_id") > cutoff)
+    state = spark.read.parquet(
+        materialized_state_dir(spark, sf_dir, snap, cutoff)
+    )
     merged = curate_corpus_increment(state, delta)
     return (
         merged.filter(F.col("dropped_neardup") == 0)

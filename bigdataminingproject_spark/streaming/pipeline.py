@@ -811,3 +811,98 @@ def q_stream_hourly_maintenance(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_curation_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live corpus-state upsert (VERDICT r5 #3) — the fifth Structured
+    Streaming shape: the incremental curation merge driven by a real
+    micro-batch stream instead of a manual one-shot 80/20 split.
+
+    Crawl deltas arrive as ordered micro-batches (``file_replay_source``
+    range-chunked on doc_id, matching crawl-order id monotonicity — the
+    invariant ``curate_corpus_increment`` needs); a ``foreachBatch``
+    sink folds each delta into an APPEND-ONLY state store: per batch it
+    writes only the delta manifest rows plus their (doc_id, shingle_h)
+    index rows, and reads state as the union of all prior parts
+    (multi-path parquet). Nothing is ever rewritten — O(|delta|) I/O
+    per batch instead of O(|state|) — and the persisted shingle index
+    makes the PPJoin probe side a pure read (``state_shingles``), so a
+    batch never re-tokenizes yesterday's corpus. That is exactly how a
+    production crawl pipeline maintains a corpus manifest downstream
+    training jobs read between crawls.
+
+    Output and oracle are q_corpus_curation_incremental's: the final
+    kept set (dropped_neardup == 0, is_new flag), checked against the
+    DuckDB FULL v1 rerun over the whole table — a cross-engine proof
+    that k successive micro-batch merges == one full-corpus rerun
+    (the single-merge theorem applied inductively; each batch's ids
+    exceed all prior state ids by replay order).
+
+    Temp hygiene mirrors the hourly twin: the final manifest is
+    localCheckpoint'ed (kept-set sized) and every staging/state dir is
+    removed before returning; a zero-batch stream degrades to the
+    day-0 state alone.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from bigdataminingproject_spark.operators.dedup import shingle_relation
+    from bigdataminingproject_spark.plans.curation import (
+        _split_cutoff,
+        curate_delta_state,
+        materialized_shingles_dir,
+        materialized_state_dir,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cutoff = _split_cutoff(docs)
+    snap = docs.filter(F.col("doc_id") <= cutoff)
+    delta = docs.filter(F.col("doc_id") > cutoff).select("doc_id", "text")
+    day0_dir = materialized_state_dir(spark, sf_dir, snap, cutoff)
+    day0_sh = materialized_shingles_dir(spark, day0_dir)
+    staging = tempfile.mkdtemp(prefix="q_stream_cur_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_cur_state_")
+    stream = file_replay_source(
+        spark, delta, staging, chunks=4, order_col="doc_id"
+    )
+    manifest_parts = [day0_dir]
+    shingle_parts = [day0_sh]
+
+    def upsert(batch_df, batch_id):
+        state = spark.read.parquet(*manifest_parts)
+        state_sh = spark.read.parquet(*shingle_parts)
+        delta_state = curate_delta_state(
+            state, batch_df, state_shingles=state_sh
+        )
+        tag = f"{batch_id}_{uuid.uuid4().hex[:8]}"
+        out = os.path.join(state_root, f"manifest_{tag}")
+        delta_state.write.mode("overwrite").parquet(out)
+        sh_out = os.path.join(state_root, f"shingles_{tag}")
+        # index the rows as written (re-read is O(|delta|))
+        shingle_relation(spark.read.parquet(out)).write.mode(
+            "overwrite"
+        ).parquet(sh_out)
+        manifest_parts.append(out)
+        shingle_parts.append(sh_out)
+
+    try:
+        snapshot_sink(stream, upsert)
+        final = spark.read.parquet(*manifest_parts)
+        return (
+            final.filter(F.col("dropped_neardup") == 0)
+            .select(
+                "doc_id",
+                (F.col("doc_id") > cutoff).cast("int").alias("is_new"),
+            )
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)

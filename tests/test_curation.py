@@ -314,3 +314,41 @@ def test_incremental_query_matches_full_query(spark, sf_dir):
     assert [r["doc_id"] for r in inc] == [r["doc_id"] for r in full]
     assert any(r["is_new"] == 1 for r in inc)
     assert any(r["is_new"] == 0 for r in inc)
+
+
+def test_delta_state_with_persisted_shingle_index_is_identical(spark):
+    """Round 6: the append-only streaming twin feeds the PPJoin probe
+    side from a persisted (doc_id, shingle_h) index instead of
+    re-shingling state text. The index path must be bit-identical to
+    the recompute path — same keepers, same dropped flags."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.dedup import shingle_relation
+    from bigdataminingproject_spark.plans.curation import (
+        curate_delta_state,
+        curation_state,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six seven"),
+            (10, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+            (11, "alpha beta gamma delta epsilon theta"),  # near-dup
+            (12, "totally different words appear here instead now"),
+        ],
+        "doc_id long, text string",
+    )
+    state = curation_state(docs.filter(F.col("doc_id") <= 3))
+    delta = docs.filter(F.col("doc_id") > 3)
+    recompute = curate_delta_state(state, delta)
+    indexed = curate_delta_state(
+        state, delta, state_shingles=shingle_relation(state)
+    )
+    assert sorted(map(tuple, recompute.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    # scenario sanity: the near-dup was actually dropped via the index
+    flags = {r["doc_id"]: r["dropped_neardup"] for r in indexed.collect()}
+    assert flags[11] == 1 and flags[12] == 0 and 10 not in flags

@@ -44,33 +44,45 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
         con.execute(q).fetchall()
 
 
-def test_round5_rotation_head_is_pinned():
+def test_round6_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
-    registry's head section IS the round-5 rotation contract: 5 tier-0
-    queries (2 new, 1 renamed, 2 ADVICE-fix re-attestations) followed
-    by 45 of the 50-query r1/r2 attestation backlog. An accidental
-    reorder (e.g. a new query inserted at the literal top) would
-    silently displace a backlog re-attestation — pin it."""
+    registry's head section IS the round-6 rotation contract
+    (VERDICT r5 #1): 8 tier-0 (2 new round-6 queries + 6 whose code or
+    oracle changed), then the 2 never-driver-attested round-5 queries,
+    then the 5 r2-deferred map-only transforms, then the oldest (r3)
+    backlog. An accidental reorder (e.g. a new query inserted at the
+    literal top) would silently displace a re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:5] == [
+    assert keys[:15] == [
+        "q_stream_curation_maintenance",
+        "q_sql_region_revenue",
+        "q_events_downsample",
+        "q_embedding_neardup_lsh",
+        "q_semantic_dedup",
+        "q_corpus_curation_v4",
         "q_corpus_curation_incremental",
         "q_stream_hourly_maintenance",
-        "q_embedding_neardup_anchor",
-        "q_doc_association_rules",
-        "q_events_session_paths",
+        "q_segment_rfm_skyline",
+        "q_mmr_rerank",
+        "q_doc_pack_sequences",
+        "q_doc_repetition",
+        "q_doc_pii_redact",
+        "q_doc_decontaminate",
+        "q_doc_length_buckets",
     ]
     import json
     import os
 
     latest = {}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         path = os.path.join(here, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    backlog_in_head = [k for k in keys[5:50] if latest.get(k, 9) <= 2]
-    assert len(backlog_in_head) == 45, (
-        f"rotation head must carry 45 backlog queries, got "
-        f"{len(backlog_in_head)}"
+    # slots 16-50 burn the oldest backlog: every one is an r3 row
+    stale = [k for k in keys[15:50] if latest.get(k, 9) == 3]
+    assert len(stale) == 35, (
+        f"rotation slots 16-50 must carry 35 r3-backlog queries, got "
+        f"{len(stale)}"
     )

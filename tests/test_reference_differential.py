@@ -280,3 +280,306 @@ def test_burst_parity_mode_matches_reference_detector(spark, tmp_path):
         sys.path.remove(REF)
         for mod in [m for m in sys.modules if m.startswith("streaming")]:
             del sys.modules[mod]
+
+
+# ---------------------------------------------------------------------------
+# Loader-layer differential (VERDICT r5 #7): drive the reference's
+# data_loader/ walk + filters + boilerplate scrub (scc_dataset_loader.py
+# process_data / remove_file_description, base_dataset_loader.py
+# preprocess_messages) against sources/conversations.py on one fixture
+# corpus. The reference module imports nltk AT IMPORT TIME (and
+# downloads corpora), so when nltk is absent a minimal import stub is
+# installed — and the driven sub-steps are exactly the ones whose code
+# paths never touch nltk: an identity-preprocessing subclass isolates
+# the os.walk recursion, the medium anti-filter, the inbound filter,
+# the empty-body filter, the file-description scrub, and the
+# raw_body-after-scrub convention. Full tokenize/lemmatize/stopword
+# parity stays behind the real-nltk gate (test_loader_full_preprocess_
+# parity below + the golden-file lemmatizer tests).
+
+
+@pytest.fixture(scope="module")
+def ref_loader_cls():
+    import importlib
+    import types
+
+    # make sure OUR nltk-gated module resolved its real gate first, so
+    # the stub below can never flip _HAVE_NLTK
+    import bigdataminingproject_spark.functions.nlp  # noqa: F401
+
+    stubbed = []
+    try:
+        import nltk  # noqa: F401
+    except ImportError:
+        fake = types.ModuleType("nltk")
+        fake.download = lambda *a, **k: None
+        fake.word_tokenize = lambda s: s.split()
+        corpus_mod = types.ModuleType("nltk.corpus")
+
+        class _SW:
+            @staticmethod
+            def words(_lang):
+                return []
+
+        corpus_mod.stopwords = _SW
+        fake.corpus = corpus_mod
+        stem_mod = types.ModuleType("nltk.stem")
+
+        class _Lem:
+            def lemmatize(self, t):
+                return t
+
+        stem_mod.WordNetLemmatizer = _Lem
+        fake.stem = stem_mod
+        for name, mod in [
+            ("nltk", fake),
+            ("nltk.corpus", corpus_mod),
+            ("nltk.stem", stem_mod),
+        ]:
+            sys.modules[name] = mod
+            stubbed.append(name)
+    try:
+        import sklearn  # noqa: F401
+    except ImportError:
+        # data_loader/__init__.py pulls in dataloader.py, which imports
+        # sklearn's train_test_split — never executed by these tests
+        sk = types.ModuleType("sklearn")
+        ms = types.ModuleType("sklearn.model_selection")
+
+        def _tts(*a, **k):  # pragma: no cover - never called
+            raise RuntimeError("sklearn stub: not driven by these tests")
+
+        ms.train_test_split = _tts
+        sk.model_selection = ms
+        for name, mod in [("sklearn", sk), ("sklearn.model_selection", ms)]:
+            sys.modules[name] = mod
+            stubbed.append(name)
+    sys.path.insert(0, REF)
+    try:
+        scc = importlib.import_module("data_loader.scc_dataset_loader")
+        yield scc.SCCDatasetLoader
+    finally:
+        sys.path.remove(REF)
+        for name in list(sys.modules):
+            if name == "data_loader" or name.startswith("data_loader."):
+                del sys.modules[name]
+        for name in stubbed:
+            del sys.modules[name]
+
+
+@pytest.fixture(scope="module")
+def loader_corpus(tmp_path_factory):
+    """train/test conversation dirs exercising every loader edge:
+    nested subdirs (walk recursion), a Telegram conversation (medium
+    anti-filter drops the whole conversation), outbound messages
+    (inbound filter), empty/None bodies, file-description boilerplate,
+    and a non-json file that must be ignored."""
+    import json as _json
+
+    root = tmp_path_factory.mktemp("ref_loader_corpus")
+    train = root / "train"
+    test = root / "test"
+    (train / "nested").mkdir(parents=True)
+    test.mkdir()
+
+    def conv(msgs):
+        return {"messages": msgs}
+
+    def m(body, t, medium="Email", inbound=True):
+        return {
+            "body": body,
+            "time": t,
+            "medium": medium,
+            "is_inbound": inbound,
+        }
+
+    boiler = (
+        "This message contains files. If the description for a file "
+        "does not make sense, ignore it."
+        "Here are descriptions of those files:\nDescription for file 1:"
+        " a cat photo"
+    )
+    (train / "a.json").write_text(
+        _json.dumps(
+            conv(
+                [
+                    m("hello there friend", 1),
+                    m("wire the funds now", 2),
+                    m("thanks", 3, inbound=False),  # outbound: dropped
+                    m("", 4),  # empty: dropped
+                    m(None, 5),  # null: dropped
+                ]
+            )
+        )
+    )
+    (train / "nested" / "b.json").write_text(
+        _json.dumps(
+            conv(
+                [
+                    m(boiler, 10),
+                    m("Description for file 2: another doc attached", 11),
+                ]
+            )
+        )
+    )
+    # whole conversation dropped: contains a Telegram message
+    (train / "c.json").write_text(
+        _json.dumps(
+            conv([m("secret chat", 20, medium="Telegram"), m("x", 21)])
+        )
+    )
+    (train / "notes.txt").write_text("not a conversation")
+    (test / "d.json").write_text(
+        _json.dumps(conv([m("send the gift cards", 30)]))
+    )
+    return root
+
+
+def _ref_raw_splits(ref_loader_cls, loader_corpus, tmp_path):
+    """Run the REFERENCE loader with identity body-preprocessing (the
+    non-nltk sub-steps only) and return its split dict."""
+    import os as _os
+
+    class _RawLoader(ref_loader_cls):
+        def preprocess_message_bodies(self, bodies):
+            return list(bodies)  # identity: isolate walk/filter/scrub
+
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)  # the loader mkdirs ./data_loading_cache
+    try:
+        loader = _RawLoader(
+            data_dir=str(loader_corpus),
+            train_data_dir="train",
+            test_data_dir="test",
+        )
+        return loader.process_data()
+    finally:
+        _os.chdir(cwd)
+
+
+def test_loader_walk_filter_scrub_parity(
+    spark, ref_loader_cls, loader_corpus, tmp_path
+):
+    """The reference loader's kept-message structure — which
+    conversations survive the medium anti-filter, which messages the
+    inbound/empty filters keep, what the file-description scrub leaves
+    in body, and raw_body == post-scrub body — must match
+    sources/conversations.py message-for-message."""
+    from bigdataminingproject_spark.sources.conversations import (
+        filter_conversations,
+        messages_table,
+        read_conversation_dir,
+    )
+
+    data = _ref_raw_splits(ref_loader_cls, loader_corpus, tmp_path)
+    ref_msgs = {}
+    for split in ("train", "test"):
+        for c in data[split]:
+            # key by (split, sorted message times) — file paths aren't
+            # carried by the reference conversation dict
+            key = (split, tuple(m["time"] for m in c["messages"]))
+            ref_msgs[key] = [
+                (m["raw_body"], m["body"], m["medium"]) for m in c["messages"]
+            ]
+
+    ours = {}
+    for split in ("train", "test"):
+        conv = read_conversation_dir(
+            spark, str(loader_corpus / split), split=split
+        )
+        msg = messages_table(filter_conversations(conv))
+        rows = msg.orderBy("conv_id", "msg_index").collect()
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        for rs in by_conv.values():
+            key = (split, tuple(r["time"] for r in rs))
+            # our raw_body IS the scrubbed body (reference convention:
+            # raw_body is set after remove_file_description)
+            ours[key] = [(r["raw_body"], r["raw_body"], r["medium"]) for r in rs]
+
+    assert set(ref_msgs) == set(ours)
+    for key in ref_msgs:
+        ref_list = [(raw, med) for raw, _b, med in ref_msgs[key]]
+        our_list = [(raw, med) for raw, _b, med in ours[key]]
+        assert ref_list == our_list, key
+    # scenario sanity: the Telegram conversation is gone on both sides,
+    # and the boilerplate scrub actually fired
+    assert all(len(k[1]) != 2 or k[0] != "train" or 20 not in k[1]
+               for k in ref_msgs)
+    scrubbed = [
+        raw
+        for msgs in ref_msgs.values()
+        for raw, _b, _m in msgs
+        if "cat photo" in raw
+    ]
+    assert scrubbed and all(
+        "Description for file" not in raw and "contains files" not in raw
+        for raw in scrubbed
+    )
+
+
+@pytest.mark.skipif(
+    "nltk" not in sys.modules
+    and not __import__("importlib").util.find_spec("nltk"),
+    reason="nltk absent: full tokenize/lemmatize/stopword loader parity "
+    "is env-gated (COVERAGE.md); non-nltk sub-steps covered above",
+)
+def test_loader_full_preprocess_parity(
+    spark, ref_loader_cls, loader_corpus, tmp_path
+):
+    """With real nltk present: the reference loader's fully preprocessed
+    bodies (word_tokenize -> isalpha -> WordNet lemmatize -> SKIPWORDS)
+    must equal our messages_table body + nlp.lemmatize chain on the
+    same corpus."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.functions.nlp import lemmatize
+    from bigdataminingproject_spark.functions.text import tokenize
+    from bigdataminingproject_spark.sources.conversations import (
+        filter_conversations,
+        messages_table,
+        read_conversation_dir,
+    )
+
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)
+    try:
+        loader = ref_loader_cls(
+            data_dir=str(loader_corpus),
+            train_data_dir="train",
+            test_data_dir="test",
+        )
+        data = loader.process_data()
+    finally:
+        _os.chdir(cwd)
+    ref_bodies = {
+        (split, m["time"]): m["body"]
+        for split in ("train", "test")
+        for c in data[split]
+        for m in c["messages"]
+    }
+    ours = {}
+    for split in ("train", "test"):
+        conv = read_conversation_dir(
+            spark, str(loader_corpus / split), split=split
+        )
+        msg = messages_table(filter_conversations(conv))
+        # reference order: tokenize -> alpha -> lemmatize -> stopwords;
+        # our preprocess_expr defers lemmatization, so rebuild the exact
+        # chain from raw_body for the parity check
+        from bigdataminingproject_spark.functions.text import (
+            SKIPWORDS as _SKIP,
+        )
+        from bigdataminingproject_spark.functions.text import alpha_tokens
+
+        stop_arr = F.array(*[F.lit(w) for w in sorted(_SKIP)])
+        toks = lemmatize(alpha_tokens(tokenize(F.col("raw_body"))))
+        body = F.array_join(
+            F.filter(toks, lambda t: ~F.array_contains(stop_arr, t)), " "
+        )
+        for r in msg.withColumn("pbody", body).collect():
+            ours[(split, r["time"])] = r["pbody"]
+    assert ref_bodies == ours

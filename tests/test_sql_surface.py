@@ -92,3 +92,31 @@ def test_sql_having_semijoin_matches_dataframe(spark, sf_dir):
     """)
     df = tpch.q18_large_orders(spark, sf_dir)
     assert _rows(sql) == _rows(df)
+
+
+def test_sql_front_door_plan_matches_dataframe_twin(spark, sf_dir):
+    """VERDICT r5 #8: the registry's SQL front door entry
+    (q_sql_region_revenue) must compile to the SAME physical plan as
+    its DataFrame twin — operator for operator, not just same results.
+    Plan ids and exchange/subquery numbering are normalized away."""
+    import re
+
+    sql_df = relational.q_sql_region_revenue(spark, sf_dir)
+    twin = relational.region_revenue_df(spark, sf_dir)
+
+    def _ops(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ops = []
+        for line in plan.splitlines():
+            name = re.sub(r"^[^A-Za-z]*", "", line)
+            name = re.split(r"[ (]", name)[0]
+            if name and name[0].isupper():
+                ops.append(name)
+        return ops
+
+    assert _ops(sql_df) == _ops(twin)
+    assert _rows(sql_df) == _rows(twin)
+    # the star join must broadcast the dims, not shuffle the fact side
+    plan = sql_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
