@@ -1685,39 +1685,42 @@ def oracle_sql() -> dict[str, str]:
     # q_embedding_neardup_lsh: DuckDB reruns the full deterministic LSH
     # pipeline — signature bits from list_dot_product against the SAME
     # ±1 plane constants (similarity.det_planes, inlined below), then a
-    # COUNT-DERIVED band layout: per_band / n_bands are computed from
-    # count(*) with the exact _auto_band_bits arithmetic (ADVICE r5 —
-    # the static 8x8 constants silently diverged from the Spark side's
-    # auto-sizing on any corpus > 2k vectors, e.g. the 10x-dir runs).
-    # All 64 sign bits are materialized as a DOUBLE list and each band's
+    # COUNT-DERIVED band layout: per_band is computed from count(*)
+    # with the exact _auto_band_bits arithmetic (ADVICE r5 — static
+    # constants silently diverged from the Spark side's auto-sizing on
+    # any corpus > 2k vectors), and the band count is FIXED at 8 with
+    # the plane family growing to 8*pb members (round-6 recall
+    # adjustment, VERDICT r5 #4). 128 sign bits are materialized as a
+    # DOUBLE list (pb <= 16, i.e. corpora to ~2M vectors — grow the
+    # inline count alongside _auto_band_bits for more) and each band's
     # bucket is a slice x weight-vector dot (weights 2^(pb-1-i), the
     # numpy MSB-first convention) — exact in doubles for pb <= 53.
-    _planes = similarity.det_planes(dim=64, n_planes=64)
+    _planes = similarity.det_planes(dim=64, n_planes=128)
 
     def _plane_lit(p: int) -> str:
         vals = ", ".join(str(x) for x in _planes[p])
         return f"CAST([{vals}] AS DOUBLE[])"
 
-    _bits64 = ",\n                    ".join(
+    _bits128 = ",\n                    ".join(
         f"CASE WHEN list_dot_product(vec, {_plane_lit(_p)}) > 0 "
         "THEN 1.0 ELSE 0.0 END"
-        for _p in range(64)
+        for _p in range(128)
     )
 
     sql["q_embedding_neardup_lsh"] = f"""
         WITH prm AS (
-            SELECT CAST(least(greatest(8.0,
-                       ceil(log2(greatest(count(*), 2) / 8.0))), 64.0)
+            SELECT CAST(greatest(8.0,
+                       ceil(log2(greatest(count(*), 2) / 8.0)))
                        AS INT) AS pb
             FROM embeddings
         ),
-        prm2 AS (SELECT pb, CAST(64 // pb AS INT) AS nb FROM prm),
+        prm2 AS (SELECT pb, 8 AS nb FROM prm),
         v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
         ),
         bits AS (
             SELECT vec_id,
-                   [{_bits64}] AS bits
+                   [{_bits128}] AS bits
             FROM v
         ),
         bands AS (

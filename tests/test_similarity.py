@@ -437,3 +437,36 @@ def test_top_principal_component_recovers_dominant_axis(spark):
     v = top_principal_component(cov, dim=4)
     expect = np.array([1.0, 1.0, 0.0, 0.0]) / np.sqrt(2)
     assert abs(float(np.dot(v, expect))) > 0.999
+
+
+def test_hamming_offsets_general_radius():
+    """Round-6 regression: the hand-unrolled version silently capped at
+    radius 2 (a radius-3 probe behaved like radius 2 — caught by the
+    ANN recall sweep, where recall@10 froze between the two)."""
+    import math
+
+    from bigdataminingproject_spark.operators.similarity import (
+        hamming_offsets,
+    )
+
+    for n_bits, radius in [(6, 1), (6, 2), (6, 3), (6, 6), (8, 3)]:
+        offs = hamming_offsets(n_bits, radius)
+        want = sum(math.comb(n_bits, r) for r in range(radius + 1))
+        assert len(offs) == want
+        assert len(set(offs)) == want  # distinct masks
+        assert all(bin(o).count("1") <= radius for o in offs)
+    # r<=2 prefix order unchanged (oracle inlines these lists)
+    assert hamming_offsets(6, 2)[:7] == hamming_offsets(6, 1)
+
+
+def test_lsh_auto_sizing_holds_band_count():
+    """Round-6 recall fix: auto-sizing widens bands but holds the band
+    COUNT (plane budget grows), instead of shrinking bands from a fixed
+    budget — the r5 behavior that collapsed near-dup recall at 10x."""
+    from bigdataminingproject_spark.operators.similarity import (
+        _auto_band_bits,
+    )
+
+    assert _auto_band_bits(2000, 64) == (8, 8)  # attested SFs unchanged
+    pb10, nb10 = _auto_band_bits(20000, 64)
+    assert nb10 == 8 and pb10 > 8  # wider bands, same count
