@@ -135,6 +135,21 @@ TABLES: dict[str, list[Col]] = {
     ],
 }
 
+# per-table unique id EXPRESSION (SQL text; identical in Spark via
+# F.expr) — the deterministic window order key. Every FK edge joins TO
+# a primary key, so the base uid stays unique through any join chain.
+UID_EXPR = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey * 10 + l_linenumber",
+    "events": "event_id",
+    "documents": "doc_id",
+}
+
 # FK edges (left_table, right_table, left_col, right_col); a chain only
 # adds a table not already in the relation, so names never collide.
 FK_EDGES = [
@@ -187,6 +202,11 @@ class Spec:
     having_count: int | None = None
     # union: a second filter branch of the same projection, UNION ALL
     union_pred: Pred | None = None
+    # window: (partition Col, [(fn, value Col|None, alias), ...]);
+    # ordered by the base table's unique id, so every window output is
+    # deterministic cross-engine
+    win_partition: Col | None = None
+    win_exprs: list = field(default_factory=list)
 
 
 # --------------------------------------------------------------------------
@@ -256,7 +276,30 @@ def gen_spec(seed: int) -> Spec:
             atoms.append(_rand_atom(rng, rng.choice(cols)))
         spec.preds.append(Pred(atoms))
     # shape
-    if rng.random() < 0.6:
+    shape_draw = rng.random()
+    if shape_draw < 0.2:
+        spec.shape = "window"
+        keypool = [c for c in cols if c.kind in ("string", "int")]
+        spec.win_partition = rng.choice(keypool)
+        n_w = rng.randint(1, 2)
+        for i in range(n_w):
+            fn = rng.choice(["row_number", "lag", "running_sum"])
+            if fn == "row_number":
+                spec.win_exprs.append(("row_number", None, f"rn_{i}"))
+            elif fn == "lag":
+                cands = [c for c in cols if c.kind in ("int", "string")]
+                c = rng.choice(cands)
+                spec.win_exprs.append(("lag", c, f"lag_{c.name}_{i}"))
+            else:
+                ints = [c for c in cols if c.kind == "int"]
+                if not ints:
+                    spec.win_exprs.append(("row_number", None, f"rn_{i}"))
+                else:
+                    c = rng.choice(ints)
+                    spec.win_exprs.append(
+                        ("running_sum", c, f"rsum_{c.name}_{i}")
+                    )
+    elif shape_draw < 0.65:
         spec.shape = "agg"
         keypool = [c for c in cols if c.kind in ("string", "int")]
         spec.keys = rng.sample(keypool, rng.randint(1, min(2, len(keypool))))
@@ -397,6 +440,38 @@ def spec_to_df(spark: SparkSession, sf_dir: str, spec: Spec) -> DataFrame:
             cond = _atom_col(spec.union_pred.atoms[0])
             out = out.unionByName(_project(joined.filter(cond)))
         return out.distinct() if spec.distinct else out
+    if spec.shape == "window":
+        from pyspark.sql.window import Window as W
+
+        pk = spec.win_partition
+        uid = F.expr(UID_EXPR[spec.base])
+        value_cols = sorted(
+            {c.name for _fn, c, _a in spec.win_exprs if c is not None}
+            - {pk.name}
+        )
+        out = df.select(
+            F.col(pk.name),
+            uid.alias("uid"),
+            *[F.col(v) for v in value_cols],
+        )
+        w = W.partitionBy(pk.name).orderBy("uid")
+        for fn, c, alias in spec.win_exprs:
+            if fn == "row_number":
+                out = out.withColumn(alias, F.row_number().over(w))
+            elif fn == "lag":
+                out = out.withColumn(alias, F.lag(F.col(c.name), 1).over(w))
+            else:  # running_sum
+                out = out.withColumn(
+                    alias,
+                    F.sum(F.col(c.name))
+                    .over(
+                        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+                    )
+                    .cast("long"),
+                )
+        return out.select(
+            pk.name, "uid", *[a for _fn, _c, a in spec.win_exprs]
+        )
     # agg shape
     keys = [F.col(c.name).cast("date").alias(c.name)
             if c.kind == "date" else F.col(c.name)
@@ -512,6 +587,26 @@ def spec_to_sql(spec: Spec) -> str:
             w2 = " WHERE " + _atom_sql(spec.union_pred.atoms[0])
             q = f"{q} UNION ALL SELECT {', '.join(cols)} FROM {frm}{w2}"
         return q
+    if spec.shape == "window":
+        pk = spec.win_partition
+        uid = UID_EXPR[spec.base]
+        over = f"OVER (PARTITION BY {pk.name} ORDER BY {uid})"
+        wcols = []
+        for fn, c, alias in spec.win_exprs:
+            if fn == "row_number":
+                wcols.append(f"row_number() {over} AS {alias}")
+            elif fn == "lag":
+                wcols.append(f"lag({c.name}, 1) {over} AS {alias}")
+            else:
+                wcols.append(
+                    f"CAST(sum({c.name}) OVER (PARTITION BY {pk.name} "
+                    f"ORDER BY {uid} ROWS BETWEEN UNBOUNDED PRECEDING "
+                    f"AND CURRENT ROW) AS BIGINT) AS {alias}"
+                )
+        return (
+            f"SELECT {pk.name}, {uid} AS uid, {', '.join(wcols)} "
+            f"FROM {frm}{where}"
+        )
     keycols = [
         f"CAST({c.name} AS DATE) AS {c.name}" if c.kind == "date" else c.name
         for c in spec.keys

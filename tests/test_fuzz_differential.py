@@ -75,3 +75,9 @@ def test_fuzz_space_covers_shapes():
     assert any(
         a.kind == "sum_cents" for s in specs for a in s.aggs
     )
+    assert any(s.shape == "window" for s in specs)
+    assert {fn for s in specs for fn, _c, _a in s.win_exprs} == {
+        "row_number",
+        "lag",
+        "running_sum",
+    }
