@@ -161,16 +161,22 @@ def test_skyline_mask_matches_bruteforce(points):
 @given(st.integers(0, 10**12), st.integers(8, 256))
 @settings(max_examples=200, deadline=None)
 def test_auto_band_bits_invariants(n, n_planes):
-    """Band auto-sizing: bits never below the historical floor of 8 or
-    above the plane budget; at least one band; expected occupancy
+    """Band auto-sizing (round-6 contract): bits never below the
+    historical floor of 8; the band COUNT is held at n_planes // 8
+    regardless of corpus size (the plane budget GROWS to
+    per_band * n_bands — shrinking bands from a fixed budget is the
+    r5 recall bug tools/ann_recall.py caught); expected occupancy
     n / 2^bits stays <= the target once n clears the floor regime."""
     from bigdataminingproject_spark.operators.similarity import (
         _auto_band_bits,
     )
 
     per_band, n_bands = _auto_band_bits(n, n_planes)
-    assert 8 <= per_band <= max(8, n_planes)
-    assert n_bands >= 1
-    assert n_bands * per_band <= max(n_planes, per_band)
-    if per_band > 8 and per_band < n_planes:
-        assert n / (2 ** per_band) <= 8.0
+    assert per_band >= 8
+    assert n_bands == max(1, n_planes // 8)  # band count is corpus-free
+    if per_band > 8:
+        assert n / (2 ** per_band) <= 8.0  # occupancy bounded
+        assert n / (2 ** (per_band - 1)) > 8.0  # and not over-split
+    # the 2k-vector regime (all attested SFs) keeps the historical 8x8
+    if n <= 2048 and n_planes == 64:
+        assert (per_band, n_bands) == (8, 8)
