@@ -183,6 +183,17 @@ def run_one(name: str, sf_dir: str) -> None:
     # generic JVM/codegen + Python-worker-pool warmup so the timed runs
     # aren't charged for session startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # machine-speed calibration: a fixed shuffle+agg workload timed in
+    # every child. Round-over-round verdicts kept re-adjudicating
+    # +20-40% swings on bit-unchanged queries that were really
+    # BETWEEN-RUN machine drift (VM/host variance) — min-of-N inside a
+    # run can't see it. Dividing per-query seconds by the run's median
+    # calibration separates plan regressions from machine drift.
+    cal_t = time.perf_counter()
+    spark.range(30_000_000).selectExpr(
+        "id % 997 AS k", "id"
+    ).groupBy("k").agg({"id": "sum"}).collect()
+    calibration = round(time.perf_counter() - cal_t, 3)
 
     def _noop(batches):
         yield from batches
@@ -218,7 +229,13 @@ def run_one(name: str, sf_dir: str) -> None:
             runs = 5
     print(
         json.dumps(
-            {"query": name, "sec": round(best, 3), "rows": rows, "runs": runs}
+            {
+                "query": name,
+                "sec": round(best, 3),
+                "rows": rows,
+                "runs": runs,
+                "cal": calibration,
+            }
         )
     )
 
@@ -233,6 +250,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     timings: dict[str, float] = {}
+    cals: list[float] = []
     for name in HEADLINE:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -245,8 +263,12 @@ def main() -> None:
             raise RuntimeError(f"bench child failed for {name}")
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         timings[name] = rec["sec"]
+        if "cal" in rec:
+            cals.append(rec["cal"])
         print(f"# {name}: {rec['sec']:.3f}s ({rec['rows']} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
+    cals.sort()
+    cal_median = round(cals[len(cals) // 2], 3) if cals else None
     print(
         json.dumps(
             {
@@ -258,6 +280,10 @@ def main() -> None:
                 "runs_per_query": "3 (5 when min<2s)",
                 "aggregation": "min",
                 "isolation": "subprocess-per-query",
+                # median per-child time of a fixed shuffle+agg workload:
+                # divide per-query seconds by this to compare runs across
+                # machine-speed drift (raw seconds stay the headline)
+                "calibration_sec": cal_median,
             }
         )
     )
