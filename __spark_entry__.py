@@ -19,6 +19,7 @@ from bigdataminingproject_spark.functions.text import (
     SKIPWORDS,
 )
 from bigdataminingproject_spark.operators import association
+from bigdataminingproject_spark.operators import bpe
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
@@ -104,6 +105,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
+        # round 6, second batch: BPE tokenizer training (iterative
+        # relational merge loop) and its segmentation apply step
+        "q_doc_bpe_train": bpe.q_doc_bpe_train,
+        "q_doc_bpe_segment": bpe.q_doc_bpe_segment,
+        # round 6, second batch: watermarked stream-stream interval join
+        "q_stream_join_attribution": (
+            streaming_pipeline.q_stream_join_attribution
+        ),
         "q_corpus_curation_v4": curation.q_corpus_curation_v4,
         "q_events_funnel_latency": events.q_events_funnel_latency,
         "q_hard_negatives": retrieval.q_hard_negatives,
@@ -256,6 +265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round
         "q_stream_curation_maintenance",
         "q_sql_region_revenue",
+        # new this round, second batch: BPE training loop + apply,
+        # stream-stream interval join
+        "q_doc_bpe_train",
+        "q_doc_bpe_segment",
+        "q_stream_join_attribution",
         # semantics changed this round (ADVICE r5: LTTB sparse-bucket
         # fallback) — also previously never driver-attested
         "q_events_downsample",
@@ -1208,6 +1222,43 @@ def oracle_sql() -> dict[str, str]:
     # one ANSI string both engines run verbatim (exact integer cents,
     # so no float surface to reconcile).
     sql["q_sql_region_revenue"] = relational.REGION_REVENUE_SQL
+
+    # q_doc_bpe_train / q_doc_bpe_segment: the iterative BPE merge loop,
+    # unrolled to 8 CTE stages sharing the delimiter-string encoding and
+    # left-to-right non-overlapping replace() with the Spark operator
+    # (operators/bpe.py — the generator lives next to the operator so
+    # both renderings derive from the same constants).
+    sql["q_doc_bpe_train"] = bpe.bpe_train_oracle_sql(_TOKS_CTE, n_merges=8)
+    sql["q_doc_bpe_segment"] = bpe.bpe_segment_oracle_sql(
+        _TOKS_CTE, n_merges=8
+    )
+
+    # q_stream_join_attribution: batch interval-join twin of the
+    # watermarked stream-stream join — per-purchase prior-click rollup
+    # in exact integer cents.
+    sql["q_stream_join_attribution"] = """
+        WITH purchases AS (
+            SELECT event_id AS purchase_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT event_id AS click_id, user_id, ts, value FROM events
+            WHERE event_type = 'click'
+        ),
+        pairs AS (
+            SELECT p.purchase_id, p.user_id, c.value
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id
+             AND epoch_us(c.ts) <= epoch_us(p.ts)
+             AND epoch_us(c.ts) > epoch_us(p.ts) - CAST(14400000000 AS BIGINT)
+        )
+        SELECT purchase_id, user_id,
+               CAST(count(*) AS BIGINT) AS n_prior_clicks,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS click_value_cents
+        FROM pairs GROUP BY purchase_id, user_id
+        ORDER BY purchase_id
+    """
 
     sql["q_doc_lang_stats"] = """
         SELECT lang, count(*) AS num_docs,

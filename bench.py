@@ -90,6 +90,11 @@ HEADLINE = [
     "q_stream_curation_maintenance",
     "q_sql_region_revenue",
     "q_events_downsample",
+    # round-6 second batch: the iterative BPE merge loop (8 chained
+    # argmax rounds — the lineage-cut pattern under timing) and the
+    # watermarked stream-stream interval join
+    "q_doc_bpe_train",
+    "q_stream_join_attribution",
 ]
 
 

@@ -21,7 +21,9 @@ The spec space deliberately sticks to the repo's parity conventions
 * ``events.ts`` never appears (TIMESTAMP(NANOS) parquet; see
   ``sources/tables.py``);
 * every computed column carries the same alias on both sides; matrices
-  are compared order-insensitively, so no ORDER BY/LIMIT appears.
+  are compared order-insensitively, so ORDER BY/LIMIT appears only in
+  the top-k shape, where the order key is the base table's unique id —
+  a total order, so the selected k-set is deterministic cross-engine.
 
 Scale note: the generated plans are the shapes the engine runs at
 100 TB — FK equi-joins with broadcast dims, predicate-first filters,
@@ -188,16 +190,24 @@ class Spec:
     seed: int
     base: str
     joins: list = field(default_factory=list)  # (edge, how)
+    # existential FK filter instead of a join: (edge, 'semi'|'anti',
+    # Atom-on-right-table | None). Spark: left_semi/left_anti join;
+    # SQL: correlated [NOT] EXISTS — exercises DuckDB's decorrelation
+    # against Spark's dedicated join types.
+    exists_edge: tuple | None = None
     preds: list = field(default_factory=list)
-    shape: str = "project"  # project | agg
+    shape: str = "project"  # project | agg | window
     # project
     proj_cols: list = field(default_factory=list)
     computed: tuple | None = None  # (kind, Col, alias)
     distinct: bool = False
+    # deterministic top-k: ORDER BY base uid LIMIT k (uid in output)
+    topk: int | None = None
     # agg
     keys: list = field(default_factory=list)
     key_mod: tuple | None = None  # (Col, k, alias) bucketed int key
     key_case: tuple | None = None  # (Col, threshold, alias) lo/hi bucket
+    rollup: bool = False  # GROUP BY ROLLUP over plain keys
     aggs: list = field(default_factory=list)
     having_count: int | None = None
     # union: a second filter branch of the same projection, UNION ALL
@@ -268,6 +278,22 @@ def gen_spec(seed: int) -> Spec:
         spec.joins.append(
             (rng.choice(edges), rng.choice(["inner", "inner", "left"]))
         )
+    # existential FK filter (only when no join chain was drawn, so the
+    # right table's columns never leak into predicates/projections)
+    if not spec.joins and rng.random() < 0.3:
+        cand = [e for e in FK_EDGES if e[0] == spec.base]
+        if cand:
+            edge = rng.choice(cand)
+            atom = (
+                _rand_atom(rng, rng.choice(TABLES[edge[1]]))
+                if rng.random() < 0.6
+                else None
+            )
+            spec.exists_edge = (
+                edge,
+                rng.choice(["semi", "semi", "anti"]),
+                atom,
+            )
     # filter conjunction (0-2 predicates, each sometimes an OR pair)
     cols = _cols_in(spec)
     for _ in range(rng.choice([0, 1, 1, 2])):

@@ -906,3 +906,95 @@ def q_stream_curation_maintenance(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_join_attribution(spark, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (registry entry) — the
+    fifth Structured Streaming shape: two live streams joined on key +
+    event-time range.
+
+    The batch temporal-join family (operators/temporal.py: asof / range
+    / pit) answers "which clicks preceded this purchase?" offline; this
+    twin answers it ONLINE: purchases and clicks replay as two
+    independent micro-batched file streams, each carrying its own
+    watermark, and Spark's stream-stream inner join buffers just enough
+    of each side's state to emit every (purchase, prior-click-within-4
+    -hours, same-user) pair. The time-range predicate plus the two
+    watermarks is exactly what lets the engine BOUND that state: clicks
+    older than ``watermark - 4 hours`` can never match a future
+    purchase and are evicted — the 100 TB shape, where neither stream
+    is ever materialized whole.
+
+    Inner-join matches emit as soon as both rows are buffered (no
+    watermark wait — only OUTER joins hold rows back), so draining both
+    bounded replays yields the complete batch join; per-purchase
+    aggregation then runs as a cheap batch step over the drained pairs
+    (an unwindowed per-key aggregate is not append-expressible after a
+    stream-stream join, and the join is the shape under test).
+
+    Output: for every purchase with >= 1 prior click in the 4-hour window —
+    ``(purchase_id, user_id, n_prior_clicks, click_value_cents)`` —
+    integers only (exact-cents convention), same DuckDB oracle as a
+    batch interval join over the events table.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    )
+    stage_p = tempfile.mkdtemp(prefix="q_stream_join_p_")
+    stage_c = tempfile.mkdtemp(prefix="q_stream_join_c_")
+    try:
+        p_stream = file_replay_source(
+            spark, purchases, stage_p, chunks=4, order_col="p_ts"
+        ).withWatermark("p_ts", "30 minutes")
+        c_stream = file_replay_source(
+            spark, clicks, stage_c, chunks=4, order_col="c_ts"
+        ).withWatermark("c_ts", "30 minutes")
+        pairs = p_stream.join(
+            c_stream,
+            F.expr(
+                "c_user = p_user"
+                " AND c_ts <= p_ts"
+                " AND c_ts > p_ts - INTERVAL 4 HOURS"
+            ),
+            "inner",
+        )
+        name = f"stream_join_{uuid.uuid4().hex[:12]}"
+        run_to_memory(pairs, name, output_mode="append")
+        return (
+            spark.table(name)
+            .groupBy(
+                F.col("purchase_id"), F.col("p_user").alias("user_id")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_prior_clicks"),
+                F.sum(
+                    F.floor(F.col("c_value") * F.lit(100) + F.lit(0.5))
+                    .cast("long")
+                )
+                .cast("long")
+                .alias("click_value_cents"),
+            )
+            .orderBy("purchase_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(stage_p, ignore_errors=True)
+        shutil.rmtree(stage_c, ignore_errors=True)

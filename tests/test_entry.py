@@ -51,11 +51,16 @@ def test_round6_rotation_head_is_pinned():
     oracle changed), then the 2 never-driver-attested round-5 queries,
     then the 5 r2-deferred map-only transforms, then the oldest (r3)
     backlog. An accidental reorder (e.g. a new query inserted at the
-    literal top) would silently displace a re-attestation — pin it."""
+    literal top) would silently displace a re-attestation — pin it.
+    (Second round-6 batch added 3 more tier-0 rows: BPE train/segment
+    and the stream-stream join; 3 more r3 rows roll to round 7.)"""
     keys = list(entrymod.queries().keys())
-    assert keys[:15] == [
+    assert keys[:18] == [
         "q_stream_curation_maintenance",
         "q_sql_region_revenue",
+        "q_doc_bpe_train",
+        "q_doc_bpe_segment",
+        "q_stream_join_attribution",
         "q_events_downsample",
         "q_embedding_neardup_lsh",
         "q_semantic_dedup",
@@ -80,9 +85,9 @@ def test_round6_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 16-50 burn the oldest backlog: every one is an r3 row
-    stale = [k for k in keys[15:50] if latest.get(k, 9) == 3]
-    assert len(stale) == 35, (
-        f"rotation slots 16-50 must carry 35 r3-backlog queries, got "
+    # slots 19-50 burn the oldest backlog: every one is an r3 row
+    stale = [k for k in keys[18:50] if latest.get(k, 9) == 3]
+    assert len(stale) == 32, (
+        f"rotation slots 19-50 must carry 32 r3-backlog queries, got "
         f"{len(stale)}"
     )

@@ -479,3 +479,47 @@ def test_stream_hourly_maintenance_equals_batch_hourly(spark, sf_dir):
         tuple(r) for r in q_stream_hourly_maintenance(spark, sf_dir).collect()
     ]
     assert live == batch
+
+
+def test_stream_join_attribution_equals_batch_interval_join(spark, sf_dir):
+    """The watermarked stream-stream interval join, drained over the
+    bounded replay, lands exactly on the batch interval join (inner
+    matches emit as soon as both sides are buffered; eviction only
+    removes rows the watermark proves unmatchable)."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_join_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value"),
+    )
+    batch = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 4 HOURS")),
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_prior_clicks"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("click_value_cents"),
+        )
+        .orderBy("purchase_id")
+    )
+    live = [tuple(r) for r in q_stream_join_attribution(spark, sf_dir).collect()]
+    assert live == [tuple(r) for r in batch.collect()]
+    assert len(live) > 0
