@@ -1742,8 +1742,13 @@ def oracle_sql() -> dict[str, str]:
     # any corpus > 2k vectors), and the band count is FIXED at 8 with
     # the plane family growing to 8*pb members (round-6 recall
     # adjustment, VERDICT r5 #4). 128 sign bits are materialized as a
-    # DOUBLE list (pb <= 16, i.e. corpora to ~2M vectors — grow the
-    # inline count alongside _auto_band_bits for more) and each band's
+    # DOUBLE list (pb <= 16 with 8 fixed bands, i.e. corpora to
+    # 8 * 2^16 = ~524k vectors — grow the inline count alongside
+    # _auto_band_bits for more; ADVICE r6 corrected the earlier ~2M
+    # claim, which belongs to the 16-bit SemDeDup cells). The prm CTE
+    # raises a loud DuckDB error() if the derived pb ever exceeds 16,
+    # so outgrowing the inlined plane budget can never silently
+    # diverge from the Spark side's unbounded auto-sizing) and each band's
     # bucket is a slice x weight-vector dot (weights 2^(pb-1-i), the
     # numpy MSB-first convention) — exact in doubles for pb <= 53.
     _planes = similarity.det_planes(dim=64, n_planes=128)
@@ -1760,9 +1765,18 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q_embedding_neardup_lsh"] = f"""
         WITH prm AS (
-            SELECT CAST(greatest(8.0,
-                       ceil(log2(greatest(count(*), 2) / 8.0)))
-                       AS INT) AS pb
+            SELECT CASE
+                       WHEN ceil(log2(greatest(count(*), 2) / 8.0)) > 16
+                       THEN CAST(error(
+                           'q_embedding_neardup_lsh oracle: derived '
+                           'per-band bits > 16 exceeds the 128 inlined '
+                           'planes (corpus > ~524k vectors); grow the '
+                           'inline plane count alongside _auto_band_bits'
+                       ) AS INT)
+                       ELSE CAST(greatest(8.0,
+                           ceil(log2(greatest(count(*), 2) / 8.0)))
+                           AS INT)
+                   END AS pb
             FROM embeddings
         ),
         prm2 AS (SELECT pb, 8 AS nb FROM prm),

@@ -23,7 +23,21 @@ The spec space deliberately sticks to the repo's parity conventions
 * every computed column carries the same alias on both sides; matrices
   are compared order-insensitively, so ORDER BY/LIMIT appears only in
   the top-k shape, where the order key is the base table's unique id —
-  a total order, so the selected k-set is deterministic cross-engine.
+  a total order, so the selected k-set is deterministic cross-engine;
+* existential FK filters render as left_semi/left_anti joins on the
+  Spark side and correlated [NOT] EXISTS subqueries on the SQL side —
+  exercising DuckDB's decorrelation against Spark's dedicated join
+  types (ADVICE r6: previously drawn but never rendered);
+* ROLLUP aggregations (subtotal + grand-total grouping sets) render as
+  ``DataFrame.rollup`` vs ``GROUP BY ROLLUP`` — the null-extension
+  convention for rolled-up keys must agree across engines. One REAL
+  upstream divergence, found by this fuzzer's first rollup run (seed
+  289): on an EMPTY input the SQL standard (and DuckDB) emits the
+  grand-total grouping-set row — ``(NULL, …, count=0)`` — while Spark's
+  ``rollup`` emits zero rows. The SQL rendering encodes Spark's
+  documented behavior with an ``EXISTS`` guard over the filtered input
+  so the comparison tests OUR rendering conventions, not that known
+  engine difference.
 
 Scale note: the generated plans are the shapes the engine runs at
 100 TB — FK equi-joins with broadcast dims, predicate-first filters,
@@ -343,6 +357,15 @@ def gen_spec(seed: int) -> Spec:
                     rng.randint(c.pool[0], c.pool[1]),
                     f"{c.name}_band",
                 )
+        # ROLLUP over plain column keys only: a computed bucket/CASE key
+        # inside a grouping set would make the "rolled-up NULL vs
+        # computed NULL" distinction ambiguous to compare.
+        if (
+            spec.key_mod is None
+            and spec.key_case is None
+            and rng.random() < 0.2
+        ):
+            spec.rollup = True
         n_aggs = rng.randint(1, 3)
         kinds = ["count", "sum_int", "sum_cents", "min", "max", "nuniq"]
         for i in range(n_aggs):
@@ -392,6 +415,15 @@ def gen_spec(seed: int) -> Spec:
             # projection (duplicates preserved — the matrix compare is
             # multiset-sensitive, so bag semantics are exercised)
             spec.union_pred = Pred([_rand_atom(rng, rng.choice(cols))])
+        if (
+            not spec.distinct
+            and spec.union_pred is None
+            and rng.random() < 0.25
+        ):
+            # deterministic top-k: ORDER BY the base table's unique id
+            # (a total order even post-filter) LIMIT k, uid in output —
+            # the one shape where ORDER BY/LIMIT is cross-engine safe
+            spec.topk = rng.randint(1, 20)
     return spec
 
 
@@ -426,6 +458,20 @@ def spec_to_df(spark: SparkSession, sf_dir: str, spec: Spec) -> DataFrame:
     from bigdataminingproject_spark.sources.tables import load_table
 
     df = load_table(spark, sf_dir, spec.base)
+    if spec.exists_edge is not None:
+        # Existential FK filter: Spark's dedicated semi/anti join types
+        # vs the SQL side's correlated [NOT] EXISTS. Applied before the
+        # union-branch capture — the filter is part of the base
+        # relation (the SQL renderer wraps it in the FROM subquery).
+        (_lt, rt, lc, rc), mode, atom = spec.exists_edge
+        right = load_table(spark, sf_dir, rt)
+        if atom is not None:
+            right = right.filter(_atom_col(atom))
+        df = df.join(
+            F.broadcast(right.select(rc)),
+            F.col(lc) == F.col(rc),
+            "left_semi" if mode == "semi" else "left_anti",
+        )
     for (lt, rt, lc, rc), how in spec.joins:
         right = load_table(spark, sf_dir, rt)
         # FK targets are dims relative to the fact side: broadcast —
@@ -441,6 +487,8 @@ def spec_to_df(spark: SparkSession, sf_dir: str, spec: Spec) -> DataFrame:
 
         def _project(dfx: DataFrame) -> DataFrame:
             cols = [F.col(c.name) for c in spec.proj_cols]
+            if spec.topk is not None:
+                cols.append(F.expr(UID_EXPR[spec.base]).alias("uid"))
             if spec.computed:
                 kind, c, alias = spec.computed
                 e = F.col(c.name)
@@ -465,6 +513,8 @@ def spec_to_df(spark: SparkSession, sf_dir: str, spec: Spec) -> DataFrame:
         if spec.union_pred is not None:
             cond = _atom_col(spec.union_pred.atoms[0])
             out = out.unionByName(_project(joined.filter(cond)))
+        if spec.topk is not None:  # never combined with distinct/union
+            return out.orderBy("uid").limit(spec.topk)
         return out.distinct() if spec.distinct else out
     if spec.shape == "window":
         from pyspark.sql.window import Window as W
@@ -539,7 +589,8 @@ def spec_to_df(spark: SparkSession, sf_dir: str, spec: Spec) -> DataFrame:
             if a.col.kind == "date":
                 e = e.cast("date")
             aggs.append(F.max(e).alias(a.alias))
-    out = df.groupBy(*keys).agg(*aggs)
+    grouped = df.rollup(*keys) if spec.rollup else df.groupBy(*keys)
+    out = grouped.agg(*aggs)
     if spec.having_count is not None:
         cnt = next(a.alias for a in spec.aggs if a.kind == "count")
         out = out.filter(F.col(cnt) >= spec.having_count)
@@ -578,6 +629,20 @@ def _atom_sql(a: Atom) -> str:
 
 def spec_to_sql(spec: Spec) -> str:
     frm = spec.base
+    if spec.exists_edge is not None:
+        # Correlated [NOT] EXISTS wrapped into the FROM subquery so the
+        # union branch (which re-filters the same relation) inherits it,
+        # mirroring the DF renderer's pre-capture semi/anti join. TPC-H
+        # column prefixes make the outer column reference unambiguous.
+        (_lt, rt, lc, rc), mode, atom = spec.exists_edge
+        neg = "NOT " if mode == "anti" else ""
+        cond = f"{rc} = {lc}"
+        if atom is not None:
+            cond += f" AND {_atom_sql(atom)}"
+        frm = (
+            f"(SELECT * FROM {spec.base} WHERE {neg}EXISTS "
+            f"(SELECT 1 FROM {rt} WHERE {cond})) AS {spec.base}"
+        )
     for (lt, rt, lc, rc), how in spec.joins:
         kw = "JOIN" if how == "inner" else "LEFT JOIN"
         frm += f" {kw} {rt} ON {lc} = {rc}"
@@ -595,6 +660,8 @@ def spec_to_sql(spec: Spec) -> str:
             else c.name
             for c in spec.proj_cols
         ]
+        if spec.topk is not None:
+            cols.append(f"{UID_EXPR[spec.base]} AS uid")
         if spec.computed:
             kind, c, alias = spec.computed
             expr = {
@@ -612,6 +679,8 @@ def spec_to_sql(spec: Spec) -> str:
         if spec.union_pred is not None:  # only generated with distinct=False
             w2 = " WHERE " + _atom_sql(spec.union_pred.atoms[0])
             q = f"{q} UNION ALL SELECT {', '.join(cols)} FROM {frm}{w2}"
+        if spec.topk is not None:  # never combined with distinct/union
+            q = f"{q} ORDER BY uid LIMIT {spec.topk}"
         return q
     if spec.shape == "window":
         pk = spec.win_partition
@@ -678,10 +747,21 @@ def spec_to_sql(spec: Spec) -> str:
         if spec.having_count is not None
         else ""
     )
-    return (
-        f"SELECT {', '.join(keycols + aggcols)} FROM {frm}{where} "
-        f"GROUP BY {', '.join(keyexprs)}{having}"
+    group = (
+        f"ROLLUP ({', '.join(keyexprs)})"
+        if spec.rollup
+        else ", ".join(keyexprs)
     )
+    q = (
+        f"SELECT {', '.join(keycols + aggcols)} FROM {frm}{where} "
+        f"GROUP BY {group}{having}"
+    )
+    if spec.rollup:
+        # Spark's rollup emits NO grouping-set rows on an empty input;
+        # the SQL standard emits the grand-total row. Encode Spark's
+        # behavior (see module docstring — real divergence, seed 289).
+        q = f"SELECT * FROM ({q}) WHERE EXISTS (SELECT 1 FROM {frm}{where})"
+    return q
 
 
 # --------------------------------------------------------------------------

@@ -81,3 +81,43 @@ def test_fuzz_space_covers_shapes():
         "lag",
         "running_sum",
     }
+    # ADVICE r6: dead grammar features must fail loudly — every Spec
+    # field has to be both generated AND rendered somewhere in range.
+    assert any(s.exists_edge is not None for s in specs)
+    assert any(
+        s.exists_edge is not None and s.exists_edge[1] == "anti"
+        for s in specs
+    )
+    assert any(
+        s.exists_edge is not None and s.exists_edge[2] is not None
+        for s in specs
+    )
+    assert any(s.topk is not None for s in specs)
+    assert any(s.rollup for s in specs)
+
+
+def test_fuzz_renderers_consume_every_field():
+    """Every generated spec field materially changes at least one
+    rendering: blanking the field on a spec that has it must alter the
+    SQL text (the renderer-level half of the dead-grammar guard)."""
+    import dataclasses
+
+    for field_name, blank in [
+        ("exists_edge", None),
+        ("topk", None),
+        ("rollup", False),
+    ]:
+        hit = False
+        for seed in range(N_SEEDS):
+            spec = fuzz.gen_spec(seed)
+            if getattr(spec, field_name) in (None, False):
+                continue
+            stripped = dataclasses.replace(spec, **{field_name: blank})
+            assert fuzz.spec_to_sql(spec) != fuzz.spec_to_sql(stripped), (
+                field_name,
+                seed,
+            )
+            hit = True
+            if hit:
+                break
+        assert hit, f"{field_name} never generated in seed range"
