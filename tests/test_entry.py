@@ -44,50 +44,52 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
         con.execute(q).fetchall()
 
 
-def test_round6_rotation_head_is_pinned():
+def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
-    registry's head section IS the round-6 rotation contract
-    (VERDICT r5 #1): 8 tier-0 (2 new round-6 queries + 6 whose code or
-    oracle changed), then the 2 never-driver-attested round-5 queries,
-    then the 5 r2-deferred map-only transforms, then the oldest (r3)
-    backlog. An accidental reorder (e.g. a new query inserted at the
-    literal top) would silently displace a re-attestation — pin it.
-    (Second round-6 batch added 3 more tier-0 rows: BPE train/segment
-    and the stream-stream join; 3 more r3 rows roll to round 7.)"""
+    registry's head section IS the round-7 rotation contract
+    (VERDICT r6 #1): 4 tier-0 slots (the new streaming-v4 maintenance
+    query + the three whose code or oracle changed this round), then
+    the 16 r3-latest rows — the exact rotation tail VERDICT r6 listed
+    — then the r4 backlog oldest-first. An accidental reorder (e.g. a
+    new query inserted at the literal top) would silently displace a
+    re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:18] == [
+    assert keys[:20] == [
+        "q_stream_curation_v4_maintenance",
         "q_stream_curation_maintenance",
-        "q_sql_region_revenue",
-        "q_doc_bpe_train",
-        "q_doc_bpe_segment",
-        "q_stream_join_attribution",
-        "q_events_downsample",
+        "q_knn_ivf_det",
         "q_embedding_neardup_lsh",
-        "q_semantic_dedup",
-        "q_corpus_curation_v4",
-        "q_corpus_curation_incremental",
-        "q_stream_hourly_maintenance",
-        "q_segment_rfm_skyline",
-        "q_mmr_rerank",
-        "q_doc_pack_sequences",
-        "q_doc_repetition",
-        "q_doc_pii_redact",
-        "q_doc_decontaminate",
-        "q_doc_length_buckets",
+        "q_events_anomalous_hours",
+        "q_events_time_rollup",
+        "q_doc_tfidf_topk",
+        "q_doc_domain_cap",
+        "q_doc_shards",
+        "q_doc_unigram_nll",
+        "q_doc_winnow",
+        "q_source_contamination",
+        "q_doc_winnow_pairs",
+        "q_embedding_shard_stats",
+        "q_events_latest_state",
+        "q_events_rolling_7d",
+        "q_events_active_users",
+        "q_media_frames",
+        "q12_priority_by_returnflag",
+        "q_media_features",
     ]
     import json
     import os
 
     latest = {}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         path = os.path.join(here, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 19-50 burn the oldest backlog: every one is an r3 row
-    stale = [k for k in keys[18:50] if latest.get(k, 9) == 3]
-    assert len(stale) == 32, (
-        f"rotation slots 19-50 must carry 32 r3-backlog queries, got "
-        f"{len(stale)}"
+    # slots 5-20 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[4:20])
+    r4_slots = [k for k in keys[20:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 30, (
+        f"rotation slots 21-50 must carry 30 r4-backlog queries, got "
+        f"{len(r4_slots)}"
     )
