@@ -464,13 +464,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).orderBy("doc_id")
 
 
-def span_dedup(
+def span_flags(
     docs: DataFrame,
     span_tokens: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    seen_hashes: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact-substring (span-level) dedup, Lee et al. 2022 shape.
+    """Exact-substring (span-level) dedup, Lee et al. 2022 shape —
+    per-span keep/remove flags (``span_dedup`` aggregates them to the
+    per-doc manifest).
 
     Deduplicating Training Data Makes Language Models Better removes
     *repeated substrings* rather than whole documents: a doc that quotes
@@ -491,8 +494,18 @@ def span_dedup(
     span relation is smaller than the corpus itself and both exchanges
     hash-partition on high-cardinality keys.
 
-    Returns one row per input document: span counts, the md5 of the
-    rebuilt (deduplicated) text, and the kept token count.
+    Returns one row per (doc_id, span_idx): span text, hash, and
+    ``kept`` — 1 iff this occurrence is the globally first for its hash
+    in (doc_id, span_idx) order AND, when ``seen_hashes`` (a relation
+    with column ``span_h``) is given, the hash was never seen before.
+    ``seen_hashes`` is what makes the operator incrementally
+    maintainable: the streaming curation twin feeds the persisted
+    span-hash index, so a crawl batch decides its spans against history
+    WITHOUT rescanning it — id-monotone arrival order makes the
+    arrival-time decision equal the full-corpus rerun's (a first
+    occurrence can never be stolen by a later doc). The newly-claimed
+    hashes a batch must append to the index are exactly its kept
+    spans' distinct hashes.
     """
     toks = F.when(
         F.length(F.col(text_col)) == 0, F.array().cast("array<string>")
@@ -530,36 +543,73 @@ def span_dedup(
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.md5("span_text")).orderBy("doc_id", "span_idx")
-    flagged = spans.withColumn("_rn", F.row_number().over(w))
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("_rn") == 1).cast("long")).alias("kept_spans"),
-            F.sum((F.col("_rn") > 1).cast("long")).alias("removed_spans"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("_rn") == 1,
-                                    F.struct("span_idx", "span_text"),
-                                )
-                            )
-                        ),
-                        lambda s: s["span_text"],
-                    ),
-                    " ",
-                )
-            ).alias("clean_hash"),
-            F.sum(
-                F.when(
-                    F.col("_rn") == 1,
-                    F.size(F.split("span_text", " ")),
-                ).otherwise(F.lit(0))
-            ).alias("kept_tokens"),
+    flagged = spans.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "span_h", F.md5("span_text")
+    )
+    if seen_hashes is None:
+        kept = F.col("_rn") == 1
+    else:
+        # a hash already claimed by history removes every occurrence;
+        # otherwise first-in-input order wins, exactly as in the
+        # full-corpus window (id-monotone arrival ⇒ same decisions)
+        seen = seen_hashes.select("span_h").distinct().withColumn(
+            "_seen", F.lit(1)
         )
+        flagged = flagged.join(seen, "span_h", "left")
+        kept = (F.col("_rn") == 1) & F.col("_seen").isNull()
+    return flagged.select(
+        "doc_id",
+        "span_idx",
+        "span_text",
+        "span_h",
+        kept.cast("int").alias("kept"),
+    )
+
+
+def span_stats_from_flags(flags: DataFrame) -> DataFrame:
+    """Aggregate ``span_flags`` rows to ``span_dedup``'s per-doc
+    manifest: span counts, md5 of the rebuilt (kept-spans-only) text,
+    kept token count."""
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("kept").cast("long")).alias("kept_spans"),
+        F.sum((F.col("kept") == 0).cast("long")).alias("removed_spans"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept") == 1,
+                                F.struct("span_idx", "span_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+        F.sum(
+            F.when(
+                F.col("kept") == 1,
+                F.size(F.split("span_text", " ")),
+            ).otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring (span-level) dedup manifest — see ``span_flags``
+    for the algorithm and scale notes; this is its per-doc aggregation
+    over the whole corpus in one pass."""
+    return span_stats_from_flags(
+        span_flags(docs, span_tokens, id_col, text_col)
     )
 
 

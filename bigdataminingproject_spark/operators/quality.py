@@ -301,6 +301,52 @@ def unigram_logprob(
     )
 
 
+def doc_token_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, token, cnt) — the compact per-doc sufficient statistic
+    for ``unigram_logprob``. The incremental curation pipeline appends
+    these rows per crawl batch (the one text pass each doc ever pays)
+    and re-derives every doc's nll under the EVOLVING corpus LM from
+    the index alone via ``unigram_logprob_from_counts`` — the unigram
+    distribution is global state no per-doc cache can make incremental,
+    but the recompute never has to touch text again."""
+    toks = tokenize(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(toks).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_logprob_from_counts(tok_counts: DataFrame) -> DataFrame:
+    """``unigram_logprob`` re-derived from a ``doc_token_counts``
+    relation: same output schema and 4-dp rounding. The per-doc sum is
+    weighted by cnt rather than repeated per occurrence — re-association
+    noise ~1e-13 against the 5e-5 rounding quantum, the same tolerance
+    the batch operator already relies on for its own shuffle order."""
+    counts = tok_counts.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
+    total = counts.agg(F.sum("gcnt").alias("total"))
+    return (
+        tok_counts.join(counts, "token")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(
+                    F.col("cnt") * F.log(F.col("gcnt") / F.col("total"))
+                )
+                / F.sum("cnt"),
+                4,
+            ).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_doc_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM surprisal score per document (quality filter input)."""
     from bigdataminingproject_spark.sources.tables import load_table
@@ -475,6 +521,7 @@ def winnow_pairs(
     max_df: int = 100,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fp_rel: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-level clone candidates: doc pairs sharing >=
     ``min_shared`` winnowing fingerprints.
@@ -491,8 +538,21 @@ def winnow_pairs(
     dropped BEFORE the self-join (window-count + filter), bounding
     per-fingerprint fan-out at C(max_df, 2). One equi-join on the
     fingerprint, one aggregate to pairs.
+
+    ``fp_rel`` (a (doc_id, win_min) relation, ``_winnow_fp``'s schema)
+    replaces the text pass — the incremental-curation path feeds the
+    persisted fingerprint index restricted to the current survivor set,
+    so the df-filter and pair join see exactly the rows a fresh
+    ``_winnow_fp(docs)`` would produce without re-tokenizing anything.
+    The document-frequency cut is computed over whatever relation is
+    passed, matching the batch semantics where df is relative to the
+    input doc set.
     """
-    fp = _winnow_fp(docs, k, w, text_col, id_col)
+    fp = (
+        fp_rel
+        if fp_rel is not None
+        else _winnow_fp(docs, k, w, text_col, id_col)
+    )
     df_w = Window.partitionBy("win_min")
     rare = fp.withColumn("_df", F.count(F.lit(1)).over(df_w)).filter(
         F.col("_df") <= max_df

@@ -767,6 +767,124 @@ def q_embedding_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = 0.35
 
 
+# The incremental cell index stores sign bits at this fixed maximum
+# precision; any count-derived layout <= this is a pure bit-mask of it.
+SEM_CELL_MAX_PLANES = 16
+
+
+def semantic_cell_planes(n: int) -> int:
+    """Count-derived SemDeDup cell precision: ~32 vectors per cell held
+    constant (max(6, ceil(log2(n/32)))) — the single arithmetic the
+    batch operator, the DuckDB oracle, and the incremental maintenance
+    path all share. Raises loudly past ``SEM_CELL_MAX_PLANES`` (n >
+    32·2^16 ≈ 2M vectors): the stored 16-bit cell index can no longer
+    express the layout — grow the constant and re-index, the same
+    protocol as the LSH oracle's inlined plane budget."""
+    p = max(6, math.ceil(math.log2(max(n, 2) / 32)))
+    if p > SEM_CELL_MAX_PLANES:
+        raise ValueError(
+            f"semantic cell layout needs {p} planes for n={n}, above the "
+            f"{SEM_CELL_MAX_PLANES}-bit stored-cell budget; raise "
+            "SEM_CELL_MAX_PLANES and re-index"
+        )
+    return p
+
+
+def semantic_cells16(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, vec, cell16): sign-bit cell ids at the FIXED maximum
+    precision. ``cell_id`` is LSB-first over a deterministic plane
+    family, so the count-derived p-plane cell any ``semantic_dedup``
+    layout uses is simply ``cell16 & (2^p - 1)`` — growing the corpus
+    refines cells by masking more stored bits, never by touching a
+    vector again. This is the one-time-per-vector work the incremental
+    curation pipeline appends to its cell index at arrival."""
+    planes = det_planes(dim, SEM_CELL_MAX_PLANES)
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    ).withColumn("cell16", cell_id(F.col("vec"), planes))
+
+
+def semantic_candidates(
+    all_cells: DataFrame,
+    delta_cells: DataFrame,
+    n_so_far: int,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """Arrival-time SemDeDup candidate pairs for a crawl delta.
+
+    Joins the delta (dup side) against the full index so far (rep side
+    — state plus the delta itself, so same-batch pairs resolve) on the
+    CURRENT count-derived cell prefix. Because cell layouts only ever
+    refine as the corpus grows (mask property above), the arrival-time
+    cell is coarser than or equal to the final layout's — the candidate
+    set logged here is a SUPERSET of the final same-cell pairs, and
+    ``semantic_drops_from_candidates`` cuts it down exactly at publish
+    time. Each (rep < dup, cosine >= threshold) pair is discovered
+    exactly once: at the later member's arrival batch.
+
+    Cosine is rounded to 6 dp BEFORE the threshold cut, bit-matching
+    ``semantic_dedup``'s batch filter.
+    """
+    p = semantic_cell_planes(n_so_far)
+    mask = (1 << p) - 1
+    a = delta_cells.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("vec").alias("dup_vec"),
+        F.col("cell16").bitwiseAND(F.lit(mask)).alias("cell"),
+        F.col("cell16").alias("dup_cell16"),
+    )
+    b = all_cells.select(
+        F.col("vec_id").alias("rep_id"),
+        F.col("vec").alias("rep_vec"),
+        F.col("cell16").bitwiseAND(F.lit(mask)).alias("cell"),
+        F.col("cell16").alias("rep_cell16"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("rep_id") < F.col("dup_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("dup_vec"), F.col("rep_vec")), 6),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("dup_id", "rep_id", "cosine_sim", "dup_cell16", "rep_cell16")
+    )
+
+
+def semantic_drops_from_candidates(
+    candidates: DataFrame, n_total: int
+) -> DataFrame:
+    """Publish-time resolution of the logged candidate pairs to
+    ``semantic_dedup``'s exact output: keep only pairs sharing a cell
+    under the FINAL count-derived layout (stored-bit mask — no vector
+    recompute), then pick each dup's representative (max cosine, tie →
+    lowest rep id). Equality with the batch operator is structural:
+    every final same-cell pair was logged (superset property), and the
+    mask filter removes exactly the pairs a finer final layout
+    separates."""
+    p = semantic_cell_planes(n_total)
+    mask = (1 << p) - 1
+    final = candidates.filter(
+        F.col("dup_cell16").bitwiseAND(F.lit(mask))
+        == F.col("rep_cell16").bitwiseAND(F.lit(mask))
+    )
+    w = Window.partitionBy("dup_id").orderBy(
+        F.desc("cosine_sim"), F.asc("rep_id")
+    )
+    return (
+        final.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("dup_id", "rep_id", "cosine_sim")
+        .orderBy("dup_id")
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
@@ -805,8 +923,7 @@ def semantic_dedup(
     already cut to the threshold.
     """
     if n_cell_planes is None:
-        n = vectors.count()
-        n_cell_planes = max(6, math.ceil(math.log2(max(n, 2) / 32)))
+        n_cell_planes = semantic_cell_planes(vectors.count())
     planes = det_planes(dim, n_cell_planes)
     v = vectors.select(
         F.col(id_col).alias("vec_id"),

@@ -680,3 +680,201 @@ def q_corpus_curation_v4(spark, sf_dir: str) -> DataFrame:
     return curate_corpus_v4(
         train, bench, vecs, redact_text=synthetic_pii_text()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental v4 (VERDICT r6 #2): the FULL curation composition —
+# decontam → domain cap → winnow clone prune → surprisal band → PII →
+# SemDeDup → span rewrite — maintained by a streaming crawl without
+# ever rescanning history. The split exploits the stage taxonomy:
+#
+#   * per-doc signals (gate verdicts, PII counts/md5, token counts,
+#     winnowing fingerprints, span decisions, cell assignments) are
+#     extracted ONCE at a doc's arrival batch — the only text/vector
+#     passes anywhere — and appended to compact indices;
+#   * prefix-monotone pairwise decisions (span first-occurrence,
+#     SemDeDup candidates) are DECIDED at arrival against the persisted
+#     indices: id-monotone crawl order means a later doc can never
+#     change an earlier doc's outcome;
+#   * the non-monotone scalar stages (domain cap rank, the evolving
+#     unigram-LM surprisal cut, the survivor-relative fingerprint
+#     df-filter) are re-derived at publish time from the indices alone
+#     — cheap aggregations over 1-row-per-doc / per-signal relations,
+#     never a re-tokenize.
+#
+# The publish-time assembly is EXACTLY equal to the batch
+# ``curate_corpus_v4`` over the accumulated corpus (same oracle),
+# which is what q_stream_curation_v4_maintenance attests.
+# ---------------------------------------------------------------------------
+
+
+def curation_v4_delta_signals(
+    delta_docs: DataFrame,
+    bench: DataFrame,
+    redact_text: Column | None = None,
+    decontam_k: int = 4,
+    span_tokens: int = 16,
+    span_seen: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Arrival-time signal extraction for one crawl batch — every text
+    pass the docs of this delta will ever pay. Returns the five index
+    deltas the maintenance stores append:
+
+    ``stats``
+        1 row/doc: (doc_id, source, len_text, contaminated, n_email,
+        n_phone, n_ip, redacted_md5). Decontamination is decided here
+        (static benchmark shingle set, broadcast) — per-doc predicate,
+        monotone by construction.
+    ``tok_counts``
+        (doc_id, token, cnt) for NON-contaminated docs (the LM is fit
+        on the decontaminated corpus, matching ``curate_corpus_v3``).
+    ``winnow_fp``
+        (doc_id, win_min) for non-contaminated docs; the publish-time
+        clone prune filters this index to the final cap survivors.
+    ``span_stats``
+        ``span_dedup``'s per-doc manifest, decided against
+        ``span_seen`` (the persisted span-hash index) — arrival-time
+        decisions equal the full-corpus rerun's by first-occurrence
+        monotonicity.
+    ``span_kept_hashes``
+        the distinct hashes this batch newly claims (its kept spans) —
+        the rows to append to the span-hash index.
+
+    Pass the batch relation localCheckpoint'ed or file-backed (a
+    foreachBatch source already is): the five plans each re-scan it.
+    """
+    from bigdataminingproject_spark.operators.dedup import (
+        span_flags,
+        span_stats_from_flags,
+    )
+    from bigdataminingproject_spark.operators.quality import (
+        _winnow_fp,
+        decontaminate,
+        doc_token_counts,
+        pii_redact,
+    )
+
+    text = redact_text if redact_text is not None else F.col("text")
+    contam = decontaminate(delta_docs, bench, k=decontam_k)
+    red = pii_redact(
+        delta_docs.select("doc_id", text.alias("text")), "text"
+    ).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ip",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+    stats = (
+        delta_docs.select(
+            "doc_id", "source", F.length("text").alias("len_text")
+        )
+        .join(contam, "doc_id")
+        .join(red, "doc_id")
+    )
+    clean = delta_docs.join(
+        contam.filter(F.col("contaminated") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    flags = span_flags(
+        delta_docs, span_tokens=span_tokens, seen_hashes=span_seen
+    )
+    return {
+        "stats": stats,
+        "tok_counts": doc_token_counts(clean),
+        "winnow_fp": _winnow_fp(clean),
+        "span_stats": span_stats_from_flags(flags).select(
+            "doc_id", "kept_spans", "removed_spans", "clean_hash"
+        ),
+        "span_kept_hashes": flags.filter(F.col("kept") == 1)
+        .select("span_h")
+        .distinct(),
+    }
+
+
+def assemble_curation_v4(
+    stats: DataFrame,
+    tok_counts: DataFrame,
+    winnow_fp: DataFrame,
+    sem_drops: DataFrame,
+    span_stats: DataFrame,
+    cap_per_source: int = 40,
+    clone_min_shared: int = 2,
+    nll_sigma: float = 2.0,
+) -> DataFrame:
+    """Publish-time v4 manifest from the maintained indices alone —
+    structurally equal to ``curate_corpus_v4`` over the accumulated
+    corpus, stage by stage:
+
+    * domain cap: rank window over the 1-row-per-doc stats (score =
+      stored text length, ties by id — ``domain_cap``'s own ordering);
+    * clone prune: ``winnow_pairs`` fed the fingerprint index filtered
+      to the cap survivors (df-filter relative to survivors, exactly
+      the batch's ``winnow_pairs(kept_docs)`` input relation);
+    * surprisal band: every doc's nll re-derived from the token-count
+      index under the FINAL corpus LM (``unigram_logprob_from_counts``
+      — the one stage whose global state makes per-doc caching
+      impossible; the recompute is index-only);
+    * SemDeDup drop list and span manifest join in as decided.
+    """
+    from bigdataminingproject_spark.operators.quality import (
+        unigram_logprob_from_counts,
+        winnow_pairs,
+    )
+    from bigdataminingproject_spark.operators.sampling import domain_cap
+
+    clean = stats.filter(F.col("contaminated") == 0)
+    capped = domain_cap(
+        clean.select("doc_id", "source", "len_text"),
+        cap=cap_per_source,
+        score=F.col("len_text"),
+    ).select("doc_id", "source")
+    kept_fp = winnow_fp.join(
+        capped.select("doc_id"), "doc_id", "left_semi"
+    )
+    clones = winnow_pairs(
+        None, min_shared=clone_min_shared, fp_rel=kept_fp
+    )
+    clone_losers = clones.select(F.col("id_b").alias("doc_id")).distinct()
+    pruned = capped.join(clone_losers, "doc_id", "left_anti")
+    nll = unigram_logprob_from_counts(tok_counts)
+    cut = nll.agg(
+        F.round(
+            F.avg("nll") + F.lit(nll_sigma) * F.stddev_samp("nll"), 4
+        ).alias("_cut")
+    )
+    manifest = (
+        pruned.join(nll, "doc_id")
+        .join(F.broadcast(cut))
+        .filter(F.col("nll") <= F.col("_cut"))
+        .select("doc_id", "source", "n_tokens", "nll")
+    )
+    return (
+        manifest.join(
+            stats.select(
+                "doc_id", "n_email", "n_phone", "n_ip", "redacted_md5"
+            ),
+            "doc_id",
+        )
+        .join(
+            sem_drops.select(F.col("dup_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        .join(span_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "nll",
+            "n_email",
+            "n_phone",
+            "n_ip",
+            "redacted_md5",
+            "kept_spans",
+            "removed_spans",
+            "clean_hash",
+        )
+        .orderBy("doc_id")
+    )
