@@ -1831,28 +1831,55 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # q_knn_ivf_det: DuckDB recomputes the deterministic IVF pipeline —
-    # 6-bit sign cells from the SAME ±1 plane constants (planes 0-5 of
-    # similarity.det_planes), Hamming<=1 multi-probe (cell XOR each
-    # 1-bit offset), exact-cosine rerank within probed cells. Both
-    # engines fold the plane dot product sequentially in index order
-    # (F.aggregate vs list_dot_product), so cells are bit-identical.
-    _cell_terms = " + ".join(
+    # sign cells from the SAME ±1 plane constants (planes 0-15 of
+    # similarity.det_planes, inlined), with the layout COUNT-DERIVED
+    # exactly like the Spark side (round-7, VERDICT r6 #5):
+    # p = max(6, ceil(log2(count/32))) planes, ~32 vectors/cell held
+    # constant. cell_id is LSB-first, so the p-plane cell is simply
+    # cell16 % 2^p of the 16-bit masked sum; Hamming<=1 multi-probe
+    # offsets are {0} ∪ {2^i : i < p}, generated in SQL from the same
+    # p. A loud error() fires past the 16-plane budget (n > ~2M),
+    # mirroring the LSH oracle's plane-budget guard. Both engines fold
+    # the plane dot product sequentially in index order (F.aggregate vs
+    # list_dot_product), so cells are bit-identical.
+    _cell16_terms = " + ".join(
         f"(CASE WHEN list_dot_product(vec, {_plane_lit(_p)}) > 0 "
         f"THEN {1 << _p} ELSE 0 END)"
-        for _p in range(6)
+        for _p in range(16)
     )
-    _off_list = ", ".join(str(o) for o in [0] + [1 << b for b in range(6)])
     sql["q_knn_ivf_det"] = f"""
-        WITH v AS (
+        WITH prm AS (
+            SELECT CASE
+                       WHEN ceil(log2(greatest(count(*), 2) / 32.0)) > 16
+                       THEN CAST(error(
+                           'q_knn_ivf_det oracle: derived cell planes '
+                           '> 16 exceed the inlined plane budget '
+                           '(corpus > ~2M vectors); grow the inline '
+                           'count alongside SEM_CELL_MAX_PLANES'
+                       ) AS INT)
+                       ELSE CAST(greatest(6.0,
+                           ceil(log2(greatest(count(*), 2) / 32.0)))
+                           AS INT)
+                   END AS p
+            FROM embeddings
+        ),
+        v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
         ),
         cells AS (
-            SELECT vec_id, vec, {_cell_terms} AS cell FROM v
+            SELECT vec_id, vec,
+                   ({_cell16_terms}) % (1 << prm.p) AS cell
+            FROM v CROSS JOIN prm
+        ),
+        offs AS (
+            SELECT unnest(list_prepend(0,
+                       list_transform(range(0, p), i -> 1 << i))) AS off
+            FROM prm
         ),
         probes AS (
             SELECT c.vec_id AS query_id, c.vec AS q_vec,
                    xor(c.cell, o.off) AS cell
-            FROM cells c, (SELECT unnest([{_off_list}]) AS off) o
+            FROM cells c, offs o
             WHERE c.vec_id < 5
         ),
         scored AS (
@@ -1916,13 +1943,21 @@ def oracle_sql() -> dict[str, str]:
         FROM exact e
         LEFT JOIN ranked_r{_r} a
                ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id""")
+    # the probe-curve DIAGNOSTIC deliberately pins the historical 6-plane
+    # layout (its radii/cells_probed columns are layout constants) —
+    # only q_knn_ivf_det carries the count-derived production layout
+    _cell6_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {_plane_lit(_p)}) > 0 "
+        f"THEN {1 << _p} ELSE 0 END)"
+        for _p in range(6)
+    )
     sql["q_knn_ivf_probe_curve"] = (
         f"""
         WITH v AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
         ),
         cells AS (
-            SELECT vec_id, vec, {_cell_terms} AS cell FROM v
+            SELECT vec_id, vec, {_cell6_terms} AS cell FROM v
         ),
         exact AS (
             SELECT query_id, neighbor_id FROM (

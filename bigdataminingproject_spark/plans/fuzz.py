@@ -806,3 +806,228 @@ def run_case(spark, con, sf_dir: str, seed: int) -> tuple[int, str | None]:
             f"sql={spec_to_sql(spec)}",
         )
     return len(s_mat), None
+
+
+# --------------------------------------------------------------------------
+# Text-surface fuzzing (VERDICT r6 #6). The relational spec space above
+# covers joins/aggs/windows; the convention bugs that actually bit in
+# rounds 1-2 were TEXT-side — tokenizer regex-class semantics, stopword
+# filtering, md5-of-joined-tokens attestation, shingle window edges,
+# count-vs-distinct-doc aggregation, top-k tie order. One TextSpec
+# renders to the engine's tokenize/shingles primitives on the Spark
+# side and to the DuckDB string_split_regex/list_* pipeline on the SQL
+# side; the only shared text is the stop/skip-word constant (the same
+# engine constant the registry oracles interpolate).
+
+
+@dataclass
+class TextSpec:
+    seed: int
+    stopwords: bool  # drop stop/skip words after tokenizing
+    doc_preds: list = field(default_factory=list)  # Atoms on documents
+    shape: str = "token_agg"  # token_agg | ngram_agg | doc_stats | token_topk
+    tok_pred: tuple | None = None  # (minlen,k)|(maxlen,k)|(prefix,s)
+    ngram_k: int = 3
+    agg: str = "count"  # count | ndocs (token_agg only)
+    min_count: int | None = None  # HAVING on the aggregate
+    topk: int = 10  # token_topk only
+
+
+def gen_text_spec(seed: int) -> TextSpec:
+    rng = random.Random(10_000_019 + seed)
+    spec = TextSpec(seed=seed, stopwords=rng.random() < 0.5)
+    doc_cols = TABLES["documents"]
+    for _ in range(rng.choice([0, 1, 1, 2])):
+        spec.doc_preds.append(_rand_atom(rng, rng.choice(doc_cols)))
+    if rng.random() < 0.6:
+        kind = rng.choice(["minlen", "maxlen", "prefix"])
+        if kind == "prefix":
+            spec.tok_pred = ("prefix", rng.choice("abcdemnpst"))
+        else:
+            spec.tok_pred = (kind, rng.randint(2, 8))
+    draw = rng.random()
+    if draw < 0.35:
+        spec.shape = "token_agg"
+        spec.agg = rng.choice(["count", "ndocs"])
+        if rng.random() < 0.5:
+            spec.min_count = rng.randint(2, 6)
+    elif draw < 0.6:
+        spec.shape = "ngram_agg"
+        spec.ngram_k = rng.choice([2, 3])
+        if rng.random() < 0.5:
+            spec.min_count = rng.randint(2, 4)
+    elif draw < 0.8:
+        spec.shape = "doc_stats"
+    else:
+        spec.shape = "token_topk"
+        spec.topk = rng.randint(3, 25)
+    return spec
+
+
+def _tok_pred_df(spec: TextSpec):
+    kind, v = spec.tok_pred
+    t = F.col("token")
+    if kind == "minlen":
+        return F.length(t) >= v
+    if kind == "maxlen":
+        return F.length(t) <= v
+    return t.like(f"{v}%")
+
+
+def _tok_pred_sql(spec: TextSpec) -> str:
+    kind, v = spec.tok_pred
+    if kind == "minlen":
+        return f"length(token) >= {v}"
+    if kind == "maxlen":
+        return f"length(token) <= {v}"
+    return f"token LIKE '{v}%'"
+
+
+def text_spec_to_df(spark: SparkSession, sf_dir: str, spec: TextSpec):
+    from bigdataminingproject_spark.functions.text import (
+        remove_stopwords,
+        tokenize,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for a in spec.doc_preds:
+        docs = docs.filter(_atom_col(a))
+    toks = tokenize(F.col("text"))
+    if spec.stopwords:
+        toks = remove_stopwords(toks)
+    base = docs.select("doc_id", toks.alias("toks"))
+    if spec.shape == "doc_stats":
+        return base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+            F.md5(F.concat_ws(" ", "toks")).alias("tok_md5"),
+        )
+    if spec.shape == "ngram_agg":
+        from bigdataminingproject_spark.functions.text import shingles
+
+        rel = base.select(
+            "doc_id",
+            F.explode(shingles(F.col("toks"), spec.ngram_k)).alias(
+                "shingle"
+            ),
+        )
+        out = rel.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        if spec.min_count is not None:
+            out = out.filter(F.col("cnt") >= spec.min_count)
+        return out
+    # token_agg / token_topk share the exploded token relation
+    rel = base.select("doc_id", F.explode("toks").alias("token"))
+    if spec.tok_pred is not None:
+        rel = rel.filter(_tok_pred_df(spec))
+    if spec.shape == "token_topk":
+        return (
+            rel.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("token"))
+            .limit(spec.topk)
+        )
+    agg = (
+        F.count(F.lit(1)).alias("cnt")
+        if spec.agg == "count"
+        else F.countDistinct("doc_id").alias("cnt")
+    )
+    out = rel.groupBy("token").agg(agg)
+    if spec.min_count is not None:
+        out = out.filter(F.col("cnt") >= spec.min_count)
+    return out
+
+
+def text_spec_to_sql(spec: TextSpec) -> str:
+    from bigdataminingproject_spark.functions.text import (
+        ENGLISH_STOPWORDS,
+        SKIPWORDS,
+    )
+
+    where = ""
+    if spec.doc_preds:
+        where = " WHERE " + " AND ".join(
+            _atom_sql(a) for a in spec.doc_preds
+        )
+    toks = (
+        "list_filter(string_split_regex(lower(text), '[^\\p{L}]+'), "
+        "x -> x <> '')"
+    )
+    if spec.stopwords:
+        stoplist = ", ".join(
+            f"'{w}'" for w in sorted(set(ENGLISH_STOPWORDS) | set(SKIPWORDS))
+        )
+        toks = f"list_filter({toks}, x -> x NOT IN ({stoplist}))"
+    base = (
+        f"SELECT doc_id, {toks} AS toks FROM documents{where}"
+    )
+    if spec.shape == "doc_stats":
+        return (
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            "CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct, "
+            "md5(array_to_string(toks, ' ')) AS tok_md5 "
+            f"FROM ({base})"
+        )
+    having = (
+        f" HAVING count(*) >= {spec.min_count}"
+        if spec.min_count is not None
+        else ""
+    )
+    if spec.shape == "ngram_agg":
+        k = spec.ngram_k
+        sh = (
+            f"SELECT doc_id, unnest(list_transform("
+            f"range(1, len(toks) - {k} + 2), "
+            f"i -> array_to_string(toks[i : i + {k - 1}], ' '))) AS shingle "
+            f"FROM ({base})"
+        )
+        return (
+            f"SELECT shingle, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM ({sh}) GROUP BY shingle{having}"
+        )
+    rel = f"SELECT doc_id, unnest(toks) AS token FROM ({base})"
+    if spec.tok_pred is not None:
+        rel = f"SELECT * FROM ({rel}) WHERE {_tok_pred_sql(spec)}"
+    if spec.shape == "token_topk":
+        return (
+            f"SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ({rel}) "
+            f"GROUP BY token ORDER BY cnt DESC, token LIMIT {spec.topk}"
+        )
+    agg = "count(*)" if spec.agg == "count" else "count(DISTINCT doc_id)"
+    # HAVING must gate the SAME aggregate the Spark side filters on
+    # (first text-fuzz run caught exactly this: ndocs selected but
+    # count(*) in HAVING — seed 77)
+    agg_having = (
+        f" HAVING {agg} >= {spec.min_count}"
+        if spec.min_count is not None
+        else ""
+    )
+    return (
+        f"SELECT token, CAST({agg} AS BIGINT) AS cnt FROM ({rel}) "
+        f"GROUP BY token{agg_having}"
+    )
+
+
+def run_text_case(spark, con, sf_dir: str, seed: int) -> tuple[int, str | None]:
+    """Execute one text-surface fuzz case (same compare as run_case)."""
+    spec = gen_text_spec(seed)
+    sdf = text_spec_to_df(spark, sf_dir, spec)
+    s_cols, s_mat = norm_matrix(sdf.columns, sdf.collect())
+    cur = con.execute(text_spec_to_sql(spec))
+    o_cols = [d[0] for d in cur.description]
+    o_cols, o_mat = norm_matrix(o_cols, cur.fetchall())
+    if s_cols != o_cols:
+        return len(s_mat), f"text seed {seed}: schema {s_cols} vs {o_cols}"
+    if s_mat != o_mat:
+        only_s = [r for r in s_mat if r not in set(o_mat)][:3]
+        only_o = [r for r in o_mat if r not in set(s_mat)][:3]
+        return (
+            len(s_mat),
+            f"text seed {seed}: {len(s_mat)} vs {len(o_mat)} rows; "
+            f"spark-only={only_s} oracle-only={only_o}; "
+            f"sql={text_spec_to_sql(spec)}",
+        )
+    return len(s_mat), None

@@ -121,3 +121,42 @@ def test_fuzz_renderers_consume_every_field():
             if hit:
                 break
         assert hit, f"{field_name} never generated in seed range"
+
+
+N_TEXT_SEEDS = 120
+TEXT_CHUNK = 30
+
+
+@pytest.mark.parametrize("start", list(range(0, N_TEXT_SEEDS, TEXT_CHUNK)))
+def test_text_fuzz_chunk(spark, sf_dir, oracle_con, start):
+    """Text-surface differential fuzzing (VERDICT r6 #6): tokenize →
+    filter → ngram/agg/top-k over documents, one spec rendered to the
+    engine's text primitives AND a DuckDB list-pipeline."""
+    failures = []
+    nonempty = 0
+    for seed in range(start, start + TEXT_CHUNK):
+        rows, err = fuzz.run_text_case(spark, oracle_con, sf_dir, seed)
+        if err:
+            failures.append(err)
+        elif rows:
+            nonempty += 1
+    assert not failures, failures
+    assert nonempty >= TEXT_CHUNK // 2
+
+
+def test_text_fuzz_space_covers_shapes():
+    specs = [fuzz.gen_text_spec(s) for s in range(N_TEXT_SEEDS)]
+    assert {s.shape for s in specs} == {
+        "token_agg",
+        "ngram_agg",
+        "doc_stats",
+        "token_topk",
+    }
+    assert any(s.stopwords for s in specs)
+    assert any(not s.stopwords for s in specs)
+    assert any(s.tok_pred and s.tok_pred[0] == "prefix" for s in specs)
+    assert any(s.tok_pred and s.tok_pred[0] == "minlen" for s in specs)
+    assert any(s.min_count is not None for s in specs)
+    assert any(s.agg == "ndocs" for s in specs if s.shape == "token_agg")
+    assert {s.ngram_k for s in specs if s.shape == "ngram_agg"} == {2, 3}
+    assert any(s.doc_preds for s in specs)

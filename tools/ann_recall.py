@@ -160,23 +160,46 @@ def measure(spark, sf_dir: str) -> dict:
     planted_hits = sum(1 for p in planted_truth if p in aug_found)
     planted_recall = planted_hits / max(1, len(planted_truth))
 
-    # --- IVF recall@10 vs exact numpy ground truth, per probe radius
+    # --- IVF recall@10 vs exact numpy ground truth, per probe radius,
+    # for BOTH layouts (round 7, VERDICT r6 #5): the historical fixed
+    # 6-plane quantizer and the count-aware occupancy-invariant one.
+    # scan_frac = fraction of cells probed (= expected corpus fraction
+    # scanned for a sign quantizer): the count-aware layout must match
+    # fixed-layout recall at a comparable or lower scan fraction.
+    from math import comb
+
+    from bigdataminingproject_spark.operators.similarity import (
+        semantic_cell_planes,
+    )
+
     truth_knn = _true_knn(ids, mat, query_idx)
     queries = vecs.filter(
         F.col("vec_id").isin(sorted(query_ids))
     )
-    ivf_by_radius = {}
-    for radius in (1, 2, 3, 4):
-        got = {}
-        for r in ivf_knn_det(
-            vecs, queries, k=K, hamming_radius=radius
-        ).collect():
-            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
-        hits = [
-            len(set(got.get(q, [])) & set(tk)) / len(tk)
-            for q, tk in truth_knn.items()
-        ]
-        ivf_by_radius[radius] = round(float(np.mean(hits)), 4)
+    p_auto = semantic_cell_planes(n)
+    ivf_layouts = {}
+    for label, planes in (("fixed6", 6), ("auto", p_auto)):
+        by_radius = {}
+        for radius in (1, 2, 3, 4):
+            got = {}
+            for r in ivf_knn_det(
+                vecs,
+                queries,
+                k=K,
+                n_cell_planes=planes,
+                hamming_radius=radius,
+            ).collect():
+                got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+            hits = [
+                len(set(got.get(q, [])) & set(tk)) / len(tk)
+                for q, tk in truth_knn.items()
+            ]
+            probed = sum(comb(planes, r) for r in range(radius + 1))
+            by_radius[radius] = {
+                "recall": round(float(np.mean(hits)), 4),
+                "scan_frac": round(probed / (1 << planes), 4),
+            }
+        ivf_layouts[label] = {"planes": planes, "by_radius": by_radius}
 
     return {
         "dir": sf_dir,
@@ -187,7 +210,7 @@ def measure(spark, sf_dir: str) -> dict:
         "lsh_recall_by_cosine": regimes,
         "lsh_planted_neardup_recall": round(planted_recall, 4),
         "lsh_planted_pairs": len(planted_truth),
-        "ivf_recall_at_10_by_radius": ivf_by_radius,
+        "ivf_layouts": ivf_layouts,
         "queries": len(truth_knn),
     }
 
