@@ -88,6 +88,9 @@ HEADLINE = [
     # driven by a live stream), the SQL front door, and the LTTB
     # downsample (now that its sparse-bucket fallback landed)
     "q_stream_curation_maintenance",
+    # round 7: the full v4 composition maintained incrementally over
+    # the LSM-compacted store — the heaviest streaming row by design
+    "q_stream_curation_v4_maintenance",
     "q_sql_region_revenue",
     "q_events_downsample",
     # round-6 second batch: the iterative BPE merge loop (8 chained
@@ -274,6 +277,46 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     cals.sort()
     cal_median = round(cals[len(cals) // 2], 3) if cals else None
+    # Calibration-normalized round-over-round comparison (VERDICT r6
+    # #7): divide each query's seconds by this run's median calibration
+    # and compare against the PRIOR recorded bench normalized the same
+    # way — machine-speed drift cancels, so only genuine plan changes
+    # cross the 1.3x adjudication bar.
+    cal_normalized = (
+        {q: round(s / cal_median, 4) for q, s in timings.items()}
+        if cal_median
+        else None
+    )
+    prior_file, prior = None, None
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        f
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    )
+    if benches:
+        prior_file = benches[-1]
+        try:
+            with open(os.path.join(here, prior_file)) as fh:
+                prior = json.load(fh)
+        except (OSError, ValueError):
+            prior = None
+    normalized_ratio, flagged = None, None
+    if (
+        cal_normalized
+        and prior
+        and prior.get("calibration_sec")
+        and prior.get("queries")
+    ):
+        p_cal = prior["calibration_sec"]
+        normalized_ratio = {
+            q: round(cal_normalized[q] / (p_sec / p_cal), 3)
+            for q, p_sec in prior["queries"].items()
+            if q in cal_normalized and p_sec > 0
+        }
+        flagged = sorted(
+            q for q, r in normalized_ratio.items() if r > 1.3
+        )
     print(
         json.dumps(
             {
@@ -289,6 +332,14 @@ def main() -> None:
                 # divide per-query seconds by this to compare runs across
                 # machine-speed drift (raw seconds stay the headline)
                 "calibration_sec": cal_median,
+                "cal_normalized": cal_normalized,
+                "prior_bench": prior_file,
+                # per-query (this run's normalized sec) / (prior round's
+                # normalized sec) for queries present in both
+                "normalized_ratio_vs_prior": normalized_ratio,
+                # queries whose NORMALIZED ratio exceeds 1.3x — the only
+                # rows a round verdict should adjudicate as regressions
+                "flagged_regressions": flagged,
             }
         )
     )
