@@ -91,6 +91,8 @@ HEADLINE = [
     # round 7: the full v4 composition maintained incrementally over
     # the LSM-compacted store — the heaviest streaming row by design
     "q_stream_curation_v4_maintenance",
+    # round 7: inverted-index maintenance over the folding LSM store
+    "q_stream_index_maintenance",
     "q_sql_region_revenue",
     "q_events_downsample",
     # round-6 second batch: the iterative BPE merge loop (8 chained

@@ -327,6 +327,29 @@ def merge_inverted_index(
     )
 
 
+def fold_index_partials(
+    parts: DataFrame, top_postings: int = 5
+) -> DataFrame:
+    """N-ary ``merge_inverted_index``: fold any number of disjoint-
+    corpus partials stacked as rows into one partial with a single
+    aggregate — df/cf sum; the merged head is the top-``top_postings``
+    of the flattened heads (exact by the same k-head-closure argument,
+    applied recursively: a head that is top-k of its sub-corpus stays
+    sufficient for the union's top-k). Associative and commutative, so
+    it doubles as the state store's ``merge_transform``: LSM compaction
+    folds partial-aggregate parts instead of stacking raw rows, keeping
+    every level vocabulary-sized (streaming/statestore.py)."""
+    return parts.groupBy("token").agg(
+        F.sum("df").alias("df"),
+        F.sum("cf").alias("cf"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("heads"))),
+            1,
+            top_postings,
+        ).alias("heads"),
+    )
+
+
 def finish_inverted_index(partial: DataFrame, min_df: int = 2) -> DataFrame:
     """Presentation pass: render heads as the ``doc:tf,...`` posting
     string and apply the min_df cut — same output contract as

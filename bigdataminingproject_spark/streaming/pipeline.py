@@ -1051,6 +1051,74 @@ def q_stream_curation_v4_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_index_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live inverted-index maintenance over FOLDING LSM state — the
+    retrieval-side sibling of the curation maintenance twins, and the
+    query that exercises the state store's *merge-operator* mode.
+
+    Each micro-batch builds ``inverted_index_partial`` over ONLY its
+    delta docs (the single tokenize those docs ever pay) and appends
+    the vocabulary-sized partial to an :class:`AppendOnlyPartsStore`
+    whose ``merge_transform`` is ``fold_index_partials``: when the
+    binary-counter compaction merges parts, it doesn't stack rows — it
+    FOLDS the partial aggregates (df/cf sums, k-head posting merge,
+    exact by k-head closure under disjoint corpus union), so every
+    level stays vocabulary-sized instead of batches × vocabulary. This
+    is the LSM merge-operator pattern (RocksDB merge operands,
+    Cassandra counters) expressed relationally. Publish applies the
+    same fold over the live tail plus the finish pass.
+
+    ``merge_fanout=2`` so the 4-chunk oracle replay performs real
+    folding merges under the gate. Output and oracle are
+    ``q_doc_inverted_index``'s — k micro-batch partial folds must land
+    exactly on the full-corpus rebuild.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.retrieval import (
+        finish_inverted_index,
+        fold_index_partials,
+        inverted_index_partial,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staging = tempfile.mkdtemp(prefix="q_stream_idx_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_idx_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "index",
+        merge_fanout=2,
+        merge_transform=fold_index_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(inverted_index_partial(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, docs, staging, chunks=4, order_col="doc_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream: empty index
+            state = inverted_index_partial(docs.limit(0))
+        return finish_inverted_index(
+            fold_index_partials(state)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_join_attribution(spark, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (registry entry) — the
     fifth Structured Streaming shape: two live streams joined on key +

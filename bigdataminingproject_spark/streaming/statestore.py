@@ -62,6 +62,18 @@ class AppendOnlyPartsStore:
         How many same-level parts trigger a merge (the counter base).
         2 = merge early/often (lowest part count), 4 = fewer, larger
         merges. Must be >= 2.
+    merge_transform:
+        Optional ``DataFrame -> DataFrame`` applied to the unioned
+        rows each time parts merge — the LSM *merge-operator* pattern
+        (RocksDB merge operators, Cassandra counter compaction): state
+        that is a partial AGGREGATE folds at compaction time instead
+        of accumulating raw rows, so a level's size tracks the
+        aggregate's cardinality (e.g. vocabulary) rather than
+        batches × cardinality. The transform must be associative and
+        commutative over disjoint part unions, and consumers must
+        apply the SAME fold over :meth:`read` (the live tail —
+        protected parts plus not-yet-merged level-0 parts — is still
+        unfolded).
     """
 
     def __init__(
@@ -70,6 +82,7 @@ class AppendOnlyPartsStore:
         root: str,
         name: str,
         merge_fanout: int = 4,
+        merge_transform=None,
     ) -> None:
         if merge_fanout < 2:
             raise ValueError("merge_fanout must be >= 2")
@@ -77,6 +90,7 @@ class AppendOnlyPartsStore:
         self.root = root
         self.name = name
         self.fanout = merge_fanout
+        self.merge_transform = merge_transform
         # (path, level, n_rows) newest-last; disjoint unions of the state
         self.parts: list[tuple[str, int, int]] = []
         # caller-owned read-only dirs (e.g. the shared content-hashed
@@ -112,10 +126,10 @@ class AppendOnlyPartsStore:
                 return
             group = [t for t in self.parts if t[1] == lvl][: self.fanout]
             merged_dir = self._new_dir()
-            n = self._write(
-                self.spark.read.parquet(*[p for p, _l, _n in group]),
-                merged_dir,
-            )
+            merged = self.spark.read.parquet(*[p for p, _l, _n in group])
+            if self.merge_transform is not None:
+                merged = self.merge_transform(merged)
+            n = self._write(merged, merged_dir)
             self.merges += 1
             self.rows_rewritten += n
             keep = [t for t in self.parts if t not in group]

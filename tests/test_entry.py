@@ -54,8 +54,9 @@ def test_round7_rotation_head_is_pinned():
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:20] == [
+    assert keys[:21] == [
         "q_stream_curation_v4_maintenance",
+        "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
         "q_knn_ivf_det",
         "q_embedding_neardup_lsh",
@@ -86,10 +87,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 5-20 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[4:20])
-    r4_slots = [k for k in keys[20:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 30, (
-        f"rotation slots 21-50 must carry 30 r4-backlog queries, got "
+    # slots 6-21 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[5:21])
+    r4_slots = [k for k in keys[21:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 29, (
+        f"rotation slots 22-50 must carry 29 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )

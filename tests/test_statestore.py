@@ -96,3 +96,68 @@ def test_empty_store_reads_none(spark, root):
     assert store.read() is None
     with pytest.raises(ValueError):
         AppendOnlyPartsStore(spark, root, "m", merge_fanout=1)
+
+
+def test_merge_transform_folds_at_compaction(spark, root):
+    """Merge-operator mode: compaction FOLDS partial aggregates, so a
+    merged part's row count tracks key cardinality, not batch count —
+    and the fold-of-read equals the fold of all appended rows."""
+    fold = lambda df: df.groupBy("k").agg(  # noqa: E731
+        F.sum("v").cast("long").alias("v")
+    )
+    store = AppendOnlyPartsStore(
+        spark, root, "m", merge_fanout=2, merge_transform=fold
+    )
+    for i in range(8):
+        store.append(
+            spark.createDataFrame(
+                [(j, 1) for j in range(4)], "k int, v int"
+            )
+        )
+    # 8 level-0 appends of 4 rows each -> one level-3 part of 4 rows
+    assert store.n_parts == 1
+    assert store.parts[0][2] == 4  # folded, not 32 stacked rows
+    got = {r.k: r.v for r in fold(store.read()).collect()}
+    assert got == {j: 8 for j in range(4)}
+
+
+def test_fold_index_partials_equals_pairwise_merge(spark):
+    """The n-ary fold must agree with repeated merge_inverted_index —
+    and with the single-shot build — on a corpus split three ways."""
+    from bigdataminingproject_spark.operators.retrieval import (
+        finish_inverted_index,
+        fold_index_partials,
+        inverted_index_partial,
+        merge_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "beta gamma gamma delta"),
+            (3, "alpha alpha beta epsilon"),
+            (4, "gamma delta epsilon epsilon"),
+            (5, "alpha beta gamma delta epsilon"),
+            (6, "beta beta beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    parts = [
+        inverted_index_partial(docs.filter(F.col("doc_id") % 3 == i))
+        for i in range(3)
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    via_fold = finish_inverted_index(
+        fold_index_partials(stacked), min_df=1
+    ).collect()
+    via_pairwise = finish_inverted_index(
+        merge_inverted_index(
+            merge_inverted_index(parts[0], parts[1]), parts[2]
+        ),
+        min_df=1,
+    ).collect()
+    via_full = finish_inverted_index(
+        inverted_index_partial(docs), min_df=1
+    ).collect()
+    assert [tuple(r) for r in via_fold] == [tuple(r) for r in via_pairwise]
+    assert [tuple(r) for r in via_fold] == [tuple(r) for r in via_full]
