@@ -22,6 +22,7 @@ from bigdataminingproject_spark.operators import association
 from bigdataminingproject_spark.operators import bpe
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import fuzzy
+from bigdataminingproject_spark.operators import graph
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, quality, sampling
 from bigdataminingproject_spark.operators import retrieval, sketches
@@ -167,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_summary": dedup.q_dup_summary,
         "q_exact_duplicates": dedup.q_exact_duplicates,
         "q_ngram_jaccard": dedup.q_ngram_jaccard,
+        "q_doc_snm_pairs": dedup.q_doc_snm_pairs,
+        "q_token_triangles": graph.q_token_triangles,
         "q_doc_stats": textstats.q_doc_stats,
         "q_doc_fingerprints": textstats.q_doc_fingerprints,
         "q_doc_lang_stats": textstats.q_doc_lang_stats,
@@ -296,6 +299,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle changed this round: plane-budget error() guard
         # (ADVICE r6 — non-semantic at test scale, re-attested anyway)
         "q_embedding_neardup_lsh",
+        # new this round: multi-pass sorted-neighborhood near-dup over
+        # the bucketed global-position infrastructure
+        "q_doc_snm_pairs",
+        # new this round: degree-oriented triangle counting on the
+        # token co-occurrence graph
+        "q_token_triangles",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -963,6 +972,43 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 15
     """
 
+    # q_token_triangles: the oracle enumerates triangles canonically
+    # (a<b<c three-way self-join over the same min-count-2 adjacency
+    # edge set); the Spark side's degree-oriented enumeration yields
+    # the identical triangle SET, so per-node counts match exactly.
+    sql["q_token_triangles"] = f"""
+        WITH {_TOKS_CTE},
+        tp AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   unnest(range(1, len(toks) + 1)) AS pos
+            FROM tok_clean
+        ),
+        bgp AS (
+            SELECT least(a.tok, b.tok) AS a,
+                   greatest(a.tok, b.tok) AS b
+            FROM tp a
+            JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            WHERE a.tok <> b.tok
+        ),
+        e AS (
+            SELECT a, b FROM bgp GROUP BY a, b HAVING count(*) >= 2
+        ),
+        tris AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        nodes AS (SELECT unnest([x, y, z]) AS token FROM tris)
+        SELECT token, count(*) AS triangles,
+               CAST(row_number() OVER (ORDER BY count(*) DESC, token)
+                    AS INT) AS rank
+        FROM nodes
+        GROUP BY token
+        ORDER BY triangles DESC, token
+        LIMIT 20
+    """
+
     sql["q_doc_source_topk"] = f"""
         WITH {_TOKS_CTE},
         counts AS (
@@ -1081,6 +1127,64 @@ def oracle_sql() -> dict[str, str]:
                                  FILTER (WHERE rn = 1), 0)
                     AS BIGINT) AS kept_tokens
         FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # q_doc_snm_pairs: multi-pass sorted-neighborhood (Hernández &
+    # Stolfo '95) — the oracle replays the two blocking-key sorts with
+    # plain row_number (the Spark side's bucketed two-phase position
+    # yields the identical (key, doc_id) total order), the window-5
+    # successor pairing, the cross-pass dedup, and the exact token-set
+    # Jaccard verification.
+    sql["q_doc_snm_pairs"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                                                  '[^\\p{L}]+'),
+                               x -> x <> '') AS raw
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(raw)) AS toks,
+                   substr(array_to_string(
+                       list_sort(list_distinct(raw)), ''), 1, 24) AS k1,
+                   substr(array_to_string(raw, ''), 1, 24) AS k2
+            FROM base
+        ),
+        p1 AS (SELECT doc_id, toks,
+                      row_number() OVER (ORDER BY k1, doc_id) AS rn
+               FROM keyed),
+        p2 AS (SELECT doc_id, toks,
+                      row_number() OVER (ORDER BY k2, doc_id) AS rn
+               FROM keyed),
+        cand AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   a.toks AS ta, b.toks AS tb
+            FROM p1 a JOIN p1 b
+              ON b.rn > a.rn AND b.rn <= a.rn + 5
+            UNION ALL
+            SELECT a.doc_id, b.doc_id, a.toks, b.toks
+            FROM p2 a JOIN p2 b
+              ON b.rn > a.rn AND b.rn <= a.rn + 5
+        ),
+        canon AS (
+            SELECT DISTINCT
+                   least(da, db) AS doc_a,
+                   greatest(da, db) AS doc_b,
+                   CASE WHEN da < db THEN ta ELSE tb END AS ta,
+                   CASE WHEN da < db THEN tb ELSE ta END AS tb
+            FROM cand
+        ),
+        ver AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(ta, tb)) AS shared,
+                   len(ta) + len(tb) - len(list_intersect(ta, tb)) AS u
+            FROM canon
+        )
+        SELECT doc_a, doc_b, round(shared / u, 4) AS jaccard
+        FROM ver
+        WHERE u > 0 AND round(shared / u, 4) >= 0.5
+        ORDER BY doc_a, doc_b
     """
 
     sql["q_ngram_jaccard"] = f"""

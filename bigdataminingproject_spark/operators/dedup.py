@@ -618,3 +618,135 @@ def q_doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting plus an md5 attestation of the rebuilt text."""
     docs = load_table(spark, sf_dir, "documents")
     return span_dedup(docs, span_tokens=16).orderBy("doc_id")
+
+
+# --- sorted-neighborhood method (merge/purge) -------------------------------
+
+def _snm_key_proxy(key: Column) -> Column:
+    """Monotone numeric proxy of an ASCII sort key: the first 7 bytes as
+    a big-endian integer (first 14 hex digits of the UTF-8 byte string,
+    so multibyte text can never overflow the bigint). Lexicographic
+    byte order on strings is exactly numeric order on this proxy, so
+    quantile-bucketing the proxy (plans/ordering.with_global_position
+    needs a numeric order column) partitions the TRUE key order;
+    within-bucket windows then order by the full key. Empty keys map to
+    0 (sorts first, like '')."""
+    h = F.conv(F.substring(F.hex(key), 1, 14), 16, 10).cast("bigint")
+    return F.coalesce(h, F.lit(0))
+
+
+def snm_pairs(
+    docs: DataFrame,
+    key: Column,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs by the sorted-neighborhood method (Hernández &
+    Stolfo, SIGMOD '95 merge/purge): sort the corpus by a blocking key,
+    slide a fixed window of ``window`` successors over the sorted order,
+    and emit every (earlier, later) pair inside the window.
+
+    No Spark built-in sorts-then-slides without a global window; the
+    scale-correct plan is the repo's bucketed two-phase global position
+    (one quantile pass + per-bucket windows, plans/ordering.py) followed
+    by an EQUI-join of each row's exploded successor positions — a plain
+    hash shuffle producing exactly n*window candidates, never a per-key
+    cross product and never a single-partition sort. This is the linear
+    alternative when similarity structure lives in a sort key rather
+    than in set overlap (ngram_jaccard_pairs) or hash buckets
+    (minhash/simhash/LSH).
+
+    Returns (pos_a, pos_b implicit) candidate pairs with both ids and
+    both token sets; callers verify with an exact measure. The reference
+    has no near-dup join at all (its A10 duplicate scoring is exact
+    check-then-insert, duplicate_detection.py); this family is part of
+    the training-data curation surface, not a port.
+    """
+    from bigdataminingproject_spark.plans.ordering import (
+        with_global_position,
+    )
+
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        key.alias("_key"),
+        F.array_sort(F.array_distinct(tokenize(F.col(text_col)))).alias(
+            "_toks"
+        ),
+    ).withColumn("_kp", _snm_key_proxy(F.col("_key")))
+    pos = with_global_position(
+        keyed, "_kp", tiebreakers=[F.col("_key"), F.col("doc_id")],
+        pos_col="rn",
+    ).select("doc_id", "_toks", "rn")
+    left = pos.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_toks").alias("_toks_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + window)
+        ).alias("rn_b"),
+    )
+    right = pos.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_toks").alias("_toks_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return left.join(right, "rn_b").select(
+        "doc_a", "doc_b", "_toks_a", "_toks_b"
+    )
+
+
+def q_doc_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup: two blocking keys (the
+    classic fix for SNM's key sensitivity) — the first 24 chars of the
+    sorted distinct-token concatenation (token-set near-dups sort
+    adjacent regardless of word order) and of the raw normalized text
+    (prefix near-dups) — candidates unioned, then verified with exact
+    token-set Jaccard >= 0.5. Output is verified pairs labeled by id
+    order with the exact similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    key_sorted = F.substring(
+        F.concat_ws(
+            "", F.array_sort(F.array_distinct(tokenize(F.col("text"))))
+        ),
+        1,
+        24,
+    )
+    key_prefix = F.substring(
+        F.concat_ws("", tokenize(F.col("text"))), 1, 24
+    )
+    cands = snm_pairs(docs, key_sorted, window=5).unionByName(
+        snm_pairs(docs, key_prefix, window=5)
+    )
+    # canonical id order + dedup across passes, then exact verification
+    pairs = (
+        cands.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("_toks_a"))
+            .otherwise(F.col("_toks_b"))
+            .alias("_ta"),
+            F.when(F.col("doc_a") < F.col("doc_b"), F.col("_toks_b"))
+            .otherwise(F.col("_toks_a"))
+            .alias("_tb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "_shared", F.size(F.array_intersect("_ta", "_tb"))
+        )
+        .withColumn(
+            "_union",
+            F.size("_ta") + F.size("_tb") - F.col("_shared"),
+        )
+        .filter(F.col("_union") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_shared").cast("double") / F.col("_union"), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    return pairs.select("doc_a", "doc_b", "jaccard").orderBy(
+        "doc_a", "doc_b"
+    )

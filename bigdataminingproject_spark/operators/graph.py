@@ -1,0 +1,148 @@
+"""Graph analytics over the token co-occurrence graph.
+
+The registry's iterative graph operator (token_pagerank,
+operators/frequency.py) walks the co-occurrence graph; this module adds
+the *combinatorial* graph family — triangle counting — with the
+degree-oriented enumeration that makes it feasible at scale (Cohen
+2009 / Suri & Vassilvitskii, WWW '11): orient every undirected edge
+from its lower-(degree, id) endpoint to the higher one, enumerate
+wedges only out of each node's ORIENTED neighbor list, and probe the
+oriented edge set for the closing edge. Out-degrees under this
+orientation are bounded by O(sqrt(m)) for any graph, so the wedge
+relation is O(m^1.5) worst-case instead of sum(deg^2) — the difference
+between a hub token generating deg^2 wedges and generating none.
+
+Everything is DataFrame joins and hash aggregations (two self-joins on
+node keys, one explode); no driver-side adjacency structure, no UDFs.
+The reference has no graph operators at all (SURVEY.md §2) — this is
+part of the corpus-analytics surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdataminingproject_spark.functions.text import (
+    remove_stopwords,
+    shingles,
+    tokenize,
+)
+from bigdataminingproject_spark.sources.tables import load_table
+
+
+def cooccurrence_edges(
+    docs: DataFrame, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Distinct undirected token-adjacency edges ``(a < b, c)`` with
+    co-occurrence count >= ``min_count``.
+
+    Same graph construction as token_pagerank: stopword-filtered
+    tokens, adjacent pairs (2-shingles), self-loops dropped; the count
+    floor prunes noise edges and bounds the graph at
+    vocabulary-adjacency size — corpus growth thickens edge weights,
+    it does not add quadratic structure.
+    """
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    bg = docs.select(F.explode(shingles(toks, 2)).alias("bigram")).select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    return (
+        bg.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"),
+            F.greatest("w1", "w2").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("a", "b")
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts from a distinct
+    undirected edge relation (columns ``a < b``).
+
+    Plan: degree per node (one hash-agg over the doubled edge list),
+    orient each edge low→high by (degree, node), wedge self-join on the
+    oriented source, closing-edge equi-join — each triangle {u,v,w}
+    is enumerated exactly once (from its lowest-ordered vertex), then
+    exploded to credit all three corners. Returns (token, triangles).
+    """
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(
+        F.col("v").alias("a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("v").alias("b"), F.col("deg").alias("deg_b")
+    )
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias(
+                "src"
+            ),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias(
+                "dst"
+            ),
+            F.when(lower_first, F.col("deg_b"))
+            .otherwise(F.col("deg_a"))
+            .alias("dst_deg"),
+        )
+    )
+    # the wedge join reads the oriented relation twice and the closing
+    # probe a third time — materialize it once (vocab-edge-sized)
+    oriented = oriented.persist()
+    e1 = oriented.select(
+        F.col("src"),
+        F.col("dst").alias("v"),
+        F.col("dst_deg").alias("v_deg"),
+    )
+    e2 = oriented.select(
+        F.col("src"),
+        F.col("dst").alias("w"),
+        F.col("dst_deg").alias("w_deg"),
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("v_deg") < F.col("w_deg"))
+        | ((F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"]).select(
+        F.col("src").alias("u"), "v", "w"
+    )
+    return (
+        tris.select(
+            F.explode(F.array("u", "v", "w")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by triangle participation in the co-occurrence
+    graph (min co-occurrence 2) — cluster-core tokens: high triangle
+    count means the token's neighborhood is itself interconnected
+    (topic kernel), where PageRank only measures reachability mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = triangle_counts(cooccurrence_edges(docs, min_count=2))
+    top = counts.orderBy(F.desc("triangles"), F.asc("token")).limit(20)
+    w = Window.orderBy(F.desc("triangles"), F.asc("token"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).orderBy("rank")
