@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_bruteforce": similarity.q_knn_bruteforce,
         "q_embedding_neardup_anchor": similarity.q_embedding_neardup_anchor,
         "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
+        "q_doc_weighted_sample": sampling.q_doc_weighted_sample,
         "q_benchmark_contamination": dedup.q_benchmark_contamination,
         "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_doc_pack_sequences": packing.q_doc_pack_sequences,
@@ -305,6 +306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: degree-oriented triangle counting on the
         # token co-occurrence graph
         "q_token_triangles",
+        # new this round: Efraimidis–Spirakis weighted sampling
+        # without replacement
+        "q_doc_weighted_sample",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -2832,6 +2836,33 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT source, doc_id, score, rnk
         FROM ranked WHERE rnk <= 10
+        ORDER BY source, rnk
+    """
+
+    # q_doc_weighted_sample: Efraimidis–Spirakis weighted sampling
+    # without replacement — rank by ln(u)/w (monotone twin of
+    # u^(1/w)) on the shared md5 uniform shifted to (0,1); both
+    # engines compute the identical double, so the per-source top-20
+    # selections coincide.
+    sql["q_doc_weighted_sample"] = """
+        WITH scored AS (
+            SELECT source, doc_id,
+                   greatest(1, length(text)) AS weight,
+                   ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) + 0.5)
+                      / 4294967296.0)
+                     / CAST(greatest(1, length(text)) AS DOUBLE) AS k
+            FROM documents
+        ),
+        ranked AS (
+            SELECT source, doc_id, weight,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY k DESC, doc_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT source, doc_id, CAST(weight AS BIGINT) AS weight, rnk
+        FROM ranked WHERE rnk <= 20
         ORDER BY source, rnk
     """
 

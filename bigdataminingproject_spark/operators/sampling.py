@@ -542,3 +542,78 @@ def q_doc_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = F.expr("CAST(substring(source, 4) AS INT) % 3 + 1")
     return apply_mixture(docs, w)
+
+
+# --- weighted sampling without replacement ----------------------------------
+
+def exp_sort_key(u: Column, weight: Column) -> Column:
+    """Efraimidis–Spirakis (IPL 2006) sort key: ranking rows by
+    ``u^(1/w)`` descending draws a weighted sample WITHOUT replacement —
+    the top-k under this key has exactly the distribution of k
+    successive draws proportional to ``w``. We rank by the monotone
+    transform ``ln(u)/w`` (same order, one transcendental instead of a
+    pow) with ``u`` the deterministic md5 uniform shifted to (0,1) so
+    the log is finite. Deterministic like every sampler here: the key
+    is a pure function of the row, so the sample is identical on any
+    cluster layout, any retry — and DuckDB derives the same key."""
+    return F.log(u) / weight
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    k: int,
+    weight: Column,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` rows (overall, or per ``group_col``) under the
+    Efraimidis–Spirakis key — a weighted sample without replacement.
+
+    Scale shape: the key is a map-side column expression; the global
+    variant is a TakeOrdered (per-partition top-k, then a k-sized
+    merge — no global sort), the grouped variant a partitioned
+    row_number window that Catalyst rewrites with a partial
+    WindowGroupLimit before the exchange (same plan family as
+    domain_cap, which carries the skew-hardened variant if a group is
+    pathologically hot)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = df.withColumn("_w", weight).withColumn(
+        "_key", exp_sort_key(u, F.col("_w"))
+    )
+    if group_col is None:
+        top = scored.orderBy(F.desc("_key"), F.asc(id_col)).limit(k)
+        w = Window.orderBy(F.desc("_key"), F.asc(id_col))
+    else:
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc("_key"), F.asc(id_col)
+        )
+        top = scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        )
+        return top
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample without replacement: 20 docs per
+    source, inclusion probability proportional to document length —
+    the length-debiased spot-check sample a curation pipeline pulls
+    for review (uniform sampling over-represents the short tail)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = weighted_sample_wor(
+        docs,
+        k=20,
+        weight=F.greatest(F.lit(1), F.length("text")).cast("double"),
+        group_col="source",
+    )
+    return sampled.select(
+        "source",
+        "doc_id",
+        F.col("_w").cast("bigint").alias("weight"),
+        "rnk",
+    ).orderBy("source", "rnk")

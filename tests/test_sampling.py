@@ -389,3 +389,47 @@ def test_apply_mixture_copy_semantics(spark):
     # determinism
     again = apply_mixture(docs, w).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# --- weighted sampling without replacement (round 7) ------------------------
+
+def test_weighted_sample_is_deterministic_and_bounded(spark):
+    from bigdataminingproject_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "s" + str(i % 3), "x" * (10 + i)) for i in range(60)],
+        "doc_id string, source string, text string",
+    )
+    w = F.length("text").cast("double")
+    a = weighted_sample_wor(docs, 5, w, group_col="source")
+    b = weighted_sample_wor(docs, 5, w, group_col="source")
+    rows_a = sorted((r["source"], r["doc_id"], r["rnk"]) for r in a.collect())
+    rows_b = sorted((r["source"], r["doc_id"], r["rnk"]) for r in b.collect())
+    assert rows_a == rows_b  # pure function of the data
+    per_group = {}
+    for s, _, _ in rows_a:
+        per_group[s] = per_group.get(s, 0) + 1
+    assert all(v == 5 for v in per_group.values())
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from bigdataminingproject_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+    from pyspark.sql import functions as F
+
+    # one row carries 10_000x the weight of 99 light rows: under
+    # ES-keys P(exclude from a 10-of-100 sample) is astronomically
+    # small for any fixed hash draw that isn't pathological
+    rows = [(f"d{i:03d}", 1.0 if i else 10000.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = {
+        r["doc_id"]
+        for r in weighted_sample_wor(
+            df, 10, F.col("w"), id_col="doc_id"
+        ).collect()
+    }
+    assert "d000" in got and len(got) == 10
