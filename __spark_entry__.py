@@ -27,6 +27,7 @@ from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, quality, sampling
 from bigdataminingproject_spark.operators import retrieval, sketches
 from bigdataminingproject_spark.operators import skyline
+from bigdataminingproject_spark.operators import spectral
 from bigdataminingproject_spark.operators import tpch
 from bigdataminingproject_spark.operators import similarity, snapshots, temporal
 from bigdataminingproject_spark.operators import textstats
@@ -67,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 additions (driver-attested green in r4)
         "q_doc_association_rules": association.q_doc_association_rules,
         "q_embedding_covariance": similarity.q_embedding_covariance,
+        "q_embedding_top_pc": spectral.q_embedding_top_pc,
         "q_doc_inverted_index_incremental": (
             retrieval.q_doc_inverted_index_incremental
         ),
@@ -309,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: Efraimidis–Spirakis weighted sampling
         # without replacement
         "q_doc_weighted_sample",
+        # new this round: Gram-free distributed power iteration
+        "q_embedding_top_pc",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -4368,6 +4372,12 @@ def oracle_sql() -> dict[str, str]:
     # formulation (the Spark side merges per-batch gram partials);
     # identical covariance arithmetic, float32 widened before products,
     # 6dp rounding absorbs summation-order ulps.
+    # q_embedding_top_pc: the 6 power iterations unrolled as CTE
+    # stages — per-iteration quantization keeps both engines on
+    # identical doubles (operators/spectral.py docstring); the SQL is
+    # generated by the same module so the arithmetic cannot drift.
+    sql["q_embedding_top_pc"] = spectral.power_iteration_oracle_sql()
+
     sql["q_embedding_covariance"] = """
         WITH ev AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -47,15 +47,15 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 8 tier-0 slots (the new streaming-v4 maintenance,
-    index-maintenance, SNM, triangle and weighted-sample queries + the three whose code
+    (VERDICT r6 #1): 9 tier-0 slots (the new streaming-v4 maintenance,
+    index-maintenance, SNM, triangle, weighted-sample and top-PC queries + the three whose code
     or oracle changed this round), then
     the 16 r3-latest rows — the exact rotation tail VERDICT r6 listed
     — then the r4 backlog oldest-first. An accidental reorder (e.g. a
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:24] == [
+    assert keys[:25] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -64,6 +64,7 @@ def test_round7_rotation_head_is_pinned():
         "q_doc_snm_pairs",
         "q_token_triangles",
         "q_doc_weighted_sample",
+        "q_embedding_top_pc",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -91,10 +92,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 9-24 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[8:24])
-    r4_slots = [k for k in keys[24:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 26, (
-        f"rotation slots 25-50 must carry 26 r4-backlog queries, got "
+    # slots 10-25 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[9:25])
+    r4_slots = [k for k in keys[25:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 25, (
+        f"rotation slots 26-50 must carry 25 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )
