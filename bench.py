@@ -93,6 +93,12 @@ HEADLINE = [
     "q_stream_curation_v4_maintenance",
     # round 7: inverted-index maintenance over the folding LSM store
     "q_stream_index_maintenance",
+    # round-7 second batch: sorted-neighborhood near-dup (two bucketed
+    # global sorts + window-5 successor join), degree-oriented triangle
+    # counting, and the Gram-free power iteration (6 fused matvec scans)
+    "q_doc_snm_pairs",
+    "q_token_triangles",
+    "q_embedding_top_pc",
     "q_sql_region_revenue",
     "q_events_downsample",
     # round-6 second batch: the iterative BPE merge loop (8 chained
