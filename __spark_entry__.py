@@ -116,6 +116,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_index_maintenance": (
             streaming_pipeline.q_stream_index_maintenance
         ),
+        # round 7: weighted-sample maintenance — the ES reservoir's
+        # top-k partials fold at compaction (sources x k state bound)
+        "q_stream_sample_maintenance": (
+            streaming_pipeline.q_stream_sample_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -313,6 +318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_weighted_sample",
         # new this round: Gram-free distributed power iteration
         "q_embedding_top_pc",
+        # new this round: streaming ES-sample maintenance twin
+        "q_stream_sample_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -4766,6 +4773,9 @@ def oracle_sql() -> dict[str, str]:
     # merge-operator LSM store must land exactly on the full rebuild —
     # same oracle (k-head closure under disjoint union, recursively).
     sql["q_stream_index_maintenance"] = sql["q_doc_inverted_index"]
+    # streaming ES-sample maintenance: k micro-batch folds must land
+    # exactly on the batch weighted sample
+    sql["q_stream_sample_maintenance"] = sql["q_doc_weighted_sample"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

@@ -617,3 +617,66 @@ def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_w").cast("bigint").alias("weight"),
         "rnk",
     ).orderBy("source", "rnk")
+
+
+def weighted_sample_partial(
+    df: DataFrame,
+    weight: Column,
+    k: int = 20,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group top-``k`` ES-key survivors of ONE corpus slice — the
+    mergeable partial of ``weighted_sample_wor``. The key rides along
+    so partials can be re-ranked against later slices; because the key
+    is a deterministic function of the row, a partial computed at
+    arrival time stays valid forever (no rescoring on merge)."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    scored = df.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        weight.alias("_w"),
+        exp_sort_key(u, weight).alias("_key"),
+    )
+    return fold_sample_partials(scored, k)
+
+
+def fold_sample_partials(parts: DataFrame, k: int = 20) -> DataFrame:
+    """N-ary merge of weighted-sample partials: per-group top-``k`` by
+    (key desc, id asc) over the stacked rows. Exact by top-k closure
+    under disjoint union — the true top-k of A ∪ B is contained in
+    top-k(A) ∪ top-k(B) — and associative/commutative, so it serves as
+    the LSM state store's ``merge_transform``: compaction folds sample
+    parts instead of stacking them, every level stays ≤ groups × k
+    rows."""
+    w = Window.partitionBy("source").orderBy(
+        F.desc("_key"), F.asc("doc_id")
+    )
+    return (
+        parts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )
+
+
+def finish_weighted_sample(state: DataFrame, k: int = 20) -> DataFrame:
+    """Publish pass: fold once more and attach the final per-group
+    rank — lands exactly on ``q_doc_weighted_sample``'s output."""
+    folded = fold_sample_partials(state, k)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("_key"), F.asc("doc_id")
+    )
+    return (
+        folded.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "source",
+            "doc_id",
+            F.col("_w").cast("bigint").alias("weight"),
+            "rnk",
+        )
+    )

@@ -1119,6 +1119,85 @@ def q_stream_index_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_sample_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live weighted-sample maintenance — the sampling-side sibling of
+    the curation/index maintenance twins: keep a per-source
+    Efraimidis–Spirakis sample WITHOUT replacement continuously
+    up-to-date as the corpus streams in.
+
+    Each micro-batch scores ONLY its delta docs (the ES key is a pure
+    function of the row, so arrival-time scores stay valid forever)
+    and appends the per-source top-k survivors to an
+    :class:`AppendOnlyPartsStore` whose ``merge_transform`` is
+    ``fold_sample_partials``: compaction re-ranks and truncates instead
+    of stacking, exact by top-k closure under disjoint union, so every
+    LSM level is bounded at sources × k rows — the streaming reservoir
+    pattern with deterministic keys in place of RNG state. Publish
+    folds the live tail and attaches final ranks.
+
+    Output and oracle are ``q_doc_weighted_sample``'s: k micro-batch
+    folds must land exactly on the batch sample — which is what makes
+    ES keys the RIGHT weighted-reservoir formulation for a distributed
+    engine (an imperative A-Res reservoir's state depends on arrival
+    order; this one's provably doesn't).
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.sampling import (
+        finish_weighted_sample,
+        fold_sample_partials,
+        weighted_sample_partial,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_sample_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_sample_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "sample",
+        merge_fanout=2,
+        merge_transform=fold_sample_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(
+            weighted_sample_partial(
+                batch_df,
+                F.greatest(F.lit(1), F.length("text")).cast("double"),
+            )
+        )
+
+    try:
+        stream = file_replay_source(
+            spark, docs, staging, chunks=4, order_col="doc_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream: empty sample
+            return spark.createDataFrame(
+                [], "source string, doc_id long, weight bigint, rnk int"
+            )
+        return (
+            finish_weighted_sample(state)
+            .orderBy("source", "rnk")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_join_attribution(spark, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (registry entry) — the
     fifth Structured Streaming shape: two live streams joined on key +

@@ -433,3 +433,43 @@ def test_weighted_sample_prefers_heavy_rows(spark):
         ).collect()
     }
     assert "d000" in got and len(got) == 10
+
+
+def test_sample_partials_fold_to_batch_sample(spark):
+    """Top-k closure under disjoint union: folding per-chunk partials
+    (in any grouping) must land exactly on the batch sample — the
+    invariant the streaming maintenance twin rides."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.sampling import (
+        finish_weighted_sample,
+        fold_sample_partials,
+        weighted_sample_partial,
+        weighted_sample_wor,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "s" + str(i % 2), "y" * (5 + (i * 7) % 90))
+            for i in range(80)
+        ],
+        "doc_id long, source string, text string",
+    )
+    w = F.greatest(F.lit(1), F.length("text")).cast("double")
+    batch = weighted_sample_wor(docs, 20, w, group_col="source").select(
+        "source", "doc_id", F.col("_w").cast("bigint").alias("weight"), "rnk"
+    )
+    # 4 disjoint chunks -> partials -> unbalanced fold (((p0+p1)+p2)+p3)
+    parts = [
+        weighted_sample_partial(
+            docs.filter((F.col("doc_id") % 4) == i), w
+        )
+        for i in range(4)
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = fold_sample_partials(acc.unionByName(p))
+    streamed = finish_weighted_sample(acc)
+    assert sorted(map(tuple, batch.collect())) == sorted(
+        map(tuple, streamed.collect())
+    )
