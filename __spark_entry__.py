@@ -121,6 +121,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sample_maintenance": (
             streaming_pipeline.q_stream_sample_maintenance
         ),
+        # round 7: covariance maintenance — mergeable moment rows fold
+        # at compaction (one d^2+d+1-double row per LSM level)
+        "q_stream_covariance_maintenance": (
+            streaming_pipeline.q_stream_covariance_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -320,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_top_pc",
         # new this round: streaming ES-sample maintenance twin
         "q_stream_sample_maintenance",
+        # new this round: streaming covariance maintenance twin
+        "q_stream_covariance_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -4776,6 +4783,9 @@ def oracle_sql() -> dict[str, str]:
     # streaming ES-sample maintenance: k micro-batch folds must land
     # exactly on the batch weighted sample
     sql["q_stream_sample_maintenance"] = sql["q_doc_weighted_sample"]
+    # streaming covariance maintenance: folded moment rows must land
+    # exactly on the batch covariance output
+    sql["q_stream_covariance_maintenance"] = sql["q_embedding_covariance"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

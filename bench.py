@@ -99,6 +99,10 @@ HEADLINE = [
     "q_doc_snm_pairs",
     "q_token_triangles",
     "q_embedding_top_pc",
+    # round-7 third batch: the two new folding-state maintenance twins
+    # (ES-sample top-k partials; covariance moment rows)
+    "q_stream_sample_maintenance",
+    "q_stream_covariance_maintenance",
     "q_sql_region_revenue",
     "q_events_downsample",
     # round-6 second batch: the iterative BPE merge loop (8 chained

@@ -1454,6 +1454,17 @@ def embedding_covariance(
     noise. Oracle: DuckDB recomputes via the per-vector self-join
     formulation (independent plan, same arithmetic).
     """
+    return finish_covariance(covariance_partials(vectors, vec_col))
+
+
+def covariance_partials(
+    vectors: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """The mergeable (n, sums, gram) moment partials of
+    ``embedding_covariance`` for one corpus slice — each Arrow batch
+    folds its vectors into one partial row in a vectorized numpy pass.
+    Reusable by the streaming maintenance twin, which appends one
+    partial per micro-batch and folds them at compaction."""
     import numpy as np
     import pandas as pd
 
@@ -1472,9 +1483,38 @@ def embedding_covariance(
                 }
             )
 
-    parts = vectors.select(vec_col).mapInPandas(
+    return vectors.select(vec_col).mapInPandas(
         partial_gram, "n long, sums array<double>, gram array<double>"
     )
+
+
+def fold_covariance_partials(parts: DataFrame) -> DataFrame:
+    """N-ary moment merge: collapse stacked (n, sums, gram) partial
+    rows into ONE by count sum + elementwise vector sums (the classic
+    mergeable-moments property — associative and commutative), so it
+    serves as the LSM store's ``merge_transform``: every compaction
+    level holds exactly one d^2+d+1-double row regardless of how many
+    batches fed it."""
+
+    def _elemsum(col: str):
+        lst = F.collect_list(col)
+        return F.aggregate(
+            F.slice(lst, 2, 2_000_000_000),
+            F.element_at(lst, 1),
+            lambda acc, a: F.zip_with(acc, a, lambda x, y: x + y),
+        ).alias(col)
+
+    return parts.groupBy().agg(
+        F.sum("n").alias("n"), _elemsum("sums"), _elemsum("gram")
+    )
+
+
+def finish_covariance(parts: DataFrame) -> DataFrame:
+    """Covariance arithmetic over any stack of (n, sums, gram) partial
+    rows — the shared tail of the batch operator and the streaming
+    twin's publish pass (float note: the 6 dp round + negative-zero
+    collapse absorb summation-order differences, so batch and
+    incremental paths land on identical output)."""
     n_total = parts.groupBy().agg(F.sum("n").alias("n"))
     sums = (
         parts.select(F.posexplode("sums").alias("i", "s"))

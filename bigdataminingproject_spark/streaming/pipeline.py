@@ -1198,6 +1198,77 @@ def q_stream_sample_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_covariance_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live covariance-matrix maintenance — the vector-analytics
+    sibling of the maintenance twins: the full d x d covariance of the
+    embedding corpus stays continuously current as vectors stream in.
+
+    Each micro-batch folds ONLY its delta vectors into one (n, sums,
+    gram) moment row (the vectorized mapInPandas partial of the batch
+    operator) and appends it to an :class:`AppendOnlyPartsStore` whose
+    ``merge_transform`` is ``fold_covariance_partials``: compaction
+    collapses stacked moment rows into one by count + elementwise
+    vector sums — the textbook mergeable-moments property — so every
+    LSM level holds exactly ONE d^2+d+1-double row no matter how many
+    batches fed it. This is the cheapest possible streaming state for
+    exact covariance: O(d^2) bytes total, zero dependence on corpus
+    size, no decay/approximation. Publish runs the shared covariance
+    arithmetic over the live tail; the 6 dp round + negative-zero
+    collapse absorb the summation-order difference vs the batch path,
+    so the output lands exactly on ``q_embedding_covariance``'s oracle.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.similarity import (
+        covariance_partials,
+        finish_covariance,
+        fold_covariance_partials,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_cov_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_cov_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "moments",
+        merge_fanout=2,
+        merge_transform=fold_covariance_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(covariance_partials(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, vecs, staging, chunks=4, order_col="vec_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [], "i int, j long, cov double"
+            )
+        return (
+            finish_covariance(state)
+            .orderBy("i", "j")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_join_attribution(spark, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (registry entry) — the
     fifth Structured Streaming shape: two live streams joined on key +

@@ -470,3 +470,35 @@ def test_lsh_auto_sizing_holds_band_count():
     assert _auto_band_bits(2000, 64) == (8, 8)  # attested SFs unchanged
     pb10, nb10 = _auto_band_bits(20000, 64)
     assert nb10 == 8 and pb10 > 8  # wider bands, same count
+
+
+def test_covariance_partials_fold_to_batch(spark):
+    """Mergeable-moments closure: folding per-chunk (n, sums, gram)
+    partials in any grouping must land exactly on the batch covariance
+    — the invariant the streaming maintenance twin rides."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.similarity import (
+        covariance_partials,
+        embedding_covariance,
+        finish_covariance,
+        fold_covariance_partials,
+    )
+
+    rows = [
+        (i, [float((i * 13 + j * 7) % 11) - 5.0 for j in range(6)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    batch = embedding_covariance(vecs).collect()
+    parts = [
+        covariance_partials(vecs.filter((F.col("vec_id") % 3) == i))
+        for i in range(3)
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = fold_covariance_partials(acc.unionByName(p))
+    folded = acc.collect()
+    assert len(folded) == 1  # the whole corpus as one moment row
+    streamed = finish_covariance(acc).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, streamed))
