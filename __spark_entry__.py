@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup_anchor": similarity.q_embedding_neardup_anchor,
         "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
         "q_doc_weighted_sample": sampling.q_doc_weighted_sample,
+        "q_doc_curriculum": sampling.q_doc_curriculum,
         "q_benchmark_contamination": dedup.q_benchmark_contamination,
         "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_doc_pack_sequences": packing.q_doc_pack_sequences,
@@ -327,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sample_maintenance",
         # new this round: streaming covariance maintenance twin
         "q_stream_covariance_maintenance",
+        # new this round: interleaved curriculum schedule (full
+        # per-group ranking via grouped_position)
+        "q_doc_curriculum",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -2855,6 +2859,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, doc_id, score, rnk
         FROM ranked WHERE rnk <= 10
         ORDER BY source, rnk
+    """
+
+    # q_doc_curriculum: the oracle uses the textbook partitioned
+    # row_number; the Spark side's grouped_position (global two-phase
+    # position + broadcast offsets) must land on the identical ranking.
+    sql["q_doc_curriculum"] = f"""
+        WITH {_TOKS_CTE},
+        r AS (
+            SELECT doc_id, source,
+                   CAST(len(raw_toks) AS INT) AS ntok,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY len(raw_toks), doc_id
+                   ) AS step
+            FROM tok_base
+        )
+        SELECT step, source, doc_id, ntok
+        FROM r
+        ORDER BY step, source
+        LIMIT 500
     """
 
     # q_doc_weighted_sample: Efraimidis–Spirakis weighted sampling

@@ -680,3 +680,37 @@ def finish_weighted_sample(state: DataFrame, k: int = 20) -> DataFrame:
             "rnk",
         )
     )
+
+
+def q_doc_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved curriculum schedule: docs rank easiest-first WITHIN
+    each source (difficulty = token count, ties by id), and the global
+    schedule runs step 1 of every source before step 2 of any — the
+    round-robin difficulty ramp curriculum-training data loaders
+    consume. The per-source rank is a FULL ranking of a scaling
+    relation, computed by ``plans/ordering.grouped_position`` (one
+    bucketed global position + broadcast offsets) instead of a
+    per-source window — a handful of sources over a 100 TB corpus
+    would otherwise serialize through a handful of window tasks.
+    Output: the schedule's first 500 slots."""
+    from bigdataminingproject_spark.functions.text import tokenize
+    from bigdataminingproject_spark.plans.ordering import grouped_position
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).alias("ntok"),
+    )
+    ranked = grouped_position(
+        base,
+        "source",
+        "ntok",
+        tiebreakers=[F.col("doc_id")],
+        pos_col="step",
+    )
+    return (
+        ranked.select("step", "source", "doc_id", "ntok")
+        .orderBy("step", "source")
+        .limit(500)
+    )

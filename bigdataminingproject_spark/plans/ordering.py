@@ -247,3 +247,60 @@ def q_lineitem_zorder(spark, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return zorder_layout_stats(li, "l_partkey", "l_suppkey")
+
+
+def grouped_position(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    tiebreakers: list[Column | str] | None = None,
+    pos_col: str = "step",
+    order_bound: int = 10_000_000_000,
+) -> DataFrame:
+    """FULL per-group 1-based rank of a scaling relation without a
+    per-group window.
+
+    ``row_number() OVER (PARTITION BY group ...)`` is fine for top-k
+    (Catalyst's WindowGroupLimit prunes before the exchange) but for a
+    FULL ranking every group's rows still serialize through one task
+    per group — with a handful of groups over a 100 TB corpus that is
+    a many-TB single-task sort. This plan instead:
+
+    1. indexes the groups (group-name order) and takes per-group
+       counts — a bounded, broadcastable relation;
+    2. builds one composite numeric key ``idx * order_bound +
+       order_col`` (``order_col`` must be a non-negative integer
+       < ``order_bound``) whose GLOBAL order is (group, value);
+    3. runs the bucketed two-phase global position over it (quantile
+       buckets spread every group across many tasks);
+    4. subtracts each group's broadcast prefix offset, turning the
+       global position back into the per-group rank.
+
+    Identical output to the partitioned row_number, parallel in the
+    corpus rather than in the group count.
+    """
+    tiebreakers = list(tiebreakers or [])
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # bounded window: one row per group (same legitimacy note as
+    # with_global_position's offsets relation)
+    gw = Window.orderBy(group_col)
+    off_w = gw.rowsBetween(Window.unboundedPreceding, -1)
+    idxed = counts.select(
+        group_col,
+        (F.row_number().over(gw) - 1).alias("_gidx"),
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_goff"),
+    )
+    keyed = df.join(F.broadcast(idxed), group_col).withColumn(
+        "_gkey",
+        F.col("_gidx").cast("long") * F.lit(order_bound)
+        + F.col(order_col).cast("long"),
+    )
+    pos = with_global_position(
+        keyed,
+        "_gkey",
+        tiebreakers=[F.col(group_col)] + tiebreakers,
+        pos_col="_grn",
+    )
+    return pos.withColumn(
+        pos_col, (F.col("_grn") - F.col("_goff")).cast("long")
+    ).drop("_gidx", "_goff", "_gkey", "_grn")

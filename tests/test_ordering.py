@@ -83,3 +83,56 @@ def test_zorder_buckets_bound_both_dims(spark, sf_dir):
     tight_b = sum(1 for r in rows if (r["b_max"] - r["b_min"]) <= gb / 2)
     assert tight_a >= len(rows) * 0.8
     assert tight_b >= len(rows) * 0.8
+
+def test_grouped_position_matches_partitioned_window(spark):
+    """grouped_position must land on the identical ranking as the
+    textbook row_number() OVER (PARTITION BY grp ORDER BY v, id),
+    including ties on v broken by the tiebreaker."""
+    from bigdataminingproject_spark.plans.ordering import grouped_position
+
+    df = (
+        spark.range(0, 3000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).cast("string").alias("grp"),
+            ((F.col("id") * 2654435761) % 50).alias("v"),  # heavy ties
+        )
+        .repartition(11)
+    )
+    got = {
+        (r["grp"], r["id"]): r["step"]
+        for r in grouped_position(
+            df, "grp", "v", tiebreakers=[F.col("id")], pos_col="step"
+        ).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want = {
+        (r["grp"], r["id"]): r["step"]
+        for r in df.withColumn("step", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_grouped_position_no_per_group_window(spark):
+    """The plan must hash-partition on the quantile bucket, never on
+    the group column — the whole point is that a FULL per-group
+    ranking does not serialize through one task per group."""
+    from bigdataminingproject_spark.plans.explain import formatted_plan
+    from bigdataminingproject_spark.plans.ordering import grouped_position
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") % 17).alias("v"),
+    )
+    plan = formatted_plan(
+        grouped_position(df, "grp", "v", tiebreakers=[F.col("id")])
+    )
+    assert "hashpartitioning(_bkt" in plan
+    # a textbook per-group ranking would show a window PARTITIONED by
+    # grp and ordered by the value — windowspecdefinition(grp#N, v#M
+    # ASC ...). The bounded one-row-per-group windows in this plan
+    # only ORDER by grp (windowspecdefinition(grp#N ASC ...)).
+    import re
+
+    assert not re.search(r"windowspecdefinition\(grp#\d+, ", plan)
