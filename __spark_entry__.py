@@ -23,6 +23,7 @@ from bigdataminingproject_spark.operators import bpe
 from bigdataminingproject_spark.operators import dedup, events, frequency
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import graph
+from bigdataminingproject_spark.operators import kmv
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, quality, sampling
 from bigdataminingproject_spark.operators import retrieval, sketches
@@ -126,6 +127,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_covariance_maintenance": (
             streaming_pipeline.q_stream_covariance_maintenance
         ),
+        "q_stream_kmv_maintenance": (
+            streaming_pipeline.q_stream_kmv_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -208,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
         "q_doc_weighted_sample": sampling.q_doc_weighted_sample,
         "q_doc_curriculum": sampling.q_doc_curriculum,
+        "q_source_kmv_overlap": kmv.q_source_kmv_overlap,
         "q_benchmark_contamination": dedup.q_benchmark_contamination,
         "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_doc_pack_sequences": packing.q_doc_pack_sequences,
@@ -331,6 +336,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: interleaved curriculum schedule (full
         # per-group ranking via grouped_position)
         "q_doc_curriculum",
+        # new this round: KMV bottom-k distinct sketch with
+        # set-operation estimators (sketched contamination matrix)
+        "q_source_kmv_overlap",
+        # new this round: streaming KMV-sketch maintenance twin
+        "q_stream_kmv_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -4810,6 +4820,103 @@ def oracle_sql() -> dict[str, str]:
     # streaming covariance maintenance: folded moment rows must land
     # exactly on the batch covariance output
     sql["q_stream_covariance_maintenance"] = sql["q_embedding_covariance"]
+
+    # q_source_kmv_overlap (defined below) + its streaming twin: k
+    # micro-batch bottom-k folds must land exactly on the batch sketch
+    # (bottom-k closure under union) — same oracle.
+
+    # q_source_kmv_overlap: KMV bottom-k sketch replayed exactly —
+    # 48-bit md5 hashes, per-source bottom-256 of the distinct shingle
+    # hashes, pairwise union-bottom-k with the Beyer et al. estimator in
+    # the pinned op order (k-1) * (2^48 / h_k); small-set branch (n < k)
+    # collapses to the exact count on both engines.
+    sql["q_source_kmv_overlap"] = f"""
+        WITH {_TOKS_CTE},
+        tok_pos AS (
+            SELECT source, doc_id,
+                   unnest(raw_toks) AS tok,
+                   unnest(range(1, len(raw_toks) + 1)) AS pos
+            FROM tok_base
+        ),
+        sh AS (
+            SELECT a.source,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS sh
+            FROM tok_pos a
+            JOIN tok_pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            JOIN tok_pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ),
+        hashed AS (
+            SELECT DISTINCT source,
+                   CAST('0x' || substr(md5(sh), 1, 12) AS BIGINT) AS h
+            FROM sh
+        ),
+        sk AS (
+            SELECT source, h FROM (
+                SELECT source, h,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY h) AS r
+                FROM hashed)
+            WHERE r <= 256
+        ),
+        own_est AS (
+            SELECT source,
+                   round(CASE WHEN count(*) < 256
+                              THEN CAST(count(*) AS DOUBLE)
+                              ELSE 255.0 * (281474976710656.0
+                                            / CAST(max(h) AS DOUBLE))
+                         END, 4) AS est
+            FROM sk GROUP BY source
+        ),
+        pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b
+            FROM (SELECT DISTINCT source FROM sk) a,
+                 (SELECT DISTINCT source FROM sk) b
+            WHERE a.source < b.source
+        ),
+        tagged AS (
+            SELECT p.source_a, p.source_b, s.h,
+                   max(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END)
+                       AS in_a,
+                   max(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END)
+                       AS in_b
+            FROM pairs p
+            JOIN sk s ON s.source IN (p.source_a, p.source_b)
+            GROUP BY p.source_a, p.source_b, s.h
+        ),
+        union_k AS (
+            SELECT * FROM (
+                SELECT source_a, source_b, h, in_a, in_b,
+                       row_number() OVER (
+                           PARTITION BY source_a, source_b
+                           ORDER BY h) AS r
+                FROM tagged)
+            WHERE r <= 256
+        ),
+        per_pair AS (
+            SELECT source_a, source_b,
+                   count(*) AS k_in_union,
+                   sum(in_a * in_b) AS shared_in_k,
+                   max(h) AS kth
+            FROM union_k GROUP BY source_a, source_b
+        )
+        SELECT p.source_a, p.source_b,
+               CAST(k_in_union AS BIGINT) AS k_in_union,
+               CAST(shared_in_k AS BIGINT) AS shared_in_k,
+               round(CAST(shared_in_k AS DOUBLE)
+                     / CAST(k_in_union AS DOUBLE), 6) AS jaccard_est,
+               round(CASE WHEN k_in_union < 256
+                          THEN CAST(k_in_union AS DOUBLE)
+                          ELSE 255.0 * (281474976710656.0
+                                        / CAST(kth AS DOUBLE))
+                     END, 4) AS union_est,
+               ea.est AS distinct_a_est,
+               eb.est AS distinct_b_est
+        FROM per_pair p
+        JOIN own_est ea ON ea.source = p.source_a
+        JOIN own_est eb ON eb.source = p.source_b
+        ORDER BY p.source_a, p.source_b
+    """
+    sql["q_stream_kmv_maintenance"] = sql["q_source_kmv_overlap"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

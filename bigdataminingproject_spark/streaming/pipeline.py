@@ -1269,6 +1269,91 @@ def q_stream_covariance_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_kmv_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live KMV-sketch maintenance — the sketch-side sibling of the
+    maintenance twins: the per-source bottom-k distinct-shingle sketch
+    (and the cross-source overlap matrix it answers) stays continuously
+    current as documents stream in.
+
+    Each micro-batch hashes ONLY its delta docs' shingles, takes the
+    per-source bottom-k of the batch, and appends that partial to an
+    :class:`AppendOnlyPartsStore` whose ``merge_transform`` is
+    ``fold_kmv_partials``: compaction dedups, re-ranks and truncates
+    instead of stacking — exact by bottom-k closure under union
+    (bottom-k(A ∪ B) ⊆ bottom-k(A) ∪ bottom-k(B)) — so every LSM level
+    is bounded at sources × k rows regardless of how many batches fed
+    it. This is the streaming shape of every KMV/theta-sketch system:
+    per-slice sketches merged associatively, never the raw sets.
+    Publish folds the live tail and runs the pairwise set-operation
+    estimators; output and oracle are ``q_source_kmv_overlap``'s — k
+    micro-batch folds must land exactly on the batch sketch.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.functions.text import (
+        shingles,
+        tokenize,
+    )
+    from bigdataminingproject_spark.operators.kmv import (
+        KMV_K,
+        fold_kmv_partials,
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_kmv_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_kmv_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "kmv",
+        merge_fanout=2,
+        merge_transform=fold_kmv_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        ssh = batch_df.select(
+            "source",
+            F.explode(shingles(tokenize(F.col("text")), 3)).alias("sh"),
+        )
+        store.append(kmv_sketch(ssh, F.col("sh"), k=KMV_K))
+
+    try:
+        stream = file_replay_source(
+            spark, docs, staging, chunks=4, order_col="doc_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream: empty sketch
+            return spark.createDataFrame(
+                [],
+                "source_a string, source_b string, k_in_union bigint, "
+                "shared_in_k bigint, jaccard_est double, "
+                "union_est double, distinct_a_est double, "
+                "distinct_b_est double",
+            )
+        sk = fold_kmv_partials(state, k=KMV_K)
+        return (
+            kmv_pair_overlap(sk, k=KMV_K)
+            .orderBy("source_a", "source_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_join_attribution(spark, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (registry entry) — the
     fifth Structured Streaming shape: two live streams joined on key +
