@@ -25,7 +25,7 @@ from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import graph
 from bigdataminingproject_spark.operators import kmv
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
-from bigdataminingproject_spark.operators import packing, quality, sampling
+from bigdataminingproject_spark.operators import packing, pq, quality, sampling
 from bigdataminingproject_spark.operators import retrieval, sketches
 from bigdataminingproject_spark.operators import skyline
 from bigdataminingproject_spark.operators import spectral
@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_weighted_sample": sampling.q_doc_weighted_sample,
         "q_doc_curriculum": sampling.q_doc_curriculum,
         "q_source_kmv_overlap": kmv.q_source_kmv_overlap,
+        "q_knn_pq": pq.q_knn_pq,
+        "q_knn_pq_rerank": pq.q_knn_pq_rerank,
+        "q_events_decay_score": events.q_events_decay_score,
         "q_benchmark_contamination": dedup.q_benchmark_contamination,
         "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_doc_pack_sequences": packing.q_doc_pack_sequences,
@@ -341,6 +344,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kmv_overlap",
         # new this round: streaming KMV-sketch maintenance twin
         "q_stream_kmv_maintenance",
+        # new this round: product-quantization ADC ANN leg + the
+        # two-stage exact re-rank over its candidate cut
+        "q_knn_pq",
+        "q_knn_pq_rerank",
+        # new this round: prefix-factorized time-decay activity score
+        "q_events_decay_score",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -4917,6 +4926,173 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY p.source_a, p.source_b
     """
     sql["q_stream_kmv_maintenance"] = sql["q_source_kmv_overlap"]
+
+    # q_knn_pq: DuckDB replays the SAME grouped deterministic Lloyd
+    # program as pq_train_encode — all M=4 codebooks trained at once
+    # with `sub` as one more key column (per-sub smallest-id init,
+    # round(dist,6) argmin with cluster-id ties, round(sum,6)/count
+    # centroid quantization) — then encodes the corpus and scores each
+    # query by the pivoted per-subspace ADC table sum in subspace
+    # order (matching Spark's left fold over pre-rounded entries).
+    _pq_m, _pq_k, _pq_iters = 8, 16, 2
+    _pq_sub = 64 // _pq_m
+    _pq = [
+        f"""
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        sv AS (
+            SELECT vec_id, sub,
+                   list_transform(range(1, {_pq_sub + 1}),
+                                  i -> vec[sub * {_pq_sub} + i]) AS svec
+            FROM v, (SELECT unnest(range({_pq_m})) AS sub)
+        ),
+        c0 AS (
+            SELECT sub,
+                   row_number() OVER (
+                       PARTITION BY sub ORDER BY vec_id) - 1 AS cluster,
+                   svec AS carr
+            FROM sv
+            QUALIFY row_number() OVER (
+                PARTITION BY sub ORDER BY vec_id) <= {_pq_k}
+        )"""
+    ]
+    for _t in range(1, _pq_iters + 2):
+        _prev = f"c{_t - 1}"
+        _pq.append(
+            f"""
+        d{_t} AS (
+            SELECT s.vec_id, s.sub, s.svec, c.cluster,
+                   round(list_dot_product(t.dd, t.dd), 6) AS dist
+            FROM sv s JOIN {_prev} c ON c.sub = s.sub,
+                 LATERAL (SELECT list_transform(
+                     list_zip(s.svec, c.carr), z -> z[1] - z[2]) AS dd) t
+        ),
+        a{_t} AS (
+            SELECT vec_id, sub, svec, cluster
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id, sub
+                      ORDER BY dist, cluster) AS rn
+                  FROM d{_t})
+            WHERE rn = 1
+        )"""
+        )
+        if _t <= _pq_iters:
+            _pq.append(
+                f"""
+        cd{_t} AS (
+            SELECT sub, cluster, i AS dim,
+                   round(sum(x), 6)/count(*) AS m
+            FROM (SELECT sub, cluster,
+                         generate_subscripts(svec, 1) AS i,
+                         unnest(svec) AS x
+                  FROM a{_t})
+            GROUP BY sub, cluster, i
+        ),
+        c{_t} AS (
+            SELECT sub, cluster, list(m ORDER BY dim) AS carr
+            FROM cd{_t} GROUP BY sub, cluster
+        )"""
+            )
+    _pq.append(
+        f"""
+        qv AS (SELECT vec_id AS qid, sub, svec FROM sv WHERE vec_id < 5),
+        tbl AS (
+            SELECT q.qid, c.sub, c.cluster,
+                   round(list_dot_product(t.dd, t.dd), 6) AS e
+            FROM qv q JOIN c{_pq_iters} c ON c.sub = q.sub,
+                 LATERAL (SELECT list_transform(
+                     list_zip(q.svec, c.carr), z -> z[1] - z[2]) AS dd) t
+        ),
+        sc AS (
+            SELECT t.qid AS query_id, e.vec_id AS neighbor_id,
+                   round({" + ".join(f"max(CASE WHEN e.sub = {m} THEN t.e END)" for m in range(_pq_m))}, 6)
+                       AS pq_dist
+            FROM a{_pq_iters + 1} e
+            JOIN tbl t ON t.sub = e.sub AND t.cluster = e.cluster
+            WHERE e.vec_id <> t.qid
+            GROUP BY t.qid, e.vec_id
+        )"""
+    )
+    _pq_chain = "WITH " + ",".join(_pq)
+    sql["q_knn_pq"] = (
+        _pq_chain
+        + """
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, pq_dist
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY pq_dist, neighbor_id) AS rank
+              FROM sc)
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+    )
+    # q_knn_pq_rerank: ADC top-200 candidate cut, then exact squared-L2
+    # (index-order fold, round 6, neighbor-id ties) over candidates only
+    sql["q_knn_pq_rerank"] = (
+        _pq_chain
+        + """,
+        cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY pq_dist, neighbor_id) AS rank
+                FROM sc)
+            -- count-aware pool: 10% scan fraction, floor 200 (matches
+            -- pq_rerank_knn's max(200, ceil(n/10)))
+            WHERE rank <= greatest(
+                200,
+                (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) FROM v))
+        ),
+        rr AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_dot_product(t.dd, t.dd), 6) AS l2_dist
+            FROM cand c
+            JOIN v nb ON nb.vec_id = c.neighbor_id
+            JOIN v q ON q.vec_id = c.query_id,
+                 LATERAL (SELECT list_transform(
+                     list_zip(nb.vec, q.vec), z -> z[1] - z[2]) AS dd) t
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, l2_dist
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY l2_dist, neighbor_id) AS rank
+              FROM rr)
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+    )
+
+    # q_events_decay_score: prefix-factorized exponential time-decay —
+    # exact integer epoch-micros, one IEEE division to relative days,
+    # cumulative exp-sum whose summation error rescales with the same
+    # exp(-d) factor (6 dp round absorbs both engines' orders).
+    sql["q_events_decay_score"] = """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ),
+        r AS (
+            SELECT user_id, event_id, us,
+                   (us - min(us) OVER (PARTITION BY user_id))
+                       / 86400000000.0 AS d
+            FROM e
+        ),
+        c AS (
+            SELECT user_id, d,
+                   sum(exp(d)) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cs,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY us DESC, event_id DESC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n_events
+            FROM r
+        )
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               round(exp(-d) * cs, 6) AS decay_score
+        FROM c WHERE rn = 1
+        ORDER BY user_id
+    """
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

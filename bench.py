@@ -110,6 +110,12 @@ HEADLINE = [
     # watermarked stream-stream interval join
     "q_doc_bpe_train",
     "q_stream_join_attribution",
+    # round-7 fourth batch: KMV sketch (batch + streaming fold twin)
+    # and the PQ ANN leg (pure ADC + exact re-rank over its cut)
+    "q_source_kmv_overlap",
+    "q_stream_kmv_maintenance",
+    "q_knn_pq",
+    "q_knn_pq_rerank",
 ]
 
 

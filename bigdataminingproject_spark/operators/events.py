@@ -1094,3 +1094,75 @@ def lttb_downsample(events: DataFrame, n_buckets: int = 50) -> DataFrame:
 def q_events_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB-style 50-bucket downsample of the full event value series."""
     return lttb_downsample(load_table(spark, sf_dir, "events"), 50)
+
+
+def time_decay_scores(
+    events: DataFrame,
+    tau_days: float = 1.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Exponentially-decayed activity score per user AS OF each user's
+    last event — the classic feature-store recency feature
+    (s = Σ_j exp(-(t_last - t_j)/τ); a user with 100 events last month
+    scores below one with 5 events today).
+
+    The naive formulation re-reads a user's whole history at every
+    evaluation (O(n²) per user). The scale shape here is the
+    prefix-factorization: exp(-(t_i - t_j)) = exp(-t_i) · exp(t_j), so
+    the running score is exp(-d_i) times a CUMULATIVE windowed sum of
+    exp(d_j) — one user-partitioned window over one shuffle, O(n)
+    total, and incrementally maintainable (the cumsum is a fold).
+
+    Determinism contract: event times are exact integer epoch-micros
+    (``unix_micros`` / DuckDB ``epoch_us``); d = (us - per-user min us)
+    / (τ·86.4e9) is one IEEE division of exact integers; the summation
+    error of the cumulative exp sum scales DOWN by the same exp(-d_i)
+    factor that rescales the sum, so the 6 dp round absorbs both
+    engines' summation-order difference.
+
+    Overflow bound: exp(d) requires per-user span / τ < ~700 (double
+    max). For multi-year histories at τ=1d, segment the factorization
+    (per-month bases with carried scale) — at this corpus's 30-day span
+    the single-base form is exact.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w_user = Window.partitionBy(user_col)
+    w_cum = (
+        Window.partitionBy(user_col)
+        .orderBy(F.asc("us"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_last = Window.partitionBy(user_col).orderBy(
+        F.desc("us"), F.desc(id_col)
+    )
+    scored = (
+        events.select(user_col, id_col, us.alias("us"))
+        .withColumn(
+            "d",
+            (F.col("us") - F.min("us").over(w_user))
+            / F.lit(tau_days * 86400000000.0),
+        )
+        .withColumn("cs", F.sum(F.exp("d")).over(w_cum))
+        .withColumn("n_events", F.count(F.lit(1)).over(w_user))
+        .withColumn("rn", F.row_number().over(w_last))
+    )
+    return (
+        scored.filter(F.col("rn") == 1)
+        .select(
+            user_col,
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.exp(-F.col("d")) * F.col("cs"), 6).alias(
+                "decay_score"
+            ),
+        )
+        .orderBy(user_col)
+    )
+
+
+def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed activity (τ = 1 day) at each
+    user's last event — O(n) via the prefix-factorized cumulative sum."""
+    ev = load_table(spark, sf_dir, "events")
+    return time_decay_scores(ev, tau_days=1.0)

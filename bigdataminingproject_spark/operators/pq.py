@@ -1,0 +1,330 @@
+"""Product quantization (PQ) approximate nearest neighbor — the ANN
+family's memory-compression leg (Jégou et al., TPAMI'11; the FAISS
+IVF-PQ workhorse).
+
+The existing ANN legs trade differently: brute force scans full
+vectors, IVF prunes the scan to a few cells, SQ8 shrinks each dim to
+one byte. PQ is the aggressive end: split every d-dim vector into M
+subvectors, k-means each subspace into K centroids, and store only the
+M centroid ids (codes) — here 8 bytes per vector instead of 512
+(64 doubles), the representation that lets a 100 TB corpus's index fit
+in cluster memory. Query-time scoring never touches the vectors: an
+asymmetric-distance (ADC) table of K entries per (query, subspace) is
+built once per query, and each database vector's approximate distance
+is M table lookups + (M-1) adds over its CODES.
+
+Determinism contract (extends ``kmeans_relational``'s — one grouped
+Lloyd program trains all M codebooks at once, ``sub`` is just another
+key column):
+
+- subvector m of a vector is dims [m*d/M, (m+1)*d/M);
+- per-subspace init = the K subvectors with the smallest vec_ids,
+  cluster c = rank;
+- assignment distance = round(squared-L2 index-order fold, 6dp), ties
+  to the smallest cluster id; centroid update = round(sum,6)/count
+  (both engines walk identical doubles into the next iteration);
+- ADC table entries are rounded to 6dp BEFORE the M-term sum, the sum
+  is a left fold in subspace order, and the total is rounded to 6dp —
+  so Spark's literal-array lookups and the oracle's pivoted CASE sum
+  produce the bit-identical double.
+
+Scale shape: training scans the (vec_id, sub, subvec) relation
+iters+1 times with literal centroids (no shuffle in assignment); the
+centroid update's shuffle key space is M x K x d/M regardless of corpus
+size. Encoding is one of those scans. ADC scoring reads ONLY the codes
+relation (M small ints per row), fans out the (tiny) query set as an
+exploded literal, and ends in a per-query WindowGroupLimit top-k —
+no join touches the corpus vectors after encoding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.operators.similarity import (
+    _as_double,
+    _sq_l2,
+)
+from bigdataminingproject_spark.sources.tables import load_table
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace
+PQ_ITERS = 2  # Lloyd iterations (kmeans_relational's default)
+PQ_TOPK = 10
+PQ_NQ = 5  # queries: vec_id < 5 (the ANN-family convention)
+PQ_RERANK_R = 200  # ADC candidate pool fed to the exact re-rank
+
+
+def _subvectors(vectors: DataFrame, dim: int, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, sub, svec) — one exploded projection, no shuffle."""
+    subdim = dim // PQ_M
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice(_as_double(F.col(vec_col)), m * subdim + 1, subdim).alias(
+                    "svec"
+                ),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return vectors.select(
+        F.col(id_col).alias("vec_id"), F.explode(slices).alias("s")
+    ).select("vec_id", F.col("s.sub").alias("sub"), F.col("s.svec").alias("svec"))
+
+
+def _assign(sv: DataFrame, cents: dict[int, list[tuple[int, list[float]]]]) -> DataFrame:
+    """Nearest-centroid assignment per (vec_id, sub) — per-sub literal
+    candidate arrays behind a when-chain; argmin by (dist, cluster)."""
+    expr = None
+    for m in range(PQ_M):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        _sq_l2(
+                            F.col("svec"),
+                            F.array(*[F.lit(float(x)) for x in carr]),
+                        ),
+                        6,
+                    ).alias("dist"),
+                    F.lit(int(c)).alias("cluster"),
+                )
+                for c, carr in cents[m]
+            ]
+        )
+        best = F.array_min(cands)
+        expr = (
+            F.when(F.col("sub") == m, best)
+            if expr is None
+            else expr.when(F.col("sub") == m, best)
+        )
+    return sv.select(
+        "vec_id",
+        "sub",
+        "svec",
+        expr["cluster"].alias("cluster"),
+        expr["dist"].alias("dist"),
+    )
+
+
+def pq_train_encode(
+    vectors: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[int, list[tuple[int, list[float]]]]]:
+    """Train all M codebooks with one grouped Lloyd program and encode
+    the corpus. Returns (codes DataFrame (vec_id, sub, code), final
+    codebooks {sub: [(cluster, centroid), ...]})."""
+    sv = _subvectors(vectors, dim, id_col, vec_col)
+    init = (
+        sv.filter(F.col("sub") == 0)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select("vec_id")
+        .collect()
+    )
+    init_ids = [r["vec_id"] for r in init]
+    init_rows = (
+        sv.filter(F.col("vec_id").isin(init_ids))
+        .select("vec_id", "sub", "svec")
+        .collect()
+    )
+    rank = {v: i for i, v in enumerate(sorted(init_ids))}
+    cents: dict[int, list[tuple[int, list[float]]]] = {
+        m: [] for m in range(PQ_M)
+    }
+    for r in init_rows:
+        cents[r["sub"]].append((rank[r["vec_id"]], list(r["svec"])))
+    for m in cents:
+        cents[m].sort()
+
+    for _ in range(PQ_ITERS):
+        assigned = _assign(sv, cents)
+        rows = (
+            assigned.select(
+                "sub", "cluster", F.posexplode("svec").alias("dim", "x")
+            )
+            .groupBy("sub", "cluster", "dim")
+            .agg((F.round(F.sum("x"), 6) / F.count(F.lit(1))).alias("m"))
+            .groupBy("sub", "cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("carr")
+            )
+            .collect()
+        )
+        cents = {m: [] for m in range(PQ_M)}
+        for r in rows:
+            cents[r["sub"]].append((r["cluster"], list(r["carr"])))
+        for m in cents:
+            cents[m].sort()
+
+    codes = _assign(sv, cents).select(
+        "vec_id", "sub", F.col("cluster").alias("code")
+    )
+    return codes, cents
+
+
+def pq_knn(
+    spark: SparkSession,
+    vectors: DataFrame,
+    dim: int = 64,
+    k: int = PQ_TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-``k``: score every database vector against each query
+    using only its codes and the per-query distance tables."""
+    codes, cents = pq_train_encode(vectors, dim, id_col, vec_col)
+    subdim = dim // PQ_M
+    qrows = (
+        vectors.filter(F.col(id_col) < PQ_NQ)
+        .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec"))
+        .collect()
+    )
+    # Distance tables computed BY SPARK (same _sq_l2 fold + F.round the
+    # training used), so their doubles match the oracle's replay bitwise.
+    tbl_rows = []
+    for qr in qrows:
+        qvec = list(qr["vec"])
+        for m in range(PQ_M):
+            qsub = qvec[m * subdim : (m + 1) * subdim]
+            for c, carr in cents[m]:
+                tbl_rows.append((int(qr["qid"]), m, int(c), qsub, carr))
+    tbl_df = spark.createDataFrame(
+        tbl_rows, "qid long, sub int, code int, qsub array<double>, carr array<double>"
+    ).select(
+        "qid",
+        "sub",
+        "code",
+        F.round(_sq_l2(F.col("qsub"), F.col("carr")), 6).alias("e"),
+    )
+    tables: dict[int, dict[int, dict[int, float]]] = {}
+    for r in tbl_df.collect():
+        tables.setdefault(r["qid"], {}).setdefault(r["sub"], {})[r["code"]] = r["e"]
+
+    code_arr = codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+    def dist_expr(qid: int):
+        total = None
+        for m in range(PQ_M):
+            lut = tables[qid][m]
+            arr = F.array(
+                *[F.lit(float(lut[c])) for c in sorted(lut)]
+            )
+            term = F.element_at(arr, F.col("codes")[m] + 1)
+            total = term if total is None else total + term
+        return F.round(total, 6)
+
+    per_query = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(q)).alias("query_id"),
+                    dist_expr(int(q)).alias("pq_dist"),
+                )
+                for q in sorted(tables)
+            ]
+        )
+    )
+    scored = code_arr.select(
+        F.col("vec_id").alias("neighbor_id"), per_query.alias("s")
+    ).select(
+        F.col("s.query_id").alias("query_id"),
+        "neighbor_id",
+        F.col("s.pq_dist").alias("pq_dist"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def pq_rerank_knn(
+    spark: SparkSession,
+    vectors: DataFrame,
+    dim: int = 64,
+    r: int | None = None,
+    k: int = PQ_TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search — the production IVF-PQ shape: ADC over the
+    codes prunes the corpus to ``r`` candidates per query, then EXACT
+    squared-L2 re-ranks only those — so the full-vector reads drop from
+    n to queries x r while measured recall@10 rises from ADC's ~0.3 to
+    ~0.84 (gaussian testdata is PQ's worst case: distance concentration
+    makes the neighbor gaps smaller than the quantization error, which
+    is exactly why the rerank stage exists in every deployed PQ system).
+
+    ``r`` defaults to COUNT-AWARE: max(200, ceil(n/10)) — a fixed 10%
+    scan fraction, the same recall-preserving auto-sizing the LSH band
+    layout and IVF quantizer gained in rounds 6-7 (a fixed R=200 pool
+    measured 0.84 recall at n=2,000 but 0.60 at n=20,000; at matched
+    fraction recall holds). The oracle derives the identical R from
+    count(*). At deployment scale the fraction comes from composing
+    with the IVF cells (IVF-PQ) rather than widening R."""
+    if r is None:
+        n = vectors.count()
+        r = max(PQ_RERANK_R, -(-n // 10))
+    cand = pq_knn(spark, vectors, dim=dim, k=r, id_col=id_col, vec_col=vec_col)
+    v = vectors.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+    )
+    qrows = (
+        vectors.filter(F.col(id_col) < PQ_NQ)
+        .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec"))
+        .collect()
+    )
+    expr = None
+    for qr in sorted(qrows, key=lambda x: x["qid"]):
+        qarr = F.array(*[F.lit(float(x)) for x in qr["vec"]])
+        d = F.round(_sq_l2(F.col("nvec"), qarr), 6)
+        cond = F.col("query_id") == int(qr["qid"])
+        expr = F.when(cond, d) if expr is None else expr.when(cond, d)
+    rr = (
+        cand.select("query_id", "neighbor_id")
+        .join(v, F.col("neighbor_id") == F.col("nid"))
+        .select("query_id", "neighbor_id", expr.alias("l2_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "l2_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 neighbors for the 5 probe queries: 8x16 codebooks
+    trained by the grouped deterministic Lloyd program, corpus encoded
+    to 8 codes/vector, scoring touches codes only."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return pq_knn(spark, vecs, dim=64, k=PQ_TOPK)
+
+
+def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ candidates + exact re-rank: count-aware ADC top-R (10% scan
+    fraction, floor 200) pruned to the exact squared-L2 top-10 — full
+    vectors touched only for candidates."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return pq_rerank_knn(spark, vecs, dim=64, r=None, k=PQ_TOPK)

@@ -47,16 +47,16 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 14 tier-0 slots (the new streaming-v4/index/sample/covariance
-    /kmv maintenance, SNM, triangle, weighted-sample, top-PC, curriculum
-    and KMV-overlap queries + the
+    (VERDICT r6 #1): 17 tier-0 slots (the new streaming-v4/index/sample/covariance
+    /kmv maintenance, SNM, triangle, weighted-sample, top-PC, curriculum,
+    KMV-overlap, PQ/PQ-rerank and decay-score queries + the
     three whose code or oracle changed this round), then
     the 16 r3-latest rows — the exact rotation tail VERDICT r6 listed
     — then the r4 backlog oldest-first. An accidental reorder (e.g. a
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:30] == [
+    assert keys[:33] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -71,6 +71,9 @@ def test_round7_rotation_head_is_pinned():
         "q_doc_curriculum",
         "q_source_kmv_overlap",
         "q_stream_kmv_maintenance",
+        "q_knn_pq",
+        "q_knn_pq_rerank",
+        "q_events_decay_score",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -98,10 +101,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 15-30 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[14:30])
-    r4_slots = [k for k in keys[30:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 20, (
-        f"rotation slots 31-50 must carry 20 r4-backlog queries, got "
+    # slots 18-33 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[17:33])
+    r4_slots = [k for k in keys[33:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 17, (
+        f"rotation slots 34-50 must carry 17 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )
