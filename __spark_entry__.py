@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_kmv_maintenance": (
             streaming_pipeline.q_stream_kmv_maintenance
         ),
+        "q_stream_decay_maintenance": (
+            streaming_pipeline.q_stream_decay_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -349,7 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_pq",
         "q_knn_pq_rerank",
         # new this round: prefix-factorized time-decay activity score
+        # and its mergeable decayed-counter streaming twin
         "q_events_decay_score",
+        "q_stream_decay_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5093,6 +5098,9 @@ def oracle_sql() -> dict[str, str]:
         FROM c WHERE rn = 1
         ORDER BY user_id
     """
+    # streaming decayed-counter maintenance: rebased partial folds must
+    # land exactly on the batch decay score — same oracle
+    sql["q_stream_decay_maintenance"] = sql["q_events_decay_score"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

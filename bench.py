@@ -116,6 +116,7 @@ HEADLINE = [
     "q_stream_kmv_maintenance",
     "q_knn_pq",
     "q_knn_pq_rerank",
+    "q_stream_decay_maintenance",
 ]
 
 

@@ -1166,3 +1166,82 @@ def q_events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's last event — O(n) via the prefix-factorized cumulative sum."""
     ev = load_table(spark, sf_dir, "events")
     return time_decay_scores(ev, tau_days=1.0)
+
+
+def decay_partials(
+    events: DataFrame,
+    tau_days: float = 1.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user decayed-counter partial of ONE event slice — the
+    mergeable state behind ``time_decay_scores``: (base_us = slice-min
+    event time, sum_exp = Σ exp((t_j - base)/τ), last_us, n). Everything
+    downstream needs is four numbers per user; the raw events are never
+    kept."""
+    tau_us = tau_days * 86400000000.0
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy("user_id")
+    pre = events.select(
+        F.col(user_col).alias("user_id"), us.alias("us")
+    ).withColumn("_b", F.min("us").over(w))
+    return pre.groupBy("user_id").agg(
+        F.min("us").alias("base_us"),
+        F.sum(
+            F.exp(
+                (F.col("us") - F.col("_b")).cast("double") / F.lit(tau_us)
+            )
+        ).alias("sum_exp"),
+        F.max("us").alias("last_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def fold_decay_partials(
+    parts: DataFrame, tau_days: float = 1.0
+) -> DataFrame:
+    """N-ary merge of decayed-counter partials: rebase every partial's
+    exp-sum onto the user's smallest base (multiply by
+    exp((base_p - new_base)/τ) — the decayed-counter merge law), then
+    sum. Associative/commutative, so it serves as the LSM store's
+    ``merge_transform``: every compacted level holds ONE row per user
+    regardless of how many batches fed it."""
+    tau_us = tau_days * 86400000000.0
+    w = Window.partitionBy("user_id")
+    rebased = parts.withColumn(
+        "_nb", F.min("base_us").over(w)
+    ).withColumn(
+        "_scaled",
+        F.col("sum_exp")
+        * F.exp(
+            (F.col("base_us") - F.col("_nb")).cast("double") / F.lit(tau_us)
+        ),
+    )
+    return rebased.groupBy("user_id").agg(
+        F.min("base_us").alias("base_us"),
+        F.sum("_scaled").alias("sum_exp"),
+        F.max("last_us").alias("last_us"),
+        F.sum("n").alias("n"),
+    )
+
+
+def finish_decay(state: DataFrame, tau_days: float = 1.0) -> DataFrame:
+    """Publish pass: score at each user's last event from the folded
+    counter — lands exactly on ``time_decay_scores``'s output."""
+    tau_us = tau_days * 86400000000.0
+    return (
+        fold_decay_partials(state, tau_days)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.round(
+                F.exp(
+                    -(F.col("last_us") - F.col("base_us")).cast("double")
+                    / F.lit(tau_us)
+                )
+                * F.col("sum_exp"),
+                6,
+            ).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

@@ -1354,6 +1354,78 @@ def q_stream_kmv_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_decay_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live decayed-counter maintenance — the feature-store sibling of
+    the maintenance twins: every user's exponentially-decayed activity
+    score stays continuously current as events stream in.
+
+    Each micro-batch folds ONLY its delta events into one
+    (base_us, sum_exp, last_us, n) row per user (the mergeable partial
+    of ``time_decay_scores``) and appends it to an
+    :class:`AppendOnlyPartsStore` whose ``merge_transform`` is
+    ``fold_decay_partials``: compaction REBASES each partial's exp-sum
+    onto the user's smallest base (multiply by exp(Δbase/τ) — the
+    decayed-counter merge law) and sums, so every LSM level holds one
+    4-number row per user no matter how many batches fed it. This is
+    the classic streaming decayed counter done without approximation:
+    the prefix factorization makes exact exponential decay mergeable,
+    where an imperative EWMA's state depends on arrival order. Publish
+    runs ``finish_decay`` over the live tail; the 6 dp round absorbs
+    the association-order difference vs the batch window's cumulative
+    sum, so output and oracle are ``q_events_decay_score``'s.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.events import (
+        decay_partials,
+        finish_decay,
+        fold_decay_partials,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_decay_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_decay_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "decay",
+        merge_fanout=2,
+        merge_transform=fold_decay_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(decay_partials(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [], "user_id long, n_events bigint, decay_score double"
+            )
+        return (
+            finish_decay(state)
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_join_attribution(spark, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (registry entry) — the
     fifth Structured Streaming shape: two live streams joined on key +

@@ -87,3 +87,52 @@ def test_plan_has_single_user_exchange(spark):
     # only — no join, no cartesian
     assert "CartesianProduct" not in plan
     assert "Join" not in plan
+
+
+def test_fold_equals_batch_any_split(spark):
+    """Partial-fold over arbitrary slices must land exactly on the
+    batch score (the decayed-counter merge law: rebase by exp(Δbase/τ)
+    then sum)."""
+    from bigdataminingproject_spark.operators.events import (
+        decay_partials,
+        finish_decay,
+        fold_decay_partials,
+    )
+
+    rows = [
+        (i, i % 5, T0 + datetime.timedelta(hours=3 * i + (i % 7)))
+        for i in range(60)
+    ]
+    df = _df(spark, rows)
+    batch = {
+        r["user_id"]: (r["n_events"], r["decay_score"])
+        for r in time_decay_scores(df).collect()
+    }
+    parts = [
+        decay_partials(_df(spark, rows[i::3])) for i in range(3)
+    ]
+    stacked = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    live = {
+        r["user_id"]: (r["n_events"], r["decay_score"])
+        for r in finish_decay(fold_decay_partials(stacked)).collect()
+    }
+    assert live == batch
+
+
+def test_stream_twin_lands_on_batch(spark):
+    from bigdataminingproject_spark.operators.events import (
+        q_events_decay_score,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_decay_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = sorted(
+        tuple(r) for r in q_events_decay_score(spark, sf_dir).collect()
+    )
+    live = sorted(
+        tuple(r)
+        for r in q_stream_decay_maintenance(spark, sf_dir).collect()
+    )
+    assert live == batch
