@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_decay_maintenance": (
             streaming_pipeline.q_stream_decay_maintenance
         ),
+        "q_stream_dedup": streaming_pipeline.q_stream_dedup,
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -355,6 +356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and its mergeable decayed-counter streaming twin
         "q_events_decay_score",
         "q_stream_decay_maintenance",
+        # new this round: watermarked stream dedup (bounded-state
+        # dropDuplicatesWithinWatermark — the sixth streaming shape)
+        "q_stream_dedup",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5101,6 +5105,17 @@ def oracle_sql() -> dict[str, str]:
     # streaming decayed-counter maintenance: rebased partial folds must
     # land exactly on the batch decay score — same oracle
     sql["q_stream_decay_maintenance"] = sql["q_events_decay_score"]
+
+    # q_stream_dedup: watermarked stream dedup's first-sightings over a
+    # ts-ordered replay (zero lateness) must equal batch DISTINCT; the
+    # raw sink content is published, so any duplicate emission fails
+    # this hash.
+    sql["q_stream_dedup"] = """
+        SELECT user_id, date_trunc('hour', ts) AS event_hour
+        FROM events
+        GROUP BY user_id, date_trunc('hour', ts)
+        ORDER BY user_id, event_hour
+    """
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

@@ -117,6 +117,7 @@ HEADLINE = [
     "q_knn_pq",
     "q_knn_pq_rerank",
     "q_stream_decay_maintenance",
+    "q_stream_dedup",
 ]
 
 

@@ -1354,6 +1354,57 @@ def q_stream_kmv_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
+    """Live watermarked stream deduplication (registry entry) — the
+    sixth Structured Streaming shape: ``dropDuplicatesWithinWatermark``
+    with BOUNDED dedup state.
+
+    A plain streaming ``dropDuplicates`` keeps every key it has ever
+    seen — state grows with the corpus, the unbounded-state bug class.
+    The watermarked variant is the 100 TB form: dedup keys are
+    event-time-scoped, so state for hour H is evicted once the
+    watermark passes H + delay; an infinite stream holds only the
+    trailing window of keys.
+
+    The replayed stream is staged in event-time order (order_col='ts'),
+    so no row is late and the within-watermark guarantee is total:
+    the emitted (user_id, event_hour) first-sightings must equal the
+    batch DISTINCT exactly. The published result is the RAW sink
+    content — no batch-side distinct rescue — so a duplicate emission
+    anywhere would fail the oracle's hash, which is the point.
+    Output/oracle: distinct (user, hour) activity pairs
+    (the per-user hourly presence relation DAU/WAU rollups consume).
+    """
+    import tempfile
+    import uuid
+
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    stream = file_replay_source(
+        spark, ev, staging, chunks=10, order_col="ts"
+    )
+    deduped = (
+        stream.select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("event_hour"),
+            "ts",
+        )
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_hour"])
+        .select("user_id", "event_hour")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    run_to_memory(deduped, name, output_mode="append")
+    return spark.table(name).orderBy("user_id", "event_hour")
+
+
 def q_stream_decay_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live decayed-counter maintenance — the feature-store sibling of
     the maintenance twins: every user's exponentially-decayed activity

@@ -523,3 +523,30 @@ def test_stream_join_attribution_equals_batch_interval_join(spark, sf_dir):
     live = [tuple(r) for r in q_stream_join_attribution(spark, sf_dir).collect()]
     assert live == [tuple(r) for r in batch.collect()]
     assert len(live) > 0
+
+
+def test_stream_dedup_emits_exactly_distinct(spark):
+    """dropDuplicatesWithinWatermark over the ts-ordered replay must
+    emit each (user, hour) exactly once — the published result is the
+    raw sink content, so this asserts no duplicate emission AND no
+    missed key vs the batch DISTINCT."""
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    live = [
+        (r["user_id"], r["event_hour"])
+        for r in q_stream_dedup(spark, sf_dir).collect()
+    ]
+    assert len(live) == len(set(live))  # no duplicate emission
+    batch = {
+        (r["user_id"], r["h"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert set(live) == batch
