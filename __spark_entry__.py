@@ -20,7 +20,7 @@ from bigdataminingproject_spark.functions.text import (
 )
 from bigdataminingproject_spark.operators import association
 from bigdataminingproject_spark.operators import bpe
-from bigdataminingproject_spark.operators import dedup, events, frequency
+from bigdataminingproject_spark.operators import dedup, density, events, frequency
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import graph
 from bigdataminingproject_spark.operators import kmv
@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_pq": pq.q_knn_pq,
         "q_knn_pq_rerank": pq.q_knn_pq_rerank,
         "q_events_decay_score": events.q_events_decay_score,
+        "q_events_grid_clusters": density.q_events_grid_clusters,
         "q_benchmark_contamination": dedup.q_benchmark_contamination,
         "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_doc_pack_sequences": packing.q_doc_pack_sequences,
@@ -359,6 +360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: watermarked stream dedup (bounded-state
         # dropDuplicatesWithinWatermark — the sixth streaming shape)
         "q_stream_dedup",
+        # new this round: grid-density (DBSCAN-family) clustering
+        "q_events_grid_clusters",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5115,6 +5118,53 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         GROUP BY user_id, date_trunc('hour', ts)
         ORDER BY user_id, event_hour
+    """
+
+    # q_events_grid_clusters: grid-density clustering — identical cell
+    # quantization (floor of one IEEE division), count-aware minpts
+    # (half mean occupancy, same ceil), 8-neighborhood components via
+    # recursive-CTE closure (the operator uses min-label propagation —
+    # different algorithm, identical labels), singleton dense cells
+    # label themselves.
+    sql["q_events_grid_clusters"] = """
+        WITH RECURSIVE cells AS (
+            SELECT CAST(floor(CAST(hour(ts) AS DOUBLE) / 1.0) AS BIGINT)
+                       AS xi,
+                   CAST(floor(value / 25.0) AS BIGINT) AS yi,
+                   count(*) AS pts
+            FROM events GROUP BY 1, 2
+        ),
+        par AS (
+            SELECT greatest(
+                2, CAST(ceil(sum(pts) / (2.0 * count(*))) AS BIGINT)
+            ) AS minpts
+            FROM cells
+        ),
+        dense AS (
+            SELECT xi, yi, pts, xi * 1000 + yi AS cell_id
+            FROM cells, par WHERE pts >= par.minpts
+        ),
+        edges AS (
+            SELECT DISTINCT a.cell_id AS src, b.cell_id AS dst
+            FROM dense a JOIN dense b
+              ON b.xi BETWEEN a.xi - 1 AND a.xi + 1
+             AND b.yi BETWEEN a.yi - 1 AND a.yi + 1
+             AND a.cell_id <> b.cell_id
+        ),
+        reach(node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab
+            FROM reach r JOIN edges e ON e.dst = r.node
+        ),
+        cc AS (
+            SELECT node AS cell_id, min(lab) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT coalesce(cc.cluster_id, d.cell_id) AS cluster_id,
+               d.cell_id, d.xi, d.yi, CAST(d.pts AS BIGINT) AS pts
+        FROM dense d LEFT JOIN cc ON cc.cell_id = d.cell_id
+        ORDER BY cluster_id, d.cell_id
     """
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking

@@ -118,6 +118,7 @@ HEADLINE = [
     "q_knn_pq_rerank",
     "q_stream_decay_maintenance",
     "q_stream_dedup",
+    "q_events_grid_clusters",
 ]
 
 
