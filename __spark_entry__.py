@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             streaming_pipeline.q_stream_decay_maintenance
         ),
         "q_stream_dedup": streaming_pipeline.q_stream_dedup,
+        "q_stream_grid_maintenance": (
+            streaming_pipeline.q_stream_grid_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -360,8 +363,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: watermarked stream dedup (bounded-state
         # dropDuplicatesWithinWatermark — the sixth streaming shape)
         "q_stream_dedup",
-        # new this round: grid-density (DBSCAN-family) clustering
+        # new this round: grid-density (DBSCAN-family) clustering and
+        # its counter-folding streaming twin
         "q_events_grid_clusters",
+        "q_stream_grid_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5166,6 +5171,9 @@ def oracle_sql() -> dict[str, str]:
         FROM dense d LEFT JOIN cc ON cc.cell_id = d.cell_id
         ORDER BY cluster_id, d.cell_id
     """
+    # streaming grid maintenance: summed cell-count partials are
+    # integer-exact, so the folded publish lands on the batch output
+    sql["q_stream_grid_maintenance"] = sql["q_events_grid_clusters"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

@@ -119,6 +119,7 @@ HEADLINE = [
     "q_stream_decay_maintenance",
     "q_stream_dedup",
     "q_events_grid_clusters",
+    "q_stream_grid_maintenance",
 ]
 
 

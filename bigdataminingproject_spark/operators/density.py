@@ -46,26 +46,22 @@ from bigdataminingproject_spark.sources.tables import load_table
 _CELL_Y_SPAN = 1000  # cell_id = xi * 1000 + yi; requires 0 <= yi < 1000
 
 
-def grid_density_cells(
-    df: DataFrame,
-    x: Column,
-    y: Column,
-    wx: float,
-    wy: float,
-    minpts: int | None = None,
-) -> DataFrame:
-    """Labeled dense-cell relation: one row per dense cell with its
-    component's cluster_id (smallest reachable cell id), coordinates
-    and point count — the fine-grained output ``grid_density_clusters``
-    summarizes."""
-    cells = (
-        df.select(
-            F.floor(x / F.lit(wx)).alias("xi"),
-            F.floor(y / F.lit(wy)).alias("yi"),
-        )
-        .groupBy("xi", "yi")
-        .agg(F.count(F.lit(1)).alias("pts"))
+def fold_cell_partials(parts: DataFrame) -> DataFrame:
+    """N-ary merge of (xi, yi, pts) cell-count partials: sum per cell —
+    integer counters, the simplest mergeable state, and the LSM store's
+    ``merge_transform`` for the streaming twin (every level stays
+    occupied-grid-sized)."""
+    return parts.groupBy("xi", "yi").agg(
+        F.sum("pts").alias("pts")
     )
+
+
+def label_dense_cells(
+    cells: DataFrame, minpts: int | None = None
+) -> DataFrame:
+    """Dense-set cut + component labeling over a folded cell-count
+    relation — the publish half of the grid pipeline, shared by the
+    batch operator and the streaming maintenance twin."""
     if minpts is None:
         import math
 
@@ -118,6 +114,29 @@ def grid_density_cells(
         )
         .orderBy("cluster_id", "cell_id")
     )
+
+
+def grid_density_cells(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    wx: float,
+    wy: float,
+    minpts: int | None = None,
+) -> DataFrame:
+    """Labeled dense-cell relation: one row per dense cell with its
+    component's cluster_id (smallest reachable cell id), coordinates
+    and point count — the fine-grained output ``grid_density_clusters``
+    summarizes."""
+    cells = (
+        df.select(
+            F.floor(x / F.lit(wx)).alias("xi"),
+            F.floor(y / F.lit(wy)).alias("yi"),
+        )
+        .groupBy("xi", "yi")
+        .agg(F.count(F.lit(1)).alias("pts"))
+    )
+    return label_dense_cells(cells, minpts)
 
 
 def grid_density_clusters(

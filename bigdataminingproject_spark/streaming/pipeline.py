@@ -1354,6 +1354,85 @@ def q_stream_kmv_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_grid_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live grid-density maintenance — the clustering sibling of the
+    maintenance twins: the dense-cell map (and the density clusters it
+    defines) stays continuously current as events stream in.
+
+    Each micro-batch quantizes ONLY its delta events to (xi, yi) cell
+    counts and appends that partial to an :class:`AppendOnlyPartsStore`
+    whose ``merge_transform`` sums counts per cell — the simplest
+    mergeable state of all the twins (integer counters), so every LSM
+    level is bounded by the OCCUPIED-GRID size regardless of how many
+    batches or events fed it. Publish derives the count-aware minpts
+    from the folded totals, cuts the dense set, and labels components —
+    density work happens on the cell index, never on replayed points.
+    Output and oracle are ``q_events_grid_clusters``'s: integer-exact by
+    counter mergeability.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.density import (
+        fold_cell_partials,
+        label_dense_cells,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_grid_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_grid_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "cells",
+        merge_fanout=2,
+        merge_transform=fold_cell_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(
+            batch_df.select(
+                F.floor(F.hour("ts").cast("double") / F.lit(1.0)).alias(
+                    "xi"
+                ),
+                F.floor(F.col("value") / F.lit(25.0)).alias("yi"),
+            )
+            .groupBy("xi", "yi")
+            .agg(F.count(F.lit(1)).alias("pts"))
+        )
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "cluster_id bigint, cell_id bigint, xi bigint, "
+                "yi bigint, pts bigint",
+            )
+        cells = fold_cell_partials(state)
+        return (
+            label_dense_cells(cells)
+            .orderBy("cluster_id", "cell_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
     """Live watermarked stream deduplication (registry entry) — the
     sixth Structured Streaming shape: ``dropDuplicatesWithinWatermark``

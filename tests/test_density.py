@@ -98,3 +98,38 @@ def test_auto_minpts_is_half_mean_occupancy(spark):
     )
     rows = _cells(spark, pts, minpts=None)
     assert {r["cell_id"]: r["pts"] for r in rows} == {0: 6, 5005: 2}
+
+
+def test_fold_cell_partials_is_exact(spark):
+    from bigdataminingproject_spark.operators.density import (
+        fold_cell_partials,
+    )
+
+    parts = spark.createDataFrame(
+        [(0, 0, 3), (0, 0, 2), (1, 1, 1), (1, 1, 4), (2, 0, 5)],
+        "xi long, yi long, pts long",
+    )
+    got = {
+        (r["xi"], r["yi"]): r["pts"]
+        for r in fold_cell_partials(parts).collect()
+    }
+    assert got == {(0, 0): 5, (1, 1): 5, (2, 0): 5}
+
+
+def test_stream_grid_twin_lands_on_batch(spark):
+    from bigdataminingproject_spark.operators.density import (
+        q_events_grid_clusters,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_grid_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = sorted(
+        tuple(r) for r in q_events_grid_clusters(spark, sf_dir).collect()
+    )
+    live = sorted(
+        tuple(r)
+        for r in q_stream_grid_maintenance(spark, sf_dir).collect()
+    )
+    assert live == batch

@@ -47,8 +47,8 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 20 tier-0 slots (the new streaming-v4/index/sample/covariance
-    /kmv/decay maintenance, watermarked stream dedup, SNM, triangle,
+    (VERDICT r6 #1): 21 tier-0 slots (the new streaming-v4/index/sample/covariance
+    /kmv/decay/grid maintenance, watermarked stream dedup, SNM, triangle,
     weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
     decay-score and grid-density queries + the
     three whose code or oracle changed this round), then
@@ -57,7 +57,7 @@ def test_round7_rotation_head_is_pinned():
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:36] == [
+    assert keys[:37] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -78,6 +78,7 @@ def test_round7_rotation_head_is_pinned():
         "q_stream_decay_maintenance",
         "q_stream_dedup",
         "q_events_grid_clusters",
+        "q_stream_grid_maintenance",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -105,10 +106,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 21-36 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[20:36])
-    r4_slots = [k for k in keys[36:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 14, (
-        f"rotation slots 37-50 must carry 14 r4-backlog queries, got "
+    # slots 22-37 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[21:37])
+    r4_slots = [k for k in keys[37:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 13, (
+        f"rotation slots 38-50 must carry 13 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )
