@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kmv_overlap": kmv.q_source_kmv_overlap,
         "q_knn_pq": pq.q_knn_pq,
         "q_knn_pq_rerank": pq.q_knn_pq_rerank,
+        "q_knn_ivfpq": pq.q_knn_ivfpq,
+        "q_knn_ivfpq_rerank": pq.q_knn_ivfpq_rerank,
         "q_events_decay_score": events.q_events_decay_score,
         "q_events_grid_clusters": density.q_events_grid_clusters,
         "q_benchmark_contamination": dedup.q_benchmark_contamination,
@@ -367,6 +369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its counter-folding streaming twin
         "q_events_grid_clusters",
         "q_stream_grid_maintenance",
+        # new this round: the composed IVF-PQ index and its exact-
+        # refine pipeline (count-aware probe ball -> ADC shortlist ->
+        # full-vector re-rank)
+        "q_knn_ivfpq",
+        "q_knn_ivfpq_rerank",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5074,6 +5081,153 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY query_id
                   ORDER BY l2_dist, neighbor_id) AS rank
               FROM rr)
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+    )
+
+    # q_knn_ivfpq: the composed index — the IVF oracle's count-derived
+    # masked-plane cell arithmetic bounds the candidate set (Hamming<=1
+    # probes), the PQ chain's encode + ADC tables price it; the scoring
+    # join adds one cells/probes restriction to q_knn_pq's pivoted sum.
+    sql["q_knn_ivfpq"] = (
+        _pq_chain
+        + f""",
+        prm AS (
+            SELECT CASE
+                       WHEN ceil(log2(greatest(count(*), 2) / 32.0)) > 16
+                       THEN CAST(error(
+                           'q_knn_ivfpq oracle: derived cell planes '
+                           '> 16 exceed the inlined plane budget '
+                           '(corpus > ~2M vectors); grow the inline '
+                           'count alongside SEM_CELL_MAX_PLANES'
+                       ) AS INT)
+                       ELSE CAST(greatest(6.0,
+                           ceil(log2(greatest(count(*), 2) / 32.0)))
+                           AS INT)
+                   END AS p
+            FROM embeddings
+        ),
+        ivf_cells AS (
+            SELECT vec_id, ({_cell16_terms}) % (1 << prm.p) AS cell
+            FROM v CROSS JOIN prm
+        ),
+        ivf_offs AS (
+            SELECT unnest(list_prepend(0,
+                       list_transform(range(0, p), i -> 1 << i))) AS off
+            FROM prm
+        ),
+        ivf_probes AS (
+            SELECT c.vec_id AS query_id, xor(c.cell, o.off) AS cell
+            FROM ivf_cells c, ivf_offs o
+            WHERE c.vec_id < 5
+        ),
+        ivfpq_scored AS (
+            SELECT t.qid AS query_id, e.vec_id AS neighbor_id,
+                   round({" + ".join(f"max(CASE WHEN e.sub = {m} THEN t.e END)" for m in range(_pq_m))}, 6)
+                       AS pq_dist
+            FROM a{_pq_iters + 1} e
+            JOIN ivf_cells nc ON nc.vec_id = e.vec_id
+            JOIN ivf_probes pr ON pr.cell = nc.cell
+            JOIN tbl t ON t.sub = e.sub AND t.cluster = e.cluster
+                      AND t.qid = pr.query_id
+            WHERE e.vec_id <> pr.query_id
+            GROUP BY t.qid, e.vec_id
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, pq_dist
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY pq_dist, neighbor_id) AS rank
+              FROM ivfpq_scored)
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+    )
+
+    # q_knn_ivfpq_rerank: the full three-cut pipeline. The probe
+    # radius is COUNT-AWARE like every other auto-sized layout: the
+    # smallest r whose Hamming ball covers >= 1/4 of the 2^p mask
+    # space, derived here by the same integer arithmetic as
+    # pq.ball_radius (4 * |ball| >= 2^p over the enumerated mask
+    # list — p <= 16 caps the list at 65,536 ints). ADC shortlist is
+    # pq_rerank's count-aware max(200, ceil(n/10)); the exact re-rank
+    # replays the index-order squared-L2 fold on survivors only.
+    sql["q_knn_ivfpq_rerank"] = (
+        _pq_chain
+        + f""",
+        prm AS (
+            SELECT CASE
+                       WHEN ceil(log2(greatest(count(*), 2) / 32.0)) > 16
+                       THEN CAST(error(
+                           'q_knn_ivfpq_rerank oracle: derived cell '
+                           'planes > 16 exceed the inlined plane '
+                           'budget (corpus > ~2M vectors); grow the '
+                           'inline count alongside SEM_CELL_MAX_PLANES'
+                       ) AS INT)
+                       ELSE CAST(greatest(6.0,
+                           ceil(log2(greatest(count(*), 2) / 32.0)))
+                           AS INT)
+                   END AS p
+            FROM embeddings
+        ),
+        rad AS (
+            SELECT p,
+                   list_min(list_filter(range(0, p + 1),
+                       r -> 4 * len(list_filter(range(0, 1 << p),
+                                m -> bit_count(m) <= r))
+                            >= (1 << p))) AS r
+            FROM prm
+        ),
+        ivf_cells AS (
+            SELECT vec_id, ({_cell16_terms}) % (1 << prm.p) AS cell
+            FROM v CROSS JOIN prm
+        ),
+        ivf_offs AS (
+            SELECT unnest(list_filter(range(0, 1 << p),
+                       m -> bit_count(m) <= r)) AS off
+            FROM rad
+        ),
+        ivf_probes AS (
+            SELECT c.vec_id AS query_id, xor(c.cell, o.off) AS cell
+            FROM ivf_cells c, ivf_offs o
+            WHERE c.vec_id < 5
+        ),
+        ivfpq_scored AS (
+            SELECT t.qid AS query_id, e.vec_id AS neighbor_id,
+                   round({" + ".join(f"max(CASE WHEN e.sub = {m} THEN t.e END)" for m in range(_pq_m))}, 6)
+                       AS pq_dist
+            FROM a{_pq_iters + 1} e
+            JOIN ivf_cells nc ON nc.vec_id = e.vec_id
+            JOIN ivf_probes pr ON pr.cell = nc.cell
+            JOIN tbl t ON t.sub = e.sub AND t.cluster = e.cluster
+                      AND t.qid = pr.query_id
+            WHERE e.vec_id <> pr.query_id
+            GROUP BY t.qid, e.vec_id
+        ),
+        ivfpq_cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY pq_dist, neighbor_id) AS rn
+                FROM ivfpq_scored)
+            WHERE rn <= greatest(
+                200,
+                (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) FROM v))
+        ),
+        ivfpq_rr AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_dot_product(t.dd, t.dd), 6) AS l2_dist
+            FROM ivfpq_cand c
+            JOIN v nb ON nb.vec_id = c.neighbor_id
+            JOIN v q ON q.vec_id = c.query_id,
+                 LATERAL (SELECT list_transform(
+                     list_zip(nb.vec, q.vec), z -> z[1] - z[2]) AS dd) t
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, l2_dist
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY l2_dist, neighbor_id) AS rank
+              FROM ivfpq_rr)
         WHERE rank <= 10
         ORDER BY query_id, rank
     """

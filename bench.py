@@ -120,6 +120,11 @@ HEADLINE = [
     "q_stream_dedup",
     "q_events_grid_clusters",
     "q_stream_grid_maintenance",
+    # round-7 seventh batch: the composed IVF-PQ index (cells bound
+    # WHICH vectors are touched, codes bound WHAT is read per vector)
+    # and its exact-refine pipeline (three nested count-aware cuts)
+    "q_knn_ivfpq",
+    "q_knn_ivfpq_rerank",
 ]
 
 

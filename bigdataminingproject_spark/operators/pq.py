@@ -171,6 +171,60 @@ def pq_train_encode(
     return codes, cents
 
 
+def _adc_tables(
+    spark: SparkSession,
+    qrows,
+    cents: dict[int, list[tuple[int, list[float]]]],
+    subdim: int,
+) -> dict[int, dict[int, dict[int, float]]]:
+    """Per-(query, subspace, code) ADC distance tables, computed BY
+    SPARK (same _sq_l2 fold + F.round the training used) so their
+    doubles match the oracle's replay bitwise."""
+    tbl_rows = []
+    for qr in qrows:
+        qvec = list(qr["vec"])
+        for m in range(PQ_M):
+            qsub = qvec[m * subdim : (m + 1) * subdim]
+            for c, carr in cents[m]:
+                tbl_rows.append((int(qr["qid"]), m, int(c), qsub, carr))
+    tbl_df = spark.createDataFrame(
+        tbl_rows,
+        "qid long, sub int, code int, qsub array<double>, carr array<double>",
+    ).select(
+        "qid",
+        "sub",
+        "code",
+        F.round(_sq_l2(F.col("qsub"), F.col("carr")), 6).alias("e"),
+    )
+    tables: dict[int, dict[int, dict[int, float]]] = {}
+    for r in tbl_df.collect():
+        tables.setdefault(r["qid"], {}).setdefault(r["sub"], {})[
+            r["code"]
+        ] = r["e"]
+    return tables
+
+
+def _code_arrays(codes: DataFrame) -> DataFrame:
+    """(vec_id, codes array) — the M-byte-per-vector PQ index."""
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def _adc_dist_expr(tables, qid: int):
+    """Pre-rounded lookup sum in pinned subspace order (left fold)."""
+    total = None
+    for m in range(PQ_M):
+        lut = tables[qid][m]
+        arr = F.array(*[F.lit(float(lut[c])) for c in sorted(lut)])
+        term = F.element_at(arr, F.col("codes")[m] + 1)
+        total = term if total is None else total + term
+    return F.round(total, 6)
+
+
 def pq_knn(
     spark: SparkSession,
     vectors: DataFrame,
@@ -188,44 +242,11 @@ def pq_knn(
         .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec"))
         .collect()
     )
-    # Distance tables computed BY SPARK (same _sq_l2 fold + F.round the
-    # training used), so their doubles match the oracle's replay bitwise.
-    tbl_rows = []
-    for qr in qrows:
-        qvec = list(qr["vec"])
-        for m in range(PQ_M):
-            qsub = qvec[m * subdim : (m + 1) * subdim]
-            for c, carr in cents[m]:
-                tbl_rows.append((int(qr["qid"]), m, int(c), qsub, carr))
-    tbl_df = spark.createDataFrame(
-        tbl_rows, "qid long, sub int, code int, qsub array<double>, carr array<double>"
-    ).select(
-        "qid",
-        "sub",
-        "code",
-        F.round(_sq_l2(F.col("qsub"), F.col("carr")), 6).alias("e"),
-    )
-    tables: dict[int, dict[int, dict[int, float]]] = {}
-    for r in tbl_df.collect():
-        tables.setdefault(r["qid"], {}).setdefault(r["sub"], {})[r["code"]] = r["e"]
-
-    code_arr = codes.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))),
-            lambda s: s["code"],
-        ).alias("codes")
-    )
+    tables = _adc_tables(spark, qrows, cents, subdim)
+    code_arr = _code_arrays(codes)
 
     def dist_expr(qid: int):
-        total = None
-        for m in range(PQ_M):
-            lut = tables[qid][m]
-            arr = F.array(
-                *[F.lit(float(lut[c])) for c in sorted(lut)]
-            )
-            term = F.element_at(arr, F.col("codes")[m] + 1)
-            total = term if total is None else total + term
-        return F.round(total, 6)
+        return _adc_dist_expr(tables, qid)
 
     per_query = F.explode(
         F.array(
@@ -312,6 +333,202 @@ def pq_rerank_knn(
         .select("query_id", "rank", "neighbor_id", "l2_dist")
         .orderBy("query_id", "rank")
     )
+
+
+def ball_radius(p: int, quarter: int = 4) -> int:
+    """Count-aware probe radius: the smallest r whose Hamming-<=r ball
+    covers at least 1/``quarter`` of the 2^p mask space (integer
+    arithmetic — ``quarter * cum >= 2^p`` — so the oracle derives the
+    identical r from count(*)). Holding the BALL fraction constant as
+    the plane family grows is the probe-side twin of the occupancy
+    auto-sizing: a fixed radius silently shrinks the scanned fraction
+    at scale (r=1 is 11% of cells at p=6 but 1.7% at p=10)."""
+    from math import comb
+
+    cum = 0
+    for r in range(p + 1):
+        cum += comb(p, r)
+        if quarter * cum >= (1 << p):
+            return r
+    return p
+
+
+def _ivfpq_scored(
+    spark: SparkSession,
+    vectors: DataFrame,
+    dim: int,
+    hamming_radius: int | None,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared IVF-PQ scoring stage: (query_id, neighbor_id, pq_dist)
+    over ONLY the candidates whose cell lies in each query's probe
+    ball. ``hamming_radius=None`` selects the count-aware
+    ``ball_radius`` (constant ~25% ball fraction at every scale)."""
+    from bigdataminingproject_spark.operators.similarity import (
+        cell_id,
+        det_planes,
+        hamming_offsets,
+        semantic_cell_planes,
+    )
+
+    codes, cents = pq_train_encode(vectors, dim, id_col, vec_col)
+    subdim = dim // PQ_M
+    p = semantic_cell_planes(vectors.count())
+    if hamming_radius is None:
+        hamming_radius = ball_radius(p)
+    planes = det_planes(dim, p)
+    assigned = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        cell_id(_as_double(F.col(vec_col)), planes).alias("cell"),
+    )
+    cand = assigned.join(
+        _code_arrays(codes).withColumnRenamed("vec_id", "neighbor_id"),
+        "neighbor_id",
+    )
+    qrows = (
+        vectors.filter(F.col(id_col) < PQ_NQ)
+        .select(
+            F.col(id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("vec"),
+            cell_id(_as_double(F.col(vec_col)), planes).alias("q_cell"),
+        )
+        .collect()
+    )
+    tables = _adc_tables(spark, qrows, cents, subdim)
+    offsets = hamming_offsets(p, hamming_radius)
+    probe_rows = [
+        (int(qr["qid"]), int(qr["q_cell"]) ^ off)
+        for qr in qrows
+        for off in offsets
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, cell int"
+    )
+    matched = cand.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist = None
+    for qid in sorted(tables):
+        cond = F.col("query_id") == qid
+        expr = _adc_dist_expr(tables, qid)
+        dist = F.when(cond, expr) if dist is None else dist.when(cond, expr)
+    return matched.select(
+        "query_id", "neighbor_id", dist.alias("pq_dist")
+    )
+
+
+def ivfpq_knn(
+    spark: SparkSession,
+    vectors: DataFrame,
+    dim: int = 64,
+    k: int = PQ_TOPK,
+    hamming_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the composition that IS the deployed large-scale ANN
+    index (FAISS's IndexIVFPQ): the count-aware deterministic-hyperplane
+    IVF cells bound WHICH vectors each query touches (a decreasing scan
+    fraction as the corpus grows), and the PQ codes bound WHAT is read
+    per touched vector (M bytes instead of d doubles). Per-query cost is
+    probed_fraction x n x M table lookups; the full vectors are never
+    read at query time by either stage.
+
+    Both stages keep their individually-attested determinism contracts
+    (ivf_knn_det's masked 16-plane cell arithmetic; pq_knn's grouped
+    Lloyd + pre-rounded pivoted ADC sum), so the composed oracle is the
+    composition of the two verified chains."""
+    scored = _ivfpq_scored(
+        spark, vectors, dim, hamming_radius, id_col, vec_col
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "pq_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivfpq_rerank_knn(
+    spark: SparkSession,
+    vectors: DataFrame,
+    dim: int = 64,
+    r: int | None = None,
+    k: int = PQ_TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full deployed ANN pipeline (FAISS IndexIVFPQ + refine): IVF
+    cells bound WHICH vectors a query touches (count-aware probe ball,
+    ~25% of the mask space at every scale — ``ball_radius``), PQ-ADC
+    prices those candidates at M code lookups each and keeps the best
+    ``r`` (count-aware max(200, ceil(n/10)), the pq_rerank auto-sizing),
+    and ONLY those r survivors get full-vector exact squared-L2 reads.
+    Three nested count-aware cuts: cells -> codes -> vectors.
+
+    Measured honesty (SCALE.md): on gaussian testdata the cell stage's
+    candidate recall at the ~25% ball is 0.48 (n=2k, r=2) / 0.68
+    (n=20k, r=4) — structureless embeddings are sign-LSH's published
+    worst case, the same boundary-cosine trade the LSH near-dup
+    operator documents. The re-rank stage recovers the PQ quantization
+    error on every candidate the cells do reach."""
+    if r is None:
+        n = vectors.count()
+        r = max(PQ_RERANK_R, -(-n // 10))
+    scored = _ivfpq_scored(spark, vectors, dim, None, id_col, vec_col)
+    wc = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= r)
+        .select("query_id", "neighbor_id")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nvec")
+    )
+    qrows = (
+        vectors.filter(F.col(id_col) < PQ_NQ)
+        .select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("vec"))
+        .collect()
+    )
+    expr = None
+    for qr in sorted(qrows, key=lambda x: x["qid"]):
+        qarr = F.array(*[F.lit(float(x)) for x in qr["vec"]])
+        d = F.round(_sq_l2(F.col("nvec"), qarr), 6)
+        cond = F.col("query_id") == int(qr["qid"])
+        expr = F.when(cond, d) if expr is None else expr.when(cond, d)
+    rr = cand.join(v, F.col("neighbor_id") == F.col("nid")).select(
+        "query_id", "neighbor_id", expr.alias("l2_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        rr.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "l2_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_knn_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact refine top-10: count-aware probe ball -> ADC
+    shortlist -> full-vector re-rank; the three-cut deployed pipeline."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_knn(spark, vecs, dim=64, k=PQ_TOPK)
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10: count-aware hyperplane cells prune the scan
+    (Hamming<=1 multi-probe), PQ codes price each candidate at 8 table
+    lookups — the deployed big-corpus ANN composition."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_knn(spark, vecs, dim=64, k=PQ_TOPK, hamming_radius=1)
 
 
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

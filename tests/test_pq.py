@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 from bigdataminingproject_spark.operators.pq import (
     PQ_K,
     PQ_M,
+    ball_radius,
     pq_train_encode,
+    q_knn_ivfpq,
+    q_knn_ivfpq_rerank,
     q_knn_pq,
     q_knn_pq_rerank,
 )
@@ -112,3 +115,150 @@ def test_rerank_beats_raw_adc(spark):
     adc = recall(q_knn_pq(spark, SF).collect())
     rr = recall(q_knn_pq_rerank(spark, SF).collect())
     assert rr >= adc
+
+
+def test_ivfpq_is_exact_restriction_of_adc(spark):
+    # IVF-PQ must never INVENT a distance: every (query, neighbor) it
+    # reports that the full ADC scan also ranks must carry the
+    # bit-identical pq_dist (same codes, same tables, same fold) —
+    # the cell filter only restricts WHICH pairs are scored
+    adc = {
+        (r["query_id"], r["neighbor_id"]): r["pq_dist"]
+        for r in q_knn_pq(spark, SF).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"]): r["pq_dist"]
+        for r in q_knn_ivfpq(spark, SF).collect()
+    }
+    shared = set(adc) & set(ivf)
+    assert shared, "probe sets should overlap the global ADC top-10"
+    for pair in shared:
+        assert adc[pair] == ivf[pair]
+
+
+def test_ivfpq_candidates_lie_in_probed_cells(spark):
+    # every reported neighbor's cell must be within Hamming<=1 of its
+    # query's cell under the same count-derived plane family
+    from bigdataminingproject_spark.operators.similarity import (
+        _as_double,
+        cell_id,
+        det_planes,
+        hamming_offsets,
+        semantic_cell_planes,
+    )
+
+    vecs = load_table(spark, SF, "embeddings")
+    p = semantic_cell_planes(vecs.count())
+    planes = det_planes(64, p)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in vecs.select(
+            "vec_id",
+            cell_id(_as_double(F.col("embedding")), planes).alias("cell"),
+        ).collect()
+    }
+    allowed = set(hamming_offsets(p, 1))
+    out = q_knn_ivfpq(spark, SF).collect()
+    assert out
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        assert (cells[r["query_id"]] ^ cells[r["neighbor_id"]]) in allowed
+
+
+def test_ivfpq_prunes_the_scan(spark):
+    # the point of the IVF stage: the probed Hamming<=1 ball must hold
+    # a small fraction of the corpus (measured ~0.11 at sf0.01 under
+    # the ~32-per-cell auto-sizing; bound at 0.35 so occupancy
+    # regressions are loud)
+    from bigdataminingproject_spark.operators.similarity import (
+        _as_double,
+        cell_id,
+        det_planes,
+        hamming_offsets,
+        semantic_cell_planes,
+    )
+
+    vecs = load_table(spark, SF, "embeddings")
+    n = vecs.count()
+    p = semantic_cell_planes(n)
+    planes = det_planes(64, p)
+    counts = {
+        r["cell"]: r["cnt"]
+        for r in vecs.select(
+            cell_id(_as_double(F.col("embedding")), planes).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    qcells = [
+        r["cell"]
+        for r in vecs.filter(F.col("vec_id") < 5)
+        .select(
+            cell_id(_as_double(F.col("embedding")), planes).alias("cell")
+        )
+        .collect()
+    ]
+    offs = hamming_offsets(p, 1)
+    fracs = [
+        sum(counts.get(qc ^ o, 0) for o in offs) / n for qc in qcells
+    ]
+    assert max(fracs) < 0.35, fracs
+
+
+def test_ball_radius_holds_quarter_fraction(spark):
+    # the count-aware probe radius must cover >= 1/4 of the mask space
+    # at EVERY plane count, and removing one radius step must drop
+    # below — i.e. it is the minimal such r (the auto-sizing contract
+    # the oracle re-derives with the enumerated-mask arithmetic)
+    from math import comb
+
+    for p in range(1, 17):
+        r = ball_radius(p)
+        ball = sum(comb(p, i) for i in range(r + 1))
+        assert 4 * ball >= (1 << p)
+        if r > 0:
+            smaller = sum(comb(p, i) for i in range(r))
+            assert 4 * smaller < (1 << p)
+
+
+def test_ivfpq_rerank_distances_are_exact(spark):
+    # the refine stage must report numpy-exact squared L2 for every
+    # survivor (rounded 6dp) — quantization error never reaches the
+    # published distances
+    ids, mat = _mat(spark, SF)
+    idx = {v: i for i, v in enumerate(ids)}
+    out = q_knn_ivfpq_rerank(spark, SF).collect()
+    assert out
+    for r in out:
+        d = mat[idx[r["query_id"]]] - mat[idx[r["neighbor_id"]]]
+        acc = 0.0
+        for x in d:
+            acc += x * x
+        assert r["l2_dist"] == pytest.approx(acc, abs=2e-6)
+
+
+def test_ivfpq_rerank_stays_in_probe_ball(spark):
+    # the refine stage only re-orders the cell candidates — every
+    # survivor must lie within the count-aware probe ball
+    from bigdataminingproject_spark.operators.similarity import (
+        _as_double,
+        cell_id,
+        det_planes,
+        hamming_offsets,
+        semantic_cell_planes,
+    )
+
+    vecs = load_table(spark, SF, "embeddings")
+    p = semantic_cell_planes(vecs.count())
+    planes = det_planes(64, p)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in vecs.select(
+            "vec_id",
+            cell_id(_as_double(F.col("embedding")), planes).alias("cell"),
+        ).collect()
+    }
+    allowed = set(hamming_offsets(p, ball_radius(p)))
+    for r in q_knn_ivfpq_rerank(spark, SF).collect():
+        assert (cells[r["query_id"]] ^ cells[r["neighbor_id"]]) in allowed
