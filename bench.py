@@ -125,6 +125,9 @@ HEADLINE = [
     # and its exact-refine pipeline (three nested count-aware cuts)
     "q_knn_ivfpq",
     "q_knn_ivfpq_rerank",
+    # round-7 eighth batch: streaming ANN-index maintenance (count-
+    # invariant 16-plane codes; mask widens instead of re-indexing)
+    "q_stream_ann_maintenance",
 ]
 
 

@@ -661,6 +661,25 @@ def ivf_knn_det(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("q_vec"),
     ).withColumn("q_cell", cell_id(F.col("q_vec"), planes))
+    return ivf_probe_score(assigned, q, n_cell_planes, hamming_radius, k)
+
+
+def ivf_probe_score(
+    assigned: DataFrame,
+    q: DataFrame,
+    n_cell_planes: int,
+    hamming_radius: int,
+    k: int,
+) -> DataFrame:
+    """Query side of the deterministic IVF index, shared by the batch
+    operator and the streaming index-maintenance twin: probe each
+    query's Hamming ball (broadcast of query x offsets), exact-cosine
+    re-rank within probed cells only, per-query top-k.
+
+    ``assigned`` carries (neighbor_id, vec, cell); ``q`` carries
+    (query_id, q_vec, q_cell). Cells may come from a live ``cell_id``
+    assignment (batch) or from a persisted count-invariant 16-plane
+    code masked down to the current layout (streaming)."""
     offsets = hamming_offsets(n_cell_planes, hamming_radius)
     probes = q.select(
         "query_id",

@@ -1433,6 +1433,96 @@ def q_stream_grid_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_ann_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live ANN-index maintenance — the vector-search sibling of the
+    maintenance twins: the deterministic-IVF index stays continuously
+    queryable as embedding deltas stream in, and the crawl NEVER
+    re-indexes.
+
+    The enabling invariant is the count-INVARIANT cell code: each
+    micro-batch assigns its delta vectors their full 16-plane sign
+    code once at ingest (``SEM_CELL_MAX_PLANES`` — a map-only
+    expression, no shuffle, O(|delta|) work), and any count-derived
+    p-plane layout the growing corpus later needs is a pure bit-mask
+    of the stored code (LSB-first ``cell_id`` ⇒ ``cell16 & (2^p-1)``).
+    Batch re-indexing — the reason real vector stores rebuild IVF
+    lists as data grows — is replaced by widening the query-time mask,
+    the same arithmetic the batch operator's DuckDB oracle uses.
+
+    State: one (vec_id, cell16, embedding) row per vector in an
+    :class:`AppendOnlyPartsStore` (identity merge — parts are disjoint
+    id-keyed index rows; compaction only bounds the part count, the
+    LSM discipline). Publish derives p from the folded count, masks
+    the persisted codes, and runs the SAME probe/score stage as the
+    batch operator (``similarity.ivf_probe_score``) — so the output
+    and oracle are ``q_knn_ivf_det``'s, and a hash match proves the
+    incrementally-maintained index answers queries identically to one
+    built from scratch."""
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators import similarity
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_ann_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_ann_state_")
+    store = AppendOnlyPartsStore(spark, state_root, "annidx", merge_fanout=2)
+    planes16 = similarity.det_planes(64, similarity.SEM_CELL_MAX_PLANES)
+
+    def upsert(batch_df, batch_id):
+        store.append(
+            batch_df.select(
+                "vec_id",
+                similarity.cell_id(
+                    similarity._as_double(F.col("embedding")), planes16
+                ).alias("cell16"),
+                "embedding",
+            )
+        )
+
+    try:
+        stream = file_replay_source(
+            spark, emb, staging, chunks=4, order_col="vec_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "query_id bigint, neighbor_id bigint, "
+                "cosine_sim double, rank int",
+            )
+        n = state.count()
+        p = similarity.semantic_cell_planes(n)
+        mask = F.lit((1 << p) - 1)
+        assigned = state.select(
+            F.col("vec_id").alias("neighbor_id"),
+            similarity._as_double(F.col("embedding")).alias("vec"),
+            F.col("cell16").bitwiseAND(mask).cast("int").alias("cell"),
+        )
+        q = state.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            similarity._as_double(F.col("embedding")).alias("q_vec"),
+            F.col("cell16").bitwiseAND(mask).cast("int").alias("q_cell"),
+        )
+        return (
+            similarity.ivf_probe_score(assigned, q, p, 1, 10)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
     """Live watermarked stream deduplication (registry entry) — the
     sixth Structured Streaming shape: ``dropDuplicatesWithinWatermark``

@@ -47,17 +47,17 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 21 tier-0 slots (the new streaming-v4/index/sample/covariance
-    /kmv/decay/grid maintenance, watermarked stream dedup, SNM, triangle,
+    (VERDICT r6 #1): 24 tier-0 slots (the new streaming-v4/index/sample/covariance
+    /kmv/decay/grid/ANN maintenance, watermarked stream dedup, SNM, triangle,
     weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
-    decay-score and grid-density queries + the
+    IVF-PQ/IVF-PQ-rerank, decay-score and grid-density queries + the
     three whose code or oracle changed this round), then
     the 16 r3-latest rows — the exact rotation tail VERDICT r6 listed
     — then the r4 backlog oldest-first. An accidental reorder (e.g. a
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:37] == [
+    assert keys[:40] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -79,6 +79,9 @@ def test_round7_rotation_head_is_pinned():
         "q_stream_dedup",
         "q_events_grid_clusters",
         "q_stream_grid_maintenance",
+        "q_knn_ivfpq",
+        "q_knn_ivfpq_rerank",
+        "q_stream_ann_maintenance",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -106,10 +109,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 22-37 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[21:37])
-    r4_slots = [k for k in keys[37:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 13, (
-        f"rotation slots 38-50 must carry 13 r4-backlog queries, got "
+    # slots 25-40 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[24:40])
+    r4_slots = [k for k in keys[40:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 10, (
+        f"rotation slots 41-50 must carry 10 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )

@@ -550,3 +550,61 @@ def test_stream_dedup_emits_exactly_distinct(spark):
         .collect()
     }
     assert set(live) == batch
+
+
+def test_stream_ann_twin_lands_on_batch(spark):
+    """The incrementally-maintained ANN index must answer the probe
+    queries identically to a scratch build (q_knn_ivf_det): persisted
+    16-plane codes masked to the count-derived layout reproduce the
+    batch cell assignment bit-for-bit."""
+    from bigdataminingproject_spark.operators.similarity import (
+        q_knn_ivf_det,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_ann_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = sorted(
+        tuple(r) for r in q_knn_ivf_det(spark, sf_dir).collect()
+    )
+    live = sorted(
+        tuple(r)
+        for r in q_stream_ann_maintenance(spark, sf_dir).collect()
+    )
+    assert live == batch
+    assert len(live) > 0
+
+
+def test_stream_ann_codes_are_count_invariant(spark):
+    """The maintenance twin's enabling invariant: a vector's stored
+    16-plane code masked to p bits equals the p-plane cell_id the
+    batch operator computes — for every p the count-derived layout
+    can choose."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.similarity import (
+        SEM_CELL_MAX_PLANES,
+        _as_double,
+        cell_id,
+        det_planes,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planes16 = det_planes(64, SEM_CELL_MAX_PLANES)
+    for p in (6, 9, 12):
+        planes_p = det_planes(64, p)
+        bad = (
+            vecs.select(
+                cell_id(_as_double(F.col("embedding")), planes16)
+                .bitwiseAND(F.lit((1 << p) - 1))
+                .alias("masked"),
+                cell_id(_as_double(F.col("embedding")), planes_p).alias(
+                    "direct"
+                ),
+            )
+            .filter(F.col("masked") != F.col("direct"))
+            .count()
+        )
+        assert bad == 0
