@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_ann_maintenance": (
             streaming_pipeline.q_stream_ann_maintenance
         ),
+        "q_stream_delta_join_maintenance": (
+            streaming_pipeline.q_stream_delta_join_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -381,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # invariant 16-plane codes; corpus growth widens the query-time
         # mask instead of re-indexing)
         "q_stream_ann_maintenance",
+        # new this round: bilinear-delta-rule incremental join+agg
+        # maintenance (differential-dataflow/DBSP shape)
+        "q_stream_delta_join_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5340,6 +5346,18 @@ def oracle_sql() -> dict[str, str]:
     # assignment bit-for-bit, so the incrementally-maintained index
     # answers the 5 probe queries identically to a scratch build
     sql["q_stream_ann_maintenance"] = sql["q_knn_ivf_det"]
+    # streaming delta-join maintenance: the bilinear rule's per-batch
+    # contributions (dO|><|C_pre + O_pre|><|dC + dO|><|dC) partition the
+    # full join exactly once per pair, so the folded partials land on
+    # the batch join+aggregate; rounding happens only at publish
+    sql["q_stream_delta_join_maintenance"] = """
+        SELECT c_nationkey,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

@@ -608,3 +608,81 @@ def test_stream_ann_codes_are_count_invariant(spark):
             .count()
         )
         assert bad == 0
+
+
+def test_stream_delta_join_lands_on_batch(spark):
+    """The bilinear delta rule's per-batch contributions must
+    partition the full join exactly: folded partials = batch
+    join+aggregate (counts integer-exact; sums land after the
+    publish-time round)."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_delta_join_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    live = {
+        r["c_nationkey"]: (r["revenue"], r["n_orders"])
+        for r in q_stream_delta_join_maintenance(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    batch = {
+        r["c_nationkey"]: (r["revenue"], r["n_orders"])
+        for r in orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    assert set(live) == set(batch)
+    for k in batch:
+        assert live[k][1] == batch[k][1]  # counts integer-exact
+        assert abs(live[k][0] - batch[k][0]) < 0.02
+
+
+def test_stream_delta_join_exercises_all_three_legs(spark):
+    """The interleaved replay must genuinely produce work for every
+    term of the bilinear rule — orders before their customer (O_pre
+    |><| dC), customers before their orders (dO |><| C_pre), and
+    same-batch pairs (dO |><| dC). With 4 range chunks over the
+    interleaved arrival axis, customer c arrives in the chunk holding
+    arrival 40c while its orders spread across all chunks — verify the
+    replay layout actually splits them."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    max_arr = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    chunk = lambda a: min(3, int(a * 4 / (max_arr + 1)))  # noqa: E731
+    o_chunks = {
+        (r["o_custkey"], chunk(r["o_orderkey"]))
+        for r in orders.collect()
+    }
+    c_chunk = {
+        r["c_custkey"]: chunk(r["c_custkey"] * 40)
+        for r in cust.collect()
+    }
+    before = sum(
+        1 for ck, och in o_chunks if och < c_chunk.get(ck, 99)
+    )
+    after = sum(
+        1 for ck, och in o_chunks if och > c_chunk.get(ck, -1)
+    )
+    same = sum(
+        1 for ck, och in o_chunks if och == c_chunk.get(ck)
+    )
+    assert before > 0  # O_pre |><| dC leg
+    assert after > 0  # dO |><| C_pre leg
+    assert same > 0  # dO |><| dC leg
