@@ -127,7 +127,9 @@ HEADLINE = [
     "q_knn_ivfpq_rerank",
     # round-7 eighth batch: streaming ANN-index maintenance (count-
     # invariant 16-plane codes; mask widens instead of re-indexing)
+    # and the bilinear delta-rule join maintenance
     "q_stream_ann_maintenance",
+    "q_stream_delta_join_maintenance",
 ]
 
 
