@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_delta_join_maintenance": (
             streaming_pipeline.q_stream_delta_join_maintenance
         ),
+        "q_stream_zset_maintenance": (
+            streaming_pipeline.q_stream_zset_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -385,8 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mask instead of re-indexing)
         "q_stream_ann_maintenance",
         # new this round: bilinear-delta-rule incremental join+agg
-        # maintenance (differential-dataflow/DBSP shape)
+        # maintenance (differential-dataflow/DBSP shape) and its Z-set
+        # generalization under CDC retractions
         "q_stream_delta_join_maintenance",
+        "q_stream_zset_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5355,6 +5360,19 @@ def oracle_sql() -> dict[str, str]:
                round(sum(o_totalprice), 2) AS revenue,
                count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """
+    # Z-set maintenance under retractions: the maintained view must
+    # converge to the join of the NET relation — every order with
+    # o_orderkey % 10 == 3 is inserted then retracted by the replay,
+    # and weighted cancellation must remove exactly its contributions
+    sql["q_stream_zset_maintenance"] = """
+        SELECT c_nationkey,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey % 10 <> 3
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """

@@ -127,9 +127,11 @@ HEADLINE = [
     "q_knn_ivfpq_rerank",
     # round-7 eighth batch: streaming ANN-index maintenance (count-
     # invariant 16-plane codes; mask widens instead of re-indexing)
-    # and the bilinear delta-rule join maintenance
+    # and the bilinear delta-rule join maintenance + its Z-set
+    # generalization under CDC retractions
     "q_stream_ann_maintenance",
     "q_stream_delta_join_maintenance",
+    "q_stream_zset_maintenance",
 ]
 
 

@@ -1655,6 +1655,178 @@ def q_stream_delta_join_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_zset_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Incremental join+aggregate under inserts AND deletes — the full
+    differential-dataflow / DBSP Z-set generalization of
+    :func:`q_stream_delta_join_maintenance`: every change is a row with
+    an integer WEIGHT (+1 insert, -1 retraction), the bilinear rule's
+    legs multiply weights (a pair's contribution is ``w_o * w_c``), and
+    the aggregate accumulates ``sum(price*w)`` / ``sum(w)`` — so a
+    retraction flows through the SAME code path as an insert and
+    cancels exactly the pair contributions its insert created. This is
+    the CDC shape: a 100 TB pipeline consuming a Debezium-style change
+    feed (delete records carry the before-image, as here) maintains its
+    joins without ever reprocessing the base relations.
+
+    The replay retracts every order with ``o_orderkey % 10 == 3`` at
+    arrival ``o_orderkey + max_orderkey + 1`` — strictly after its
+    insert, landing in later chunks — so the maintained view must
+    converge to the join of the NET relation (orders minus retracted).
+
+    State bound: the order-side store's LSM merge CONSOLIDATES the
+    Z-set (group by row identity, sum weights, drop zeros — the DBSP
+    ``distinct``/consolidation operator as a merge-transform), so
+    compacted state tracks LIVE rows only: a long CDC stream of
+    insert+delete churn does not grow it. Aggregate state stays
+    nation-cardinality per level; floats round once at publish."""
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    max_ok = orders.agg(F.max("o_orderkey")).collect()[0][0]
+
+    def o_rows(src, arrival, w):
+        return src.select(
+            arrival.alias("arrival"),
+            F.lit("O").alias("side"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("price"),
+            F.lit(None).cast("int").alias("nationkey"),
+            # long up front: consolidation sums weights, and the LSM
+            # multi-path read needs every part to agree on the type
+            F.lit(w).cast("long").alias("w"),
+        )
+
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            o_rows(orders, F.col("o_orderkey"), 1),
+            # CDC delete with before-image, strictly after its insert
+            o_rows(
+                orders.filter(F.col("o_orderkey") % 10 == 3),
+                F.col("o_orderkey") + F.lit(int(max_ok) + 1),
+                -1,
+            ),
+            cust.select(
+                (F.col("c_custkey") * 40).alias("arrival"),
+                F.lit("C").alias("side"),
+                F.lit(None).cast("long").alias("orderkey"),
+                F.col("c_custkey").alias("custkey"),
+                F.lit(None).cast("double").alias("price"),
+                F.col("c_nationkey").alias("nationkey"),
+                F.lit(1).cast("long").alias("w"),
+            ),
+        ],
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_zset_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_zset_state_")
+
+    def consolidate_o(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("orderkey", "custkey", "price")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") != 0)
+        )
+
+    def consolidate_c(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("custkey", "nationkey")
+            .agg(F.sum("w").alias("w"))
+            .filter(F.col("w") != 0)
+        )
+
+    def fold_rev(df: DataFrame) -> DataFrame:
+        return df.groupBy("nationkey").agg(
+            F.sum("rev").alias("rev"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+
+    store_o = AppendOnlyPartsStore(
+        spark, state_root, "ozset", merge_fanout=2,
+        merge_transform=consolidate_o,
+    )
+    store_c = AppendOnlyPartsStore(
+        spark, state_root, "czset", merge_fanout=2,
+        merge_transform=consolidate_c,
+    )
+    store_agg = AppendOnlyPartsStore(
+        spark, state_root, "agg", merge_fanout=2, merge_transform=fold_rev
+    )
+
+    def upsert(batch_df, batch_id):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        d_o = batch_df.filter(F.col("side") == "O").select(
+            "orderkey", "custkey", "price", "w"
+        )
+        d_c = batch_df.filter(F.col("side") == "C").select(
+            "custkey", "nationkey", "w"
+        )
+        o_pre = store_o.read()
+        c_pre = store_c.read()
+
+        def pair(o, c):
+            return o.withColumnRenamed("w", "w_o").join(
+                c.withColumnRenamed("w", "w_c"), "custkey"
+            ).select(
+                "nationkey",
+                "price",
+                (F.col("w_o") * F.col("w_c")).alias("w"),
+            )
+
+        legs = [pair(d_o, d_c)]
+        if c_pre is not None:
+            legs.append(pair(d_o, c_pre))
+        if o_pre is not None:
+            legs.append(pair(o_pre, d_c))
+        pairs = reduce(lambda a, b: a.unionByName(b), legs)
+        partial = pairs.groupBy("nationkey").agg(
+            F.sum(F.col("price") * F.col("w")).alias("rev"),
+            F.sum("w").alias("n_orders"),
+        )
+        store_agg.append(partial)
+        store_o.append(d_o)
+        store_c.append(d_c)
+
+    try:
+        stream = file_replay_source(
+            spark, tagged, staging, chunks=4, order_col="arrival"
+        )
+        snapshot_sink(stream, upsert)
+        state = store_agg.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [], "c_nationkey int, revenue double, n_orders bigint"
+            )
+        return (
+            fold_rev(state)
+            .select(
+                F.col("nationkey").alias("c_nationkey"),
+                F.round(F.col("rev"), 2).alias("revenue"),
+                F.col("n_orders"),
+            )
+            .orderBy("c_nationkey")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
     """Live watermarked stream deduplication (registry entry) — the
     sixth Structured Streaming shape: ``dropDuplicatesWithinWatermark``

@@ -47,9 +47,9 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 25 tier-0 slots (the new streaming-v4/index/sample/covariance
-    /kmv/decay/grid/ANN/delta-join maintenance, watermarked stream dedup, SNM,
-    triangle, weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
+    (VERDICT r6 #1): 26 tier-0 slots (the new streaming-v4/index/sample/covariance
+    /kmv/decay/grid/ANN/delta-join/Z-set maintenance, watermarked stream dedup,
+    SNM, triangle, weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
     IVF-PQ/IVF-PQ-rerank, decay-score and grid-density queries + the
     three whose code or oracle changed this round), then
     the 16 r3-latest rows — the exact rotation tail VERDICT r6 listed
@@ -57,7 +57,7 @@ def test_round7_rotation_head_is_pinned():
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:41] == [
+    assert keys[:42] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -83,6 +83,7 @@ def test_round7_rotation_head_is_pinned():
         "q_knn_ivfpq_rerank",
         "q_stream_ann_maintenance",
         "q_stream_delta_join_maintenance",
+        "q_stream_zset_maintenance",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -110,10 +111,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 26-41 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[25:41])
-    r4_slots = [k for k in keys[41:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 9, (
-        f"rotation slots 42-50 must carry 9 r4-backlog queries, got "
+    # slots 27-42 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[26:42])
+    r4_slots = [k for k in keys[42:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 8, (
+        f"rotation slots 43-50 must carry 8 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )

@@ -686,3 +686,62 @@ def test_stream_delta_join_exercises_all_three_legs(spark):
     assert before > 0  # O_pre |><| dC leg
     assert after > 0  # dO |><| C_pre leg
     assert same > 0  # dO |><| dC leg
+
+
+def test_stream_zset_lands_on_net_batch(spark):
+    """Weighted cancellation must remove exactly the retracted orders'
+    contributions: the maintained view equals the batch join+aggregate
+    over the NET relation (orders minus o_orderkey % 10 == 3)."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_zset_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    live = {
+        r["c_nationkey"]: (r["revenue"], r["n_orders"])
+        for r in q_stream_zset_maintenance(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 != 3
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    batch = {
+        r["c_nationkey"]: (r["revenue"], r["n_orders"])
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .collect()
+    }
+    assert set(live) == set(batch)
+    for k in batch:
+        assert live[k][1] == batch[k][1]  # weighted counts exact
+        assert abs(live[k][0] - batch[k][0]) < 0.02
+
+
+def test_zset_consolidation_drops_cancelled_rows(spark):
+    """The Z-set merge-transform (group by identity, sum weights, drop
+    zeros) must erase an insert+retract pair entirely — the state-bound
+    claim that CDC churn doesn't grow compacted state."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 10, 5.0, 1),
+        (1, 10, 5.0, -1),  # retracted -> must vanish
+        (2, 11, 7.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "orderkey long, custkey long, price double, w long"
+    )
+    out = (
+        df.groupBy("orderkey", "custkey", "price")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") != 0)
+        .collect()
+    )
+    assert [(r["orderkey"], r["w"]) for r in out] == [(2, 1)]
