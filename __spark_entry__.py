@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_probe_curve": similarity.q_knn_ivf_probe_curve,
         "q_events_value_quantiles": sketches.q_events_value_quantiles,
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
+        "q_join_size_estimate": sketches.q_join_size_estimate,
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
@@ -392,6 +393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generalization under CDC retractions
         "q_stream_delta_join_maintenance",
         "q_stream_zset_maintenance",
+        # new this round: CMS inner-product join-size estimation (the
+        # optimizer-statistics family, count-aware width)
+        "q_join_size_estimate",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5375,6 +5379,58 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderkey % 10 <> 3
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+    """
+
+    # q_join_size_estimate: full replay of the relational Count-Min
+    # inner product — count-derived power-of-two width (the same
+    # auto-sizing arithmetic as cms_join_width), md5 bucket hashing
+    # shared with the Spark plan, min-over-depth estimate, and the
+    # exact frequency-vector inner product for the error column. All
+    # integer until the final percentage.
+    sql["q_join_size_estimate"] = f"""
+        WITH prm AS (
+            SELECT CAST(pow(2, ceil(log2(4 * greatest(2, least(
+                       (SELECT count(*) FROM orders),
+                       (SELECT count(*) FROM customer))))))
+                   AS BIGINT) AS w
+        ),
+        dgrid AS (SELECT unnest(range({sketches.CMS_JOIN_DEPTH})) AS d),
+        skf AS (
+            SELECT d,
+                   CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                        CAST(o_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                       % w AS bucket,
+                   count(*) AS cnt
+            FROM orders, dgrid, prm
+            GROUP BY 1, 2
+        ),
+        skd AS (
+            SELECT d,
+                   CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                        CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                       % w AS bucket,
+                   count(*) AS cnt_d
+            FROM customer, dgrid, prm
+            GROUP BY 1, 2
+        ),
+        perd AS (
+            SELECT f.d, sum(f.cnt * c.cnt_d) AS ip
+            FROM skf f
+            JOIN skd c ON c.d = f.d AND c.bucket = f.bucket
+            GROUP BY f.d
+        ),
+        est AS (SELECT CAST(min(ip) AS BIGINT) AS est_rows FROM perd),
+        ex AS (
+            SELECT CAST(sum(cf * cd) AS BIGINT) AS exact_rows
+            FROM (SELECT o_custkey AS k, count(*) AS cf
+                  FROM orders GROUP BY 1) a
+            JOIN (SELECT c_custkey AS k, count(*) AS cd
+                  FROM customer GROUP BY 1) b USING (k)
+        )
+        SELECT est_rows, exact_rows,
+               round((est_rows - exact_rows) * 100.0 / exact_rows, 2)
+                   AS overestimate_pct
+        FROM est, ex
     """
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking

@@ -132,6 +132,8 @@ HEADLINE = [
     "q_stream_ann_maintenance",
     "q_stream_delta_join_maintenance",
     "q_stream_zset_maintenance",
+    # round-7 ninth batch: CMS inner-product join-size estimation
+    "q_join_size_estimate",
 ]
 
 

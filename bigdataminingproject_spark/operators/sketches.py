@@ -526,3 +526,137 @@ def q_events_latency_by_type(spark, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return grouped_histogram_quantiles(ev, "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Relational Count-Min inner product: join-size estimation (the
+# optimizer-statistics family)
+# ---------------------------------------------------------------------------
+
+CMS_JOIN_DEPTH = 3
+
+
+def cms_join_width(n_fact: int, n_dim: int) -> int:
+    """COUNT-AWARE sketch width: the next power of two >=
+    4 * min(|fact|, |dim|). The CMS inner-product overestimate is
+    bounded in expectation by |fact|*|dim|/width per depth row
+    (Cormode & Muthukrishnan '05, Thm 3), so for an FK join (true size
+    ~ |fact|) this width caps expected relative error near
+    |dim| * 4^-1 / min(...) ~ 25% — held CONSTANT as both sides grow,
+    the same auto-sizing discipline as the LSH/IVF/ball layouts (a
+    fixed width's error grows linearly with the corpus). The oracle
+    derives the identical width from count(*)."""
+    import math
+
+    return 1 << int(math.ceil(math.log2(4 * max(2, min(n_fact, n_dim)))))
+
+
+def cms_relation(
+    df: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """Relational Count-Min sketch of a key column: ``depth`` rows of
+    ``width`` counters as a (d, bucket, cnt) relation. One projection
+    (explode of the tiny depth axis), one hash-aggregate whose key
+    space is depth x width REGARDLESS of corpus size — the map-side-
+    combinable shape that lets a 100 TB fact table compress to a
+    fixed-size summary in a single scan. Buckets are md5-derived
+    (layout/retry-invariant; the oracle replays them)."""
+    d = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("d")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("d").cast("string"),
+                        F.lit(":"),
+                        F.col("k"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    return (
+        df.select(F.col(key_col).cast("string").alias("k"))
+        .select(d, "k")
+        .select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_join_size(
+    spark,
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    depth: int = CMS_JOIN_DEPTH,
+) -> DataFrame:
+    """Equi-join size estimation WITHOUT performing the join — the
+    AGMS/CMS inner-product estimator every cost-based optimizer needs:
+    |fact JOIN dim| = sum_k f_fact(k) * f_dim(k), estimated as the
+    minimum over depth rows of the bucket-wise counter inner product.
+    Work: one scan per side into a depth x width aggregate, then a
+    (depth x width)-sized equi-join — the estimate's cost is
+    INDEPENDENT of the join it prices, which is the entire point at
+    100 TB (AQE-style planning reads the sketch, not the data).
+
+    The output also carries the exact size (computed from the two
+    key-frequency relations — key-cardinality work, still never the
+    join itself) and the overestimate percentage, so the estimator's
+    error is part of the checked surface rather than a claim. CMS
+    estimates never underestimate (counters only over-count under
+    collisions) — pinned in tests."""
+    n_f = fact.count()
+    n_d = dim.count()
+    width = cms_join_width(n_f, n_d)
+    sk_f = cms_relation(fact, fact_key, depth, width)
+    sk_d = cms_relation(dim, dim_key, depth, width).withColumnRenamed(
+        "cnt", "cnt_d"
+    )
+    per_depth = (
+        sk_f.join(sk_d, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_d")).alias("ip"))
+    )
+    est = per_depth.agg(F.min("ip").alias("est_rows"))
+    ff = fact.groupBy(F.col(fact_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cf")
+    )
+    fd = dim.groupBy(F.col(dim_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("cd")
+    )
+    exact = ff.join(fd, "k").agg(
+        F.sum(F.col("cf") * F.col("cd")).alias("exact_rows")
+    )
+    return (
+        est.crossJoin(exact)
+        .select(
+            "est_rows",
+            "exact_rows",
+            F.round(
+                (F.col("est_rows") - F.col("exact_rows"))
+                * 100.0
+                / F.col("exact_rows"),
+                2,
+            ).alias("overestimate_pct"),
+        )
+    )
+
+
+def q_join_size_estimate(spark, sf_dir: str) -> DataFrame:
+    """CMS inner-product estimate of |orders JOIN customer| vs the
+    exact frequency-vector inner product, with the overestimate
+    percentage as a checked output column."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return cms_join_size(spark, orders, cust, "o_custkey", "c_custkey")

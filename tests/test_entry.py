@@ -47,8 +47,9 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 26 tier-0 slots (the new streaming-v4/index/sample/covariance
-    /kmv/decay/grid/ANN/delta-join/Z-set maintenance, watermarked stream dedup,
+    (VERDICT r6 #1): 27 tier-0 slots (the new streaming-v4/index/sample/covariance
+    /kmv/decay/grid/ANN/delta-join/Z-set maintenance, CMS join-size
+    estimation, watermarked stream dedup,
     SNM, triangle, weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
     IVF-PQ/IVF-PQ-rerank, decay-score and grid-density queries + the
     three whose code or oracle changed this round), then
@@ -57,7 +58,7 @@ def test_round7_rotation_head_is_pinned():
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:42] == [
+    assert keys[:43] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -84,6 +85,7 @@ def test_round7_rotation_head_is_pinned():
         "q_stream_ann_maintenance",
         "q_stream_delta_join_maintenance",
         "q_stream_zset_maintenance",
+        "q_join_size_estimate",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -111,10 +113,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 27-42 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[26:42])
-    r4_slots = [k for k in keys[42:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 8, (
-        f"rotation slots 43-50 must carry 8 r4-backlog queries, got "
+    # slots 28-43 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[27:43])
+    r4_slots = [k for k in keys[43:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 7, (
+        f"rotation slots 44-50 must carry 7 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )

@@ -290,3 +290,43 @@ def test_grouped_histogram_quantiles_constant_key(spark):
     }
     assert out[("a", 0.5)] == 5.0 and out[("a", 0.99)] == 5.0
     assert 40 <= out[("b", 0.5)] <= 60
+
+
+def test_cms_join_size_never_underestimates(spark):
+    """CMS counters only over-count under collisions, so the inner-
+    product estimate is a one-sided bound: est >= exact, always."""
+    from bigdataminingproject_spark.operators.sketches import (
+        q_join_size_estimate,
+    )
+
+    row = q_join_size_estimate(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["est_rows"] >= row["exact_rows"]
+    assert row["overestimate_pct"] >= 0.0
+
+
+def test_cms_join_width_is_count_aware(spark):
+    """Width doubles with the smaller side (power-of-two, >= 4*min) —
+    the auto-sizing contract the oracle re-derives."""
+    from bigdataminingproject_spark.operators.sketches import (
+        cms_join_width,
+    )
+
+    assert cms_join_width(15_000, 1_500) == 8192  # 4*1500 -> 2^13
+    assert cms_join_width(150_000, 15_000) == 65536
+    assert cms_join_width(5, 1) == 8  # floor via max(2, ...)
+    for nf, nd in ((100, 50), (10**6, 10**5)):
+        w = cms_join_width(nf, nd)
+        assert w >= 4 * min(nf, nd) and w & (w - 1) == 0
+
+
+def test_cms_join_size_error_is_bounded(spark):
+    """At width >= 4*min-side the expected overestimate for the FK
+    join is ~25%; pin a loose 100% ceiling so a broken hash or width
+    regression (which sends the estimate to many multiples of exact)
+    is loud without making the bound flaky."""
+    from bigdataminingproject_spark.operators.sketches import (
+        q_join_size_estimate,
+    )
+
+    row = q_join_size_estimate(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["overestimate_pct"] <= 100.0, row
