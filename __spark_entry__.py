@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_zset_maintenance": (
             streaming_pipeline.q_stream_zset_maintenance
         ),
+        "q_stream_join_size_maintenance": (
+            streaming_pipeline.q_stream_join_size_maintenance
+        ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
         "q_sql_region_revenue": relational.q_sql_region_revenue,
@@ -394,8 +397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_delta_join_maintenance",
         "q_stream_zset_maintenance",
         # new this round: CMS inner-product join-size estimation (the
-        # optimizer-statistics family, count-aware width)
+        # optimizer-statistics family, count-aware width) and its
+        # count-invariant-counter streaming twin
         "q_join_size_estimate",
+        "q_stream_join_size_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5432,6 +5437,10 @@ def oracle_sql() -> dict[str, str]:
                    AS overestimate_pct
         FROM est, ex
     """
+    # streaming join-size maintenance: counters stored at 2^20 buckets
+    # mask down to the count-derived width exactly (W | 2^20), so the
+    # folded sketch state reproduces the batch estimator bit-for-bit
+    sql["q_stream_join_size_maintenance"] = sql["q_join_size_estimate"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

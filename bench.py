@@ -132,8 +132,10 @@ HEADLINE = [
     "q_stream_ann_maintenance",
     "q_stream_delta_join_maintenance",
     "q_stream_zset_maintenance",
-    # round-7 ninth batch: CMS inner-product join-size estimation
+    # round-7 ninth batch: CMS inner-product join-size estimation and
+    # its count-invariant-counter streaming twin
     "q_join_size_estimate",
+    "q_stream_join_size_maintenance",
 ]
 
 

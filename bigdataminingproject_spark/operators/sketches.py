@@ -660,3 +660,10 @@ def q_join_size_estimate(spark, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     return cms_join_size(spark, orders, cust, "o_custkey", "c_custkey")
+
+
+# The streaming twin stores CMS counters at this fixed maximum bucket
+# precision; any count-derived power-of-two width <= 2^MAX divides it,
+# so masking down (sum counters over bucket % width) reproduces the
+# direct width-W sketch exactly — the count-invariant-state pattern.
+CMS_JOIN_MAX_BITS = 20

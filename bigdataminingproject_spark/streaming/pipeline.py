@@ -1827,6 +1827,173 @@ def q_stream_zset_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_join_size_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Continuously-maintained join-size statistics — the streaming
+    twin of :func:`operators.sketches.cms_join_size`, and the second
+    application of the COUNT-INVARIANT-STATE pattern the ANN twin
+    introduced: the count-derived sketch width can't be known while
+    the corpus is still growing, so each micro-batch appends CMS
+    counter partials at the FIXED maximum precision
+    (``bucket = hash % 2^CMS_JOIN_MAX_BITS``), and publish masks them
+    down to the width the final counts derive — ``(hash % 2^20) % W ==
+    hash % W`` whenever the power-of-two W divides 2^20, so the folded
+    counters reproduce the direct width-W sketch EXACTLY and the twin
+    shares the batch operator's oracle.
+
+    State: depth x 2^20 counters per side per LSM level (merge fold =
+    sum per (d, bucket) — mergeable like every CMS), plus the two
+    key-frequency relations for the checked exact leg (key-cardinality,
+    also sum-foldable). Per-batch work is O(|delta|) hashing plus
+    bounded-keyspace aggregate appends; an optimizer consuming this
+    state can price the join of two STILL-GROWING relations at any
+    micro-batch boundary without scanning either."""
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.sketches import (
+        CMS_JOIN_DEPTH,
+        CMS_JOIN_MAX_BITS,
+        cms_join_width,
+        cms_relation,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    tagged = orders.select(
+        F.col("o_orderkey").alias("arrival"),
+        F.lit("O").alias("side"),
+        F.col("o_custkey").alias("key"),
+    ).unionByName(
+        cust.select(
+            (F.col("c_custkey") * 40).alias("arrival"),
+            F.lit("C").alias("side"),
+            F.col("c_custkey").alias("key"),
+        )
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_jsz_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_jsz_state_")
+
+    def fold_cnt(df: DataFrame) -> DataFrame:
+        return df.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+    def fold_freq(df: DataFrame) -> DataFrame:
+        return df.groupBy("k").agg(F.sum("cf").alias("cf"))
+
+    stores = {
+        "O": (
+            AppendOnlyPartsStore(
+                spark, state_root, "cms_o", merge_fanout=2,
+                merge_transform=fold_cnt,
+            ),
+            AppendOnlyPartsStore(
+                spark, state_root, "freq_o", merge_fanout=2,
+                merge_transform=fold_freq,
+            ),
+        ),
+        "C": (
+            AppendOnlyPartsStore(
+                spark, state_root, "cms_c", merge_fanout=2,
+                merge_transform=fold_cnt,
+            ),
+            AppendOnlyPartsStore(
+                spark, state_root, "freq_c", merge_fanout=2,
+                merge_transform=fold_freq,
+            ),
+        ),
+    }
+    max_w = 1 << CMS_JOIN_MAX_BITS
+
+    def upsert(batch_df, batch_id):
+        batch_df = batch_df.localCheckpoint(eager=True)
+        for side, (cms_store, freq_store) in stores.items():
+            delta = batch_df.filter(F.col("side") == side)
+            cms_store.append(
+                cms_relation(delta, "key", CMS_JOIN_DEPTH, max_w)
+            )
+            freq_store.append(
+                delta.groupBy(F.col("key").cast("long").alias("k")).agg(
+                    F.count(F.lit(1)).alias("cf")
+                )
+            )
+
+    try:
+        stream = file_replay_source(
+            spark, tagged, staging, chunks=4, order_col="arrival"
+        )
+        snapshot_sink(stream, upsert)
+        freq_o = stores["O"][1].read()
+        freq_c = stores["C"][1].read()
+        if freq_o is None or freq_c is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "est_rows bigint, exact_rows bigint, "
+                "overestimate_pct double",
+            )
+        freq_o = fold_freq(freq_o).localCheckpoint(eager=True)
+        freq_c = fold_freq(freq_c).localCheckpoint(eager=True)
+        n_o = freq_o.agg(F.sum("cf")).collect()[0][0]
+        n_c = freq_c.agg(F.sum("cf")).collect()[0][0]
+        width = cms_join_width(int(n_o), int(n_c))
+        if width > max_w:
+            raise ValueError(
+                f"derived width {width} exceeds the stored "
+                f"2^{CMS_JOIN_MAX_BITS} bucket precision; raise "
+                "CMS_JOIN_MAX_BITS alongside the corpus"
+            )
+
+        def masked(store) -> DataFrame:
+            return (
+                fold_cnt(store.read())
+                .select(
+                    "d",
+                    (F.col("bucket") % width).alias("bucket"),
+                    "cnt",
+                )
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+
+        sk_o = masked(stores["O"][0])
+        sk_c = masked(stores["C"][0]).withColumnRenamed("cnt", "cnt_d")
+        per_depth = (
+            sk_o.join(sk_c, ["d", "bucket"])
+            .groupBy("d")
+            .agg(F.sum(F.col("cnt") * F.col("cnt_d")).alias("ip"))
+        )
+        est = per_depth.agg(F.min("ip").alias("est_rows"))
+        exact = (
+            freq_o.join(
+                freq_c.withColumnRenamed("cf", "cd"), "k"
+            ).agg(F.sum(F.col("cf") * F.col("cd")).alias("exact_rows"))
+        )
+        return (
+            est.crossJoin(exact)
+            .select(
+                "est_rows",
+                "exact_rows",
+                F.round(
+                    (F.col("est_rows") - F.col("exact_rows"))
+                    * 100.0
+                    / F.col("exact_rows"),
+                    2,
+                ).alias("overestimate_pct"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_dedup(spark, sf_dir: str) -> DataFrame:
     """Live watermarked stream deduplication (registry entry) — the
     sixth Structured Streaming shape: ``dropDuplicatesWithinWatermark``

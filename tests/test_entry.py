@@ -47,8 +47,8 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 27 tier-0 slots (the new streaming-v4/index/sample/covariance
-    /kmv/decay/grid/ANN/delta-join/Z-set maintenance, CMS join-size
+    (VERDICT r6 #1): 28 tier-0 slots (the new streaming-v4/index/sample/covariance
+    /kmv/decay/grid/ANN/delta-join/Z-set/join-size maintenance, CMS join-size
     estimation, watermarked stream dedup,
     SNM, triangle, weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
     IVF-PQ/IVF-PQ-rerank, decay-score and grid-density queries + the
@@ -58,7 +58,7 @@ def test_round7_rotation_head_is_pinned():
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:43] == [
+    assert keys[:44] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -86,6 +86,7 @@ def test_round7_rotation_head_is_pinned():
         "q_stream_delta_join_maintenance",
         "q_stream_zset_maintenance",
         "q_join_size_estimate",
+        "q_stream_join_size_maintenance",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -113,10 +114,10 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 28-43 burn the entire r3 tail; everything after is r4 rows
-    assert all(latest.get(k) == 3 for k in keys[27:43])
-    r4_slots = [k for k in keys[43:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 7, (
-        f"rotation slots 44-50 must carry 7 r4-backlog queries, got "
+    # slots 29-44 burn the entire r3 tail; everything after is r4 rows
+    assert all(latest.get(k) == 3 for k in keys[28:44])
+    r4_slots = [k for k in keys[44:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 6, (
+        f"rotation slots 45-50 must carry 6 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )

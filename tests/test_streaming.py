@@ -745,3 +745,45 @@ def test_zset_consolidation_drops_cancelled_rows(spark):
         .collect()
     )
     assert [(r["orderkey"], r["w"]) for r in out] == [(2, 1)]
+
+
+def test_stream_join_size_twin_lands_on_batch(spark):
+    """The masked-down folded counters must reproduce the batch
+    estimator exactly: (hash % 2^20) % W == hash % W for every
+    power-of-two W dividing 2^20, so the twin's output equals
+    q_join_size_estimate's row bit-for-bit."""
+    from bigdataminingproject_spark.operators.sketches import (
+        q_join_size_estimate,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_join_size_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = q_join_size_estimate(spark, sf_dir).collect()[0]
+    live = q_stream_join_size_maintenance(spark, sf_dir).collect()[0]
+    assert tuple(live) == tuple(batch)
+
+
+def test_cms_mask_down_identity(spark):
+    """The count-invariant-counter algebra: summing max-precision
+    counters over bucket % W equals building the width-W sketch
+    directly."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.sketches import (
+        cms_relation,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    wide = cms_relation(orders, "o_custkey", 3, 1 << 20)
+    masked = (
+        wide.select("d", (F.col("bucket") % 256).alias("bucket"), "cnt")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_relation(orders, "o_custkey", 3, 256)
+    m = {(r["d"], r["bucket"]): r["cnt"] for r in masked.collect()}
+    dd = {(r["d"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert m == dd
