@@ -24,6 +24,7 @@ from bigdataminingproject_spark.operators import dedup, density, events, frequen
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import graph
 from bigdataminingproject_spark.operators import kmv
+from bigdataminingproject_spark.operators import qdigest
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, pq, quality, sampling
 from bigdataminingproject_spark.operators import retrieval, sketches
@@ -148,6 +149,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_stream_join_size_maintenance": (
             streaming_pipeline.q_stream_join_size_maintenance
+        ),
+        # round 7: q-digest mergeable quantile sketch (batch build +
+        # the domain-bounded leaf-counter streaming fold twin)
+        "q_events_qdigest": qdigest.q_events_qdigest,
+        "q_stream_qdigest_maintenance": (
+            streaming_pipeline.q_stream_qdigest_maintenance
         ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
@@ -401,6 +408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # count-invariant-counter streaming twin
         "q_join_size_estimate",
         "q_stream_join_size_maintenance",
+        # new this round: q-digest mergeable quantile sketch and its
+        # leaf-counter folding streaming twin
+        "q_events_qdigest",
+        "q_stream_qdigest_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5441,6 +5452,14 @@ def oracle_sql() -> dict[str, str]:
     # mask down to the count-derived width exactly (W | 2^20), so the
     # folded sketch state reproduces the batch estimator bit-for-bit
     sql["q_stream_join_size_maintenance"] = sql["q_join_size_estimate"]
+
+    # q_events_qdigest + its streaming twin: the deterministic q-digest
+    # sweep unrolled as 16 per-level CTEs — the generator lives next to
+    # the operator (operators/qdigest.py, the BPE unrolled-CTE pattern).
+    # The twin folds exactly-additive leaf counters, so both sides
+    # answer with the identical digest.
+    sql["q_events_qdigest"] = qdigest.qdigest_oracle_sql()
+    sql["q_stream_qdigest_maintenance"] = sql["q_events_qdigest"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

@@ -136,6 +136,11 @@ HEADLINE = [
     # its count-invariant-counter streaming twin
     "q_join_size_estimate",
     "q_stream_join_size_maintenance",
+    # round-7 tenth batch: q-digest mergeable quantile sketch (16-round
+    # shrinking sweep over domain-bounded leaf counters) and its
+    # leaf-counter folding streaming twin
+    "q_events_qdigest",
+    "q_stream_qdigest_maintenance",
 ]
 
 

@@ -2207,3 +2207,78 @@ def q_stream_join_attribution(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage_p, ignore_errors=True)
         shutil.rmtree(stage_c, ignore_errors=True)
+
+
+def q_stream_qdigest_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live q-digest quantile maintenance — the quantile sibling of the
+    sketch-maintenance twins (KMV distincts, CMS join sizes): the value
+    distribution's p25..p99 stays continuously answerable as events
+    stream in, with state bounded by the FIXED-POINT DOMAIN rather than
+    the event count.
+
+    Each micro-batch quantizes ONLY its delta events into leaf counters
+    (idx, c) over the 2^16-leaf dyadic domain and appends that partial
+    to an :class:`AppendOnlyPartsStore` whose ``merge_transform`` sums
+    counts per leaf (``qdigest.fold_leaf_partials``) — exact by counter
+    additivity, so every LSM level stays <= 2^16 rows regardless of how
+    many batches or events fed it. Publish folds the live tail, runs
+    the identical compression sweep and traversal as the batch operator
+    (``qdigest_from_leaves`` / ``qdigest_quantiles``), so k micro-batch
+    folds land bit-exactly on the batch digest. Output and oracle are
+    ``q_events_qdigest``'s.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.qdigest import (
+        QD_K,
+        QD_QS,
+        fold_leaf_partials,
+        qdigest_from_leaves,
+        qdigest_quantiles,
+        quantize_leaves,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    staging = tempfile.mkdtemp(prefix="q_stream_qdig_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_qdig_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "leaves",
+        merge_fanout=2,
+        merge_transform=fold_leaf_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(quantize_leaves(batch_df, "value"))
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "quantile double, estimate double, digest_nodes bigint, "
+                "n_events bigint",
+            )
+        leaves = fold_leaf_partials(state).localCheckpoint(eager=True)
+        n = int(leaves.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0)
+        tau = max(1, n // QD_K)
+        digest = qdigest_from_leaves(leaves, tau)
+        return qdigest_quantiles(spark, digest, n, QD_QS).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
