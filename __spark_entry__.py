@@ -24,6 +24,7 @@ from bigdataminingproject_spark.operators import dedup, density, events, frequen
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import graph
 from bigdataminingproject_spark.operators import kmv
+from bigdataminingproject_spark.operators import kcore
 from bigdataminingproject_spark.operators import qdigest
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, pq, quality, sampling
@@ -155,6 +156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_qdigest": qdigest.q_events_qdigest,
         "q_stream_qdigest_maintenance": (
             streaming_pipeline.q_stream_qdigest_maintenance
+        ),
+        # round 7: k-core (coreness) decomposition via the fixed-round
+        # H-index iteration, and its pair-counter folding twin
+        "q_part_coreness": kcore.q_part_coreness,
+        "q_stream_kcore_maintenance": (
+            streaming_pipeline.q_stream_kcore_maintenance
         ),
         # round 6: SQL front door (VERDICT r5 #8) — the engine consumed
         # purely through spark.sql over the registered catalog
@@ -412,6 +419,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leaf-counter folding streaming twin
         "q_events_qdigest",
         "q_stream_qdigest_maintenance",
+        # new this round: k-core decomposition (H-index fixpoint) and
+        # its pair-counter folding streaming twin
+        "q_part_coreness",
+        "q_stream_kcore_maintenance",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5460,6 +5471,13 @@ def oracle_sql() -> dict[str, str]:
     # answer with the identical digest.
     sql["q_events_qdigest"] = qdigest.qdigest_oracle_sql()
     sql["q_stream_qdigest_maintenance"] = sql["q_events_qdigest"]
+
+    # q_part_coreness + its streaming twin: the H-index iteration
+    # unrolled as materialized CTE rounds (generator beside the
+    # operator). The twin folds exactly-additive pair counters — the
+    # maintained graph is bit-identical to the batch edge build.
+    sql["q_part_coreness"] = kcore.coreness_oracle_sql()
+    sql["q_stream_kcore_maintenance"] = sql["q_part_coreness"]
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

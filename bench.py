@@ -141,6 +141,10 @@ HEADLINE = [
     # leaf-counter folding streaming twin
     "q_events_qdigest",
     "q_stream_qdigest_maintenance",
+    # round-7 eleventh batch: coreness decomposition (28 fixed H-index
+    # rounds over the co-purchase graph) and its pair-counter twin
+    "q_part_coreness",
+    "q_stream_kcore_maintenance",
 ]
 
 

@@ -2282,3 +2282,96 @@ def q_stream_qdigest_maintenance(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_kcore_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live coreness maintenance — the graph sibling of the
+    sketch-maintenance twins: the part co-purchase graph (and the
+    k-core decomposition over it) stays continuously current as
+    lineitem rows stream in.
+
+    The mergeable state is the PAIR-COUNT relation, not the graph: each
+    micro-batch joins ONLY its delta (order, part) baskets against
+    themselves per order — deltas replayed by order chunks, so an
+    order's items arrive together and the within-order pair join is
+    delta-local — and appends (a, b, c) partial co-counts to an
+    :class:`AppendOnlyPartsStore` whose ``merge_transform`` sums counts
+    per pair. Counter additivity holds because distinct (order, part)
+    baskets are disjoint across batches; every LSM level stays bounded
+    by catalog adjacency (distinct co-purchased pairs), never the
+    lineitem count. Publish folds the live tail, applies the
+    MIN_CO_ORDERS floor, and runs the identical fixed-round H-index
+    iteration as the batch operator — so the incrementally-maintained
+    graph yields the bit-identical decomposition. Output and oracle are
+    ``q_part_coreness``'s.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.kcore import (
+        MIN_CO_ORDERS,
+        coreness_hindex,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_kcore_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_kcore_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "paircounts",
+        merge_fanout=2,
+        merge_transform=lambda parts: parts.groupBy("a", "b").agg(
+            F.sum("c").alias("c")
+        ),
+    )
+
+    def upsert(batch_df, batch_id):
+        b = batch_df.select("o", "p").distinct()
+        pairs = (
+            b.select("o", F.col("p").alias("a"))
+            .join(b.select("o", F.col("p").alias("b")), "o")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        store.append(pairs)
+
+    try:
+        stream = file_replay_source(
+            spark, li, staging, chunks=4, order_col="o"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [], "part_key bigint, coreness bigint"
+            )
+        edges = (
+            state.groupBy("a", "b")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") >= MIN_CO_ORDERS)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        return (
+            coreness_hindex(edges)
+            .select(
+                F.col("v").alias("part_key"),
+                F.col("coreness").cast("bigint").alias("coreness"),
+            )
+            .orderBy(F.desc("coreness"), "part_key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)

@@ -47,7 +47,7 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 30 tier-0 slots (the new streaming-v4/index/sample/covariance
+    (VERDICT r6 #1): 32 tier-0 slots (the new streaming-v4/index/sample/covariance
     /kmv/decay/grid/ANN/delta-join/Z-set/join-size maintenance, CMS join-size
     estimation, watermarked stream dedup,
     SNM, triangle, weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
@@ -58,7 +58,7 @@ def test_round7_rotation_head_is_pinned():
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:46] == [
+    assert keys[:48] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -89,6 +89,8 @@ def test_round7_rotation_head_is_pinned():
         "q_stream_join_size_maintenance",
         "q_events_qdigest",
         "q_stream_qdigest_maintenance",
+        "q_part_coreness",
+        "q_stream_kcore_maintenance",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -116,12 +118,12 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 31-46 burn the entire r3 tail (30 tier-0 slots ahead of
-    # them — the late q-digest pair claims 29-30); the remaining
-    # driver-window slots are r4 rows
-    assert all(latest.get(k) == 3 for k in keys[30:46])
-    r4_slots = [k for k in keys[46:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 4, (
-        f"rotation slots 47-50 must carry 4 r4-backlog queries, got "
+    # slots 33-48 burn the entire r3 tail (32 tier-0 slots ahead of
+    # them — the late q-digest and coreness pairs claim 29-32); the
+    # remaining driver-window slots are r4 rows
+    assert all(latest.get(k) == 3 for k in keys[32:48])
+    r4_slots = [k for k in keys[48:50] if latest.get(k, 9) == 4]
+    assert len(r4_slots) == 2, (
+        f"rotation slots 49-50 must carry 2 r4-backlog queries, got "
         f"{len(r4_slots)}"
     )
