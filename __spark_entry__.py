@@ -157,6 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_qdigest_maintenance": (
             streaming_pipeline.q_stream_qdigest_maintenance
         ),
+        # round 7: range-predicate selectivity from the q-digest (the
+        # range-scan half of the optimizer-statistics family)
+        "q_events_range_selectivity": (
+            qdigest.q_events_range_selectivity
+        ),
         # round 7: k-core (coreness) decomposition via the fixed-round
         # H-index iteration, and its pair-counter folding twin
         "q_part_coreness": kcore.q_part_coreness,
@@ -423,6 +428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its pair-counter folding streaming twin
         "q_part_coreness",
         "q_stream_kcore_maintenance",
+        # new this round: q-digest range-predicate selectivity (the
+        # optimizer-statistics family's range-scan half)
+        "q_events_range_selectivity",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5478,6 +5486,12 @@ def oracle_sql() -> dict[str, str]:
     # maintained graph is bit-identical to the batch edge build.
     sql["q_part_coreness"] = kcore.coreness_oracle_sql()
     sql["q_stream_kcore_maintenance"] = sql["q_part_coreness"]
+
+    # q_events_range_selectivity: digest rank-difference estimates vs
+    # leaf-exact counts, sharing the q-digest CTE chain
+    sql["q_events_range_selectivity"] = (
+        qdigest.range_selectivity_oracle_sql()
+    )
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

@@ -145,6 +145,7 @@ HEADLINE = [
     # rounds over the co-purchase graph) and its pair-counter twin
     "q_part_coreness",
     "q_stream_kcore_maintenance",
+    "q_events_range_selectivity",
 ]
 
 

@@ -184,6 +184,31 @@ def qdigest_oracle_sql(qs: tuple[float, ...] = QD_QS) -> str:
     QD_BITS-level sweep unrolled as CTEs, the same traversal — the
     generator lives next to the operator so the two sides cannot
     drift (the BPE unrolled-CTE pattern, operators/bpe.py)."""
+    q_list = ", ".join(str(float(q)) for q in qs)
+    return (
+        _digest_cte_chain()
+        + f""",
+sz AS (SELECT COUNT(*) AS digest_nodes FROM digest),
+qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS quantile),
+hits AS (
+    SELECT q.quantile, min(r.ub) AS ub
+    FROM qs q, ranked r, nn
+    WHERE r.cum >= q.quantile * CAST(nn.n AS DOUBLE)
+    GROUP BY q.quantile
+)
+SELECT h.quantile,
+       CAST(round((h.ub + 1) * CAST({QD_INV} AS DOUBLE), 6) AS DOUBLE)
+           AS estimate,
+       sz.digest_nodes, nn.n AS n_events
+FROM hits h, sz, nn
+ORDER BY quantile"""
+    )
+
+
+def _digest_cte_chain() -> str:
+    """The shared WITH chain: quantize -> leaf counts -> the 16-level
+    sweep -> ``digest`` (level, idx, c) -> ``ranked`` (+ub, cum).
+    Also exposes ``r0`` (the leaf counters) and ``nn`` (n, tau)."""
     parts = [
         f"""
 WITH base AS (
@@ -213,7 +238,6 @@ r{lvl + 1} AS (SELECT p.idx, p.s AS c FROM p{lvl} p, nn
         [f"SELECT level, idx, c FROM e{lvl}" for lvl in range(QD_BITS)]
         + [f"SELECT {QD_BITS} AS level, idx, c FROM r{QD_BITS}"]
     )
-    q_list = ", ".join(str(float(q)) for q in qs)
     parts.append(
         f""",
 digest AS (
@@ -226,20 +250,170 @@ ranked AS (
                ORDER BY ((idx + 1) * (CAST(1 AS BIGINT) << level)) - 1,
                         level) AS cum
     FROM digest
-),
-sz AS (SELECT COUNT(*) AS digest_nodes FROM digest),
-qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS quantile),
-hits AS (
-    SELECT q.quantile, min(r.ub) AS ub
-    FROM qs q, ranked r, nn
-    WHERE r.cum >= q.quantile * CAST(nn.n AS DOUBLE)
-    GROUP BY q.quantile
-)
-SELECT h.quantile,
-       CAST(round((h.ub + 1) * CAST({QD_INV} AS DOUBLE), 6) AS DOUBLE)
-           AS estimate,
-       sz.digest_nodes, nn.n AS n_events
-FROM hits h, sz, nn
-ORDER BY quantile"""
+)"""
     )
     return "".join(parts)
+
+
+# leaf-aligned range predicates for the selectivity estimator (every
+# endpoint is a multiple of 2^-7, so leaf membership == value
+# membership and "exact" can be computed from the leaf counters)
+QD_RANGES = (
+    (10.0, 50.0),
+    (50.0, 100.0),
+    (100.0, 250.0),
+    (250.0, 512.0),
+)
+
+
+def q_events_range_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate selectivity estimation from the q-digest — the
+    range-scan half of the optimizer-statistics family
+    (``sketches.q_join_size_estimate`` prices equi-joins; this prices
+    ``value BETWEEN lo AND hi`` scans from O(k log U) digest state).
+
+    For each leaf-aligned range the digest's rank difference
+    ``rank(hi-1) - rank(lo-1)`` (rank(x) = mass of digest nodes with
+    ub <= x) estimates the row count; the exact count comes from the
+    leaf counters in the same pass. Rank error is bounded by the
+    straddling-node mass — <= 2*tau*L per endpoint — so the estimate's
+    absolute error is bounded INDEPENDENT of the data distribution,
+    the property a cost model needs. All relations after the leaf
+    aggregate are digest-sized.
+    """
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    leaves = quantize_leaves(ev, "value").localCheckpoint(eager=True)
+    n = int(leaves.agg(F.sum("c").alias("n")).collect()[0]["n"] or 0)
+    if n == 0:
+        return spark.createDataFrame(
+            [],
+            "range_lo double, range_hi double, est_rows bigint, "
+            "exact_rows bigint, err_pct double",
+        )
+    tau = max(1, n // QD_K)
+    digest = qdigest_from_leaves(leaves, tau)
+    ub = (
+        (F.col("idx") + F.lit(1))
+        * F.expr("shiftleft(CAST(1 AS BIGINT), level)")
+        - F.lit(1)
+    ).alias("ub")
+    dub = digest.select("c", ub)
+    rng = spark.createDataFrame(
+        [
+            (lo, hi, int(lo * QD_SCALE), int(hi * QD_SCALE))
+            for lo, hi in QD_RANGES
+        ],
+        "range_lo double, range_hi double, lo_leaf bigint, hi_leaf bigint",
+    )
+    est = (
+        F.broadcast(rng)
+        .crossJoin(dub)
+        .groupBy("range_lo", "range_hi", "lo_leaf", "hi_leaf")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("ub") <= F.col("hi_leaf") - 1,
+                            F.col("c"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                - F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("ub") <= F.col("lo_leaf") - 1,
+                            F.col("c"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).alias("est_rows")
+        )
+    )
+    exact = (
+        F.broadcast(rng)
+        .crossJoin(leaves)
+        .groupBy("range_lo", "range_hi")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("idx") >= F.col("lo_leaf"))
+                        & (F.col("idx") < F.col("hi_leaf")),
+                        F.col("c"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("exact_rows")
+        )
+    )
+    return (
+        est.join(exact, ["range_lo", "range_hi"])
+        .select(
+            "range_lo",
+            "range_hi",
+            F.col("est_rows").cast("bigint").alias("est_rows"),
+            F.col("exact_rows").cast("bigint").alias("exact_rows"),
+            F.when(
+                F.col("exact_rows") == 0, F.lit(None).cast("double")
+            )
+            .otherwise(
+                F.round(
+                    (F.col("est_rows") - F.col("exact_rows"))
+                    * F.lit(100.0)
+                    / F.col("exact_rows"),
+                    4,
+                )
+            )
+            .alias("err_pct"),
+        )
+        .orderBy("range_lo")
+    )
+
+
+def range_selectivity_oracle_sql() -> str:
+    """DuckDB mirror sharing the digest CTE chain."""
+    vals = ", ".join(
+        f"(CAST({lo} AS DOUBLE), CAST({hi} AS DOUBLE), "
+        f"{int(lo * QD_SCALE)}, {int(hi * QD_SCALE)})"
+        for lo, hi in QD_RANGES
+    )
+    return (
+        _digest_cte_chain()
+        + f""",
+rng AS (
+    SELECT * FROM (VALUES {vals})
+        AS t(range_lo, range_hi, lo_leaf, hi_leaf)
+),
+est AS (
+    SELECT g.range_lo, g.range_hi,
+           COALESCE(SUM(CASE WHEN r.ub <= g.hi_leaf - 1
+                             THEN r.c END), 0)
+         - COALESCE(SUM(CASE WHEN r.ub <= g.lo_leaf - 1
+                             THEN r.c END), 0) AS est_rows
+    FROM rng g, ranked r
+    GROUP BY 1, 2
+),
+ex AS (
+    SELECT g.range_lo, g.range_hi,
+           COALESCE(SUM(CASE WHEN l.idx >= g.lo_leaf
+                              AND l.idx < g.hi_leaf
+                             THEN l.c END), 0) AS exact_rows
+    FROM rng g, r0 l
+    GROUP BY 1, 2
+)
+SELECT e.range_lo, e.range_hi,
+       CAST(e.est_rows AS BIGINT) AS est_rows,
+       CAST(x.exact_rows AS BIGINT) AS exact_rows,
+       CASE WHEN x.exact_rows = 0 THEN NULL
+            ELSE CAST(round((e.est_rows - x.exact_rows) * 100.0
+                            / x.exact_rows, 4) AS DOUBLE)
+       END AS err_pct
+FROM est e
+JOIN ex x ON e.range_lo = x.range_lo AND e.range_hi = x.range_hi
+ORDER BY e.range_lo"""
+    )

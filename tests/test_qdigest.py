@@ -119,3 +119,21 @@ def test_clamping_and_determinism(spark):
         for r in quantize_leaves(df, "value").collect()
     }
     assert again == rows
+
+
+def test_range_selectivity_error_bound(spark):
+    """The rank-difference estimate's absolute error is bounded by the
+    two endpoints' straddling-node mass: <= 2 * (2*tau*QD_BITS)."""
+    from bigdataminingproject_spark.operators.qdigest import (
+        q_events_range_selectivity,
+    )
+
+    out = q_events_range_selectivity(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 4
+    n = sum(r["exact_rows"] for r in out)  # ranges cover most rows
+    tau = max(1, 1000 // QD_K)
+    bound = 2 * (2 * tau * QD_BITS)
+    for r in out:
+        assert abs(r["est_rows"] - r["exact_rows"]) <= bound
