@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": dedup.q_ngram_jaccard,
         "q_doc_snm_pairs": dedup.q_doc_snm_pairs,
         "q_token_triangles": graph.q_token_triangles,
+        # round 7: local clustering coefficient on the co-purchase
+        # graph (neighborhood closure, the complement of coreness)
+        "q_part_clustering": graph.q_part_clustering,
         "q_doc_stats": textstats.q_doc_stats,
         "q_doc_fingerprints": textstats.q_doc_fingerprints,
         "q_doc_lang_stats": textstats.q_doc_lang_stats,
@@ -339,13 +342,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_media_features": multimodal.q_media_features,
     }
     # Round-7 rotation (VERDICT r6 #1): driver consumes ~50 rows in
-    # dict order. Tier 0 = the one new round-7 query plus the three
-    # whose code or oracle changed this round; then the 16 r3-latest
-    # rows — the EXACT rotation tail VERDICT r6 listed (after this
-    # round the backlog mechanism has fully converged: every registry
-    # query's latest driver row is r4+ config); then the r4 rows
-    # oldest-first in registry order (~30 fit this round's slots, the
-    # tail rolls to round 8).
+    # dict order. Tier 0 = the 31 new round-7 queries plus the three
+    # whose code or oracle changed this round (34 slots); then the 16
+    # r3-latest rows — the EXACT rotation tail VERDICT r6 listed,
+    # filling the ~50-row window precisely (after this round the
+    # backlog mechanism has fully converged: every registry query's
+    # latest driver row is r4+ config). The r4 backlog below the fold
+    # resumes in round 8's slots.
     tier0 = [
         # new this round: streaming v4 curation maintenance (VERDICT
         # r6 #2 — embedding-LSH + SemDeDup + span stages incrementally
@@ -431,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round: q-digest range-predicate selectivity (the
         # optimizer-statistics family's range-scan half)
         "q_events_range_selectivity",
+        # new this round: local clustering coefficient (co-purchase
+        # neighborhood closure)
+        "q_part_clustering",
     ]
     # the 16 r3-latest rows, registry order (VERDICT r6 #1)
     backlog_r3 = [
@@ -5492,6 +5498,48 @@ def oracle_sql() -> dict[str, str]:
     sql["q_events_range_selectivity"] = (
         qdigest.range_selectivity_oracle_sql()
     )
+
+    # q_part_clustering: DuckDB enumerates triangles by the simple
+    # a<b<c three-way self-join (different algorithm from the Spark
+    # degree-oriented plan — the point of the check); the cc division
+    # is the pinned (2.0 * tri) / (deg*(deg-1)) on both sides.
+    sql["q_part_clustering"] = f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e AS (
+            SELECT a.p AS a, b.p AS b
+            FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {kcore.MIN_CO_ORDERS}
+        ),
+        deg AS (
+            SELECT v, COUNT(*) AS deg
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY v
+        ),
+        tris AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tc AS (
+            SELECT v, COUNT(*) AS triangles
+            FROM (SELECT unnest([x, y, z]) AS v FROM tris)
+            GROUP BY v
+        )
+        SELECT d.v AS part_key,
+               CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.deg < 2 THEN 0.0
+                    ELSE CAST(round(
+                        (2.0 * COALESCE(t.triangles, 0))
+                        / (d.deg * (d.deg - 1)), 6) AS DOUBLE)
+               END AS cc
+        FROM deg d LEFT JOIN tc t ON t.v = d.v
+        ORDER BY cc DESC, part_key
+    """
 
     # q_customer_fuzzy_matches: SymSpell deletion-variant blocking
     # (identity + every single-character deletion), variant equi-join,

@@ -146,6 +146,7 @@ HEADLINE = [
     "q_part_coreness",
     "q_stream_kcore_maintenance",
     "q_events_range_selectivity",
+    "q_part_clustering",
 ]
 
 

@@ -146,3 +146,53 @@ def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).orderBy("rank")
+
+
+def q_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of every part in the co-purchase
+    graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how interconnected
+    a part's co-purchase neighborhood is, the complement of coreness
+    (operators/kcore.py): coreness measures depth of embedding,
+    clustering measures neighborhood closure (basket-affinity
+    communities vs popular-with-everything hubs).
+
+    Reuses the degree-oriented triangle enumeration (O(m^1.5) wedges)
+    and the Apriori-shaped edge build; everything after the edge list
+    is graph-sized. Integer counts; the single division is pinned
+    ((2.0 * tri) / (deg*(deg-1)), round 6) for cross-engine parity.
+    """
+    from bigdataminingproject_spark.operators.kcore import (
+        copurchase_edges,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(li).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tc = triangle_counts(edges).select(
+        F.col("token").alias("v"), "triangles"
+    )
+    tri = F.coalesce(F.col("triangles"), F.lit(0))
+    return (
+        deg.join(tc, "v", "left")
+        .select(
+            F.col("v").alias("part_key"),
+            F.col("deg").cast("bigint").alias("deg"),
+            tri.cast("bigint").alias("triangles"),
+            F.when(F.col("deg") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.lit(2.0) * tri)
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                    6,
+                )
+            )
+            .alias("cc"),
+        )
+        .orderBy(F.desc("cc"), "part_key")
+    )

@@ -47,7 +47,7 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
 def test_round7_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
     registry's head section IS the round-7 rotation contract
-    (VERDICT r6 #1): 33 tier-0 slots (the new streaming-v4/index/sample/covariance
+    (VERDICT r6 #1): 34 tier-0 slots (the new streaming-v4/index/sample/covariance
     /kmv/decay/grid/ANN/delta-join/Z-set/join-size maintenance, CMS join-size
     estimation, watermarked stream dedup,
     SNM, triangle, weighted-sample, top-PC, curriculum, KMV-overlap, PQ/PQ-rerank,
@@ -58,7 +58,7 @@ def test_round7_rotation_head_is_pinned():
     new query inserted at the literal top) would silently displace a
     re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:49] == [
+    assert keys[:50] == [
         "q_stream_curation_v4_maintenance",
         "q_stream_index_maintenance",
         "q_stream_curation_maintenance",
@@ -92,6 +92,7 @@ def test_round7_rotation_head_is_pinned():
         "q_part_coreness",
         "q_stream_kcore_maintenance",
         "q_events_range_selectivity",
+        "q_part_clustering",
         "q_events_anomalous_hours",
         "q_events_time_rollup",
         "q_doc_tfidf_topk",
@@ -119,12 +120,8 @@ def test_round7_rotation_head_is_pinned():
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 34-49 burn the entire r3 tail (33 tier-0 slots ahead of
-    # them — the late q-digest/coreness pairs and the range-selectivity
-    # query claim 29-33); the remaining driver-window slot is an r4 row
-    assert all(latest.get(k) == 3 for k in keys[33:49])
-    r4_slots = [k for k in keys[49:50] if latest.get(k, 9) == 4]
-    assert len(r4_slots) == 1, (
-        f"rotation slot 50 must carry 1 r4-backlog query, got "
-        f"{len(r4_slots)}"
-    )
+    # slots 35-50 burn the entire r3 tail (34 tier-0 slots ahead of
+    # them — the late q-digest/coreness pairs, range selectivity and
+    # clustering claim 29-34); the driver window is now exactly full:
+    # the r4 backlog resumes next round
+    assert all(latest.get(k) == 3 for k in keys[34:50])

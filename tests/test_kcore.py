@@ -134,3 +134,29 @@ def test_pair_counter_fold_is_exact(spark):
         .collect()
     }
     assert folded == whole
+
+
+def test_clustering_coefficient_on_crafted_graph(spark):
+    """cc is exact on a hand-checkable graph: in K4 every vertex closes
+    completely (cc=1); vertex 4 (K4 + triangle) has 5 neighbors, 4
+    closed pairs of 10; pendant vertices have cc=0."""
+    from bigdataminingproject_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    df = spark.createDataFrame(CRAFTED, "a bigint, b bigint")
+    deg = {}
+    for a, b in CRAFTED:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tri = {
+        r["token"]: r["triangles"]
+        for r in triangle_counts(df).collect()
+    }
+    def cc(v):
+        d, t = deg[v], tri.get(v, 0)
+        return 0.0 if d < 2 else round(2.0 * t / (d * (d - 1)), 6)
+    assert cc(1) == 1.0 and cc(2) == 1.0  # K4 interior
+    assert cc(4) == round(4 / 10, 6)  # deg 5, triangles 4
+    assert cc(5) == 1.0  # triangle vertex: 1 closed pair of 1
+    assert cc(8) == 0.0  # pendant
