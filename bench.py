@@ -348,6 +348,10 @@ def main() -> None:
         try:
             with open(os.path.join(here, prior_file)) as fh:
                 prior = json.load(fh)
+            # driver-recorded BENCH_r{N}.json wraps the bench line in
+            # {n, rc, cpus, sf, tail, parsed} — unwrap to the line
+            if isinstance(prior.get("parsed"), dict):
+                prior = prior["parsed"]
         except (OSError, ValueError):
             prior = None
     normalized_ratio, flagged = None, None
