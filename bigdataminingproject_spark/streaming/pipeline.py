@@ -671,6 +671,18 @@ def q_stream_sessions(spark, sf_dir: str) -> DataFrame:
     The per-user session sequence is then numbered by window start over
     the (already session-collapsed) relation, landing on the batch
     query's exact output — same DuckDB oracle.
+
+    Replay is staged in EVENT-TIME order (order_col='ts'), not id
+    order: session_window runs in append mode, where the watermark
+    DROPS input older than max(ts) - delay. Id-ordered replay is only
+    time-ordered by fixture luck — the 10x scale replica (key-shifted
+    copies that each span the full time range) replays months-late
+    rows and silently lost 9/10 of the sessions (round-7 10x full-gate
+    finding; fixed 2026-08-15). A real source delivers approximately
+    time-ordered data with the watermark bounding the disorder —
+    ts-ordered replay is that contract. q_stream_hourly deliberately
+    keeps id-ordered replay: complete-mode aggregation ignores the
+    watermark, and out-of-time-order merging is the thing it attests.
     """
     import tempfile
     import uuid
@@ -687,7 +699,7 @@ def q_stream_sessions(spark, sf_dir: str) -> DataFrame:
     src = ev.select("event_id", "ts", "user_id", "value")
     staging = tempfile.mkdtemp(prefix="q_stream_sessions_")
     stream = file_replay_source(
-        spark, src, staging, chunks=10, order_col="event_id"
+        spark, src, staging, chunks=10, order_col="ts"
     )
     agg = (
         stream.withColumn(
