@@ -5473,8 +5473,8 @@ def oracle_sql() -> dict[str, str]:
                    AS overestimate_pct
         FROM est, ex
     """
-    # streaming join-size maintenance: counters stored at 2^20 buckets
-    # mask down to the count-derived width exactly (W | 2^20), so the
+    # streaming join-size maintenance: counters stored at 2^24 buckets
+    # mask down to the count-derived width exactly (W | 2^24), so the
     # folded sketch state reproduces the batch estimator bit-for-bit
     sql["q_stream_join_size_maintenance"] = sql["q_join_size_estimate"]
 

@@ -666,4 +666,8 @@ def q_join_size_estimate(spark, sf_dir: str) -> DataFrame:
 # precision; any count-derived power-of-two width <= 2^MAX divides it,
 # so masking down (sum counters over bucket % width) reproduces the
 # direct width-W sketch exactly — the count-invariant-state pattern.
-CMS_JOIN_MAX_BITS = 20
+# 24 bits covers min-side key cardinalities up to 2^24/4 ≈ 4.2M (the
+# round-7 100x probe needed 2^23 and tripped the 2^20 guard — the cap
+# is loud, never silent); the stored relation is OCCUPIED buckets
+# only, so raising the cap costs nothing at small scale.
+CMS_JOIN_MAX_BITS = 24

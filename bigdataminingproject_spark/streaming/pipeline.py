@@ -1847,12 +1847,12 @@ def q_stream_join_size_maintenance(spark, sf_dir: str) -> DataFrame:
     the corpus is still growing, so each micro-batch appends CMS
     counter partials at the FIXED maximum precision
     (``bucket = hash % 2^CMS_JOIN_MAX_BITS``), and publish masks them
-    down to the width the final counts derive — ``(hash % 2^20) % W ==
-    hash % W`` whenever the power-of-two W divides 2^20, so the folded
+    down to the width the final counts derive — ``(hash % 2^24) % W ==
+    hash % W`` whenever the power-of-two W divides 2^24, so the folded
     counters reproduce the direct width-W sketch EXACTLY and the twin
     shares the batch operator's oracle.
 
-    State: depth x 2^20 counters per side per LSM level (merge fold =
+    State: depth x (occupied) 2^24 buckets per side per LSM level (fold =
     sum per (d, bucket) — mergeable like every CMS), plus the two
     key-frequency relations for the checked exact leg (key-cardinality,
     also sum-foldable). Per-batch work is O(|delta|) hashing plus

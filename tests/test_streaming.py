@@ -749,8 +749,8 @@ def test_zset_consolidation_drops_cancelled_rows(spark):
 
 def test_stream_join_size_twin_lands_on_batch(spark):
     """The masked-down folded counters must reproduce the batch
-    estimator exactly: (hash % 2^20) % W == hash % W for every
-    power-of-two W dividing 2^20, so the twin's output equals
+    estimator exactly: (hash % 2^24) % W == hash % W for every
+    power-of-two W dividing 2^24, so the twin's output equals
     q_join_size_estimate's row bit-for-bit."""
     from bigdataminingproject_spark.operators.sketches import (
         q_join_size_estimate,
