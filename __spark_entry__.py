@@ -2115,10 +2115,26 @@ def oracle_sql() -> dict[str, str]:
                    ({_cell16_terms}) % (1 << prm.p) AS cell
             FROM v CROSS JOIN prm
         ),
+        masks AS (
+            -- fixed 16-plane budget (range can't be lateral in
+            -- DuckDB); the p-plane mask set is the m < 2^p prefix
+            SELECT CAST(m AS INT) AS off, bit_count(CAST(m AS BIGINT)) AS pc
+            FROM prm, range(0, 65536) t(m)
+            WHERE m < (1 << prm.p)
+        ),
+        -- count-aware probe radius (round-7 100x recall fix): smallest
+        -- r whose Hamming ball covers >= 7/64 of the 2^p cells — the
+        -- historical (p=6, r=1) scan fraction held as p grows; same
+        -- integer arithmetic as similarity.auto_probe_radius
+        rad AS (
+            SELECT min(pc) AS r FROM (
+                SELECT pc, SUM(COUNT(*)) OVER (ORDER BY pc) AS csum
+                FROM masks GROUP BY pc
+            ), prm
+            WHERE csum * 64 >= 7 * (1 << prm.p)
+        ),
         offs AS (
-            SELECT unnest(list_prepend(0,
-                       list_transform(range(0, p), i -> 1 << i))) AS off
-            FROM prm
+            SELECT off FROM masks, rad WHERE masks.pc <= rad.r
         ),
         probes AS (
             SELECT c.vec_id AS query_id, c.vec AS q_vec,

@@ -608,6 +608,34 @@ def hamming_offsets(n_bits: int, radius: int) -> list[int]:
     return offs
 
 
+# count-aware probe ball: hold the HISTORICAL scan fraction of the
+# 6-plane radius-1 layout, (1+6)/2^6 = 7/64, as the plane count grows.
+# Rationale (round-7 100x recall measurement, SCALE.md): the count-
+# aware plane layout holds per-cell OCCUPANCY, but a FIXED radius's
+# ball covers C(p, <=r)/2^p of the cells — polynomial numerator under
+# an exponential denominator — so recall decays silently as the corpus
+# grows (0.53@radius4 at 100x). Holding the fraction instead keeps the
+# read-side cost AND the recall lever at the layout's original
+# operating point: r=1 at p=6 (every attested SF — outputs unchanged),
+# r=3 at p=10 (10x), r=4 at p=13 (100x).
+PROBE_FRACTION_NUM = 7
+PROBE_FRACTION_DEN = 64
+
+
+def auto_probe_radius(n_bits: int) -> int:
+    """Smallest radius whose Hamming ball covers >= 7/64 of the 2^p
+    cells — integer-only, mirrored by the oracle's popcount CTE."""
+    from math import comb
+
+    total = 1 << n_bits
+    cum = 0
+    for r in range(n_bits + 1):
+        cum += comb(n_bits, r)
+        if cum * PROBE_FRACTION_DEN >= PROBE_FRACTION_NUM * total:
+            return r
+    return n_bits
+
+
 def ivf_knn_det(
     vectors: DataFrame,
     queries: DataFrame,
@@ -616,7 +644,7 @@ def ivf_knn_det(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    hamming_radius: int = 1,
+    hamming_radius: int | None = None,
 ) -> DataFrame:
     """IVF kNN with a data-INdependent coarse quantizer (oracle twin).
 
@@ -637,13 +665,20 @@ def ivf_knn_det(
       DuckDB oracle derives p from count(*) with the same arithmetic
       and masks the same 16-plane bit string (LSB-first ``cell_id`` ⇒
       any p-plane cell is ``cell16 % 2^p``).
-    * probe set = the query's cell plus each 1-bit flip (Hamming<=1
-      multi-probe, (1+p)/2^p of the cells — a DECREASING scan fraction
-      as the corpus grows, the scale story) — the standard recall lever
-      for sign-bit quantizers; a vector's true neighbors concentrate in
-      cells whose codes differ in few bits. ``tools/ann_recall.py``
-      measures recall for both layouts against exact numpy ground
-      truth at each radius.
+    * probe set = the query's Hamming ball at the COUNT-AWARE radius
+      (``auto_probe_radius``: smallest r covering >= 7/64 of the
+      cells — the 6-plane radius-1 layout's original scan fraction,
+      HELD as p grows; round-7 fix, measured by tools/ann_recall.py:
+      the old fixed radius-1 ball's coverage decays exponentially in
+      p, leaving recall@10 at 0.11 (10x, p=10) and 0.10 (100x, p=13);
+      the held fraction picks r=3 / r=4 there, lifting recall to 0.49
+      / 0.53 at a ~11-17% scan — same read cost as the layout's
+      original operating point. Structurally higher recall at scale is
+      the probe-curve operator's explicit trade or the IVF-PQ re-rank
+      leg, not a wider default ball) — the standard recall lever for
+      sign-bit quantizers; a vector's true neighbors concentrate in
+      cells whose codes differ in few bits. Every attested SF still
+      resolves to (p=6, r=1) — outputs unchanged there.
     * scoring = exact cosine on probed cells only: an equi-join on
       ``cell`` replaces brute force's cross join. Scale: one broadcast
       of (query x probes), one shuffle-free scan of the assigned
@@ -651,6 +686,8 @@ def ivf_knn_det(
     """
     if n_cell_planes is None:
         n_cell_planes = semantic_cell_planes(vectors.count())
+    if hamming_radius is None:
+        hamming_radius = auto_probe_radius(n_cell_planes)
     planes = det_planes(dim, n_cell_planes)
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),

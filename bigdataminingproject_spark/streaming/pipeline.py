@@ -1527,7 +1527,9 @@ def q_stream_ann_maintenance(spark, sf_dir: str) -> DataFrame:
             F.col("cell16").bitwiseAND(mask).cast("int").alias("q_cell"),
         )
         return (
-            similarity.ivf_probe_score(assigned, q, p, 1, 10)
+            similarity.ivf_probe_score(
+                assigned, q, p, similarity.auto_probe_radius(p), 10
+            )
             .localCheckpoint(eager=True)
         )
     finally:
