@@ -257,6 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_kmv_overlap": kmv.q_source_kmv_overlap,
         "q_knn_pq": pq.q_knn_pq,
         "q_knn_pq_rerank": pq.q_knn_pq_rerank,
+        # round 8: the routed default ANN entry point (VERDICT r7 #4) —
+        # exact below the 10k index threshold, PQ+re-rank above it,
+        # routing replayed by the oracle's count comparison
+        "q_knn_default": pq.q_knn_default,
         "q_knn_ivfpq": pq.q_knn_ivfpq,
         "q_knn_ivfpq_rerank": pq.q_knn_ivfpq_rerank,
         "q_events_decay_score": events.q_events_decay_score,
@@ -341,14 +345,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
         "q_media_features": multimodal.q_media_features,
     }
-    # Round-7 rotation (VERDICT r6 #1): driver consumes ~50 rows in
-    # dict order. Tier 0 = the 31 new round-7 queries plus the three
-    # whose code or oracle changed this round (34 slots); then the 16
-    # r3-latest rows — the EXACT rotation tail VERDICT r6 listed,
-    # filling the ~50-row window precisely (after this round the
-    # backlog mechanism has fully converged: every registry query's
-    # latest driver row is r4+ config). The r4 backlog below the fold
-    # resumes in round 8's slots.
+    # Round-8 rotation (VERDICT r7 #2): driver consumes ~50 rows in
+    # dict order. This round's window = 4 tier-0 slots + the ENTIRE
+    # 46-row r4-latest backlog (oldest attestation in the registry),
+    # so after round 8 no query's latest driver row predates r5 config
+    # — the VERDICT r7 #2 done-criterion.
+    #
+    # Nine queries' code changed this round; only four fit above the
+    # backlog, so tier-0 is triaged by materiality:
+    #   IN the window: q_knn_default (new), q_stream_kmv_maintenance
+    #   (staged replay now pre-hashed — a real plan change, VERDICT r7
+    #   #3), q_knn_pq (PQ code-space densification, ADVICE r7 —
+    #   output-identical at attested SFs by construction, re-attested
+    #   as the family representative), q_part_coreness (publish-time
+    #   convergence guard, ADVICE r7 — re-attested to prove the guard
+    #   is a no-op at driver SFs).
+    #   DEFERRED to round 9's tier 0 (listed first below the fold,
+    #   positions 51-55): q_knn_pq_rerank / q_knn_ivfpq /
+    #   q_knn_ivfpq_rerank (same densification — identity renumbering
+    #   whenever no Lloyd cluster empties, which holds at every
+    #   attested SF; pytest-pinned), q_stream_kcore_maintenance (same
+    #   guard via coreness_hindex), q_stream_dedup (try/finally temp
+    #   hygiene + eager materialization only). All nine were verified
+    #   green against their oracles at sf0.01 by this round's local
+    #   full-gate runs (tools/check_correctness.py) — the deferral
+    #   trades only DRIVER re-attestation, not verification.
+    # (streaming/replay.py also changed — files_per_trigger staging
+    # fan-out + the ordered path dropping its full count() — but for
+    # every files_per_trigger=1 caller the staged bytes and file
+    # layout are identical, so consumers other than the KMV twin are
+    # covered by the full local gate + pytest, not tier-0 slots.)
+    tier0_r8 = [
+        "q_knn_default",
+        "q_stream_kmv_maintenance",
+        "q_knn_pq",
+        "q_part_coreness",
+    ]
+    deferred_r9_tier0 = [
+        "q_knn_pq_rerank",
+        "q_knn_ivfpq",
+        "q_knn_ivfpq_rerank",
+        "q_stream_kcore_maintenance",
+        "q_stream_dedup",
+    ]
+    # Round-7 rotation (historical — superseded by the r8 lists above):
+    # tier 0 = the 31 new round-7 queries plus the three whose code or
+    # oracle changed that round (34 slots); then the 16 r3-latest rows.
     tier0 = [
         # new this round: streaming v4 curation maintenance (VERDICT
         # r6 #2 — embedding-LSH + SemDeDup + span stages incrementally
@@ -506,7 +548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_token_budget",
         "q_doc_tokens_topk",
     ]
-    head = tier0 + backlog_r3 + backlog_r4
+    del tier0, backlog_r3  # r7 layout kept above for the audit trail
+    head = tier0_r8 + backlog_r4 + deferred_r9_tier0
     ordered = {k: reg[k] for k in head if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
@@ -5031,7 +5074,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q_stream_kmv_maintenance"] = sql["q_source_kmv_overlap"]
 
     # q_knn_pq: DuckDB replays the SAME grouped deterministic Lloyd
-    # program as pq_train_encode — all M=4 codebooks trained at once
+    # program as pq_train_encode — all M=8 (_pq_m) codebooks trained at once
     # with `sub` as one more key column (per-sub smallest-id init,
     # round(dist,6) argmin with cluster-id ties, round(sum,6)/count
     # centroid quantization) — then encodes the corpus and scores each
@@ -5161,6 +5204,71 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY l2_dist, neighbor_id) AS rank
               FROM rr)
         WHERE rank <= 10
+        ORDER BY query_id, rank
+    """
+    )
+
+    # q_knn_default: the ROUTED default ANN entry point (VERDICT r7
+    # #4). The oracle replays BOTH branches — exact brute-force
+    # squared-L2 (the identical index-order fold + round-6 + id-tie
+    # rules as the re-rank stage) and the count-aware PQ+re-rank chain
+    # — and selects with the same integer count comparison as
+    # pq.knn_default (n < 10000), so the routing decision itself is
+    # oracle-checked. All driver SFs take the exact branch; the
+    # 10x/100x local gates exercise the PQ branch.
+    sql["q_knn_default"] = (
+        _pq_chain
+        + """,
+        exact_rr AS (
+            SELECT q.vec_id AS query_id, nb.vec_id AS neighbor_id,
+                   round(list_dot_product(t.dd, t.dd), 6) AS l2_dist
+            FROM v nb
+            JOIN v q ON q.vec_id < 5 AND nb.vec_id <> q.vec_id,
+                 LATERAL (SELECT list_transform(
+                     list_zip(nb.vec, q.vec), z -> z[1] - z[2]) AS dd) t
+        ),
+        exact_top AS (
+            SELECT query_id, CAST(rank AS INT) AS rank,
+                   neighbor_id, l2_dist
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY l2_dist, neighbor_id) AS rank
+                  FROM exact_rr)
+            WHERE rank <= 10
+        ),
+        def_cand AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY pq_dist, neighbor_id) AS rank
+                FROM sc)
+            WHERE rank <= greatest(
+                200,
+                (SELECT CAST(ceil(count(*) / 10.0) AS BIGINT) FROM v))
+        ),
+        def_rr AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_dot_product(t.dd, t.dd), 6) AS l2_dist
+            FROM def_cand c
+            JOIN v nb ON nb.vec_id = c.neighbor_id
+            JOIN v q ON q.vec_id = c.query_id,
+                 LATERAL (SELECT list_transform(
+                     list_zip(nb.vec, q.vec), z -> z[1] - z[2]) AS dd) t
+        ),
+        pq_top AS (
+            SELECT query_id, CAST(rank AS INT) AS rank,
+                   neighbor_id, l2_dist
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY l2_dist, neighbor_id) AS rank
+                  FROM def_rr)
+            WHERE rank <= 10
+        )
+        SELECT * FROM exact_top
+        WHERE (SELECT count(*) FROM v) < 10000
+        UNION ALL
+        SELECT * FROM pq_top
+        WHERE (SELECT count(*) FROM v) >= 10000
         ORDER BY query_id, rank
     """
     )

@@ -216,6 +216,40 @@ def _run_cli_pipeline(spark) -> tuple[float, int]:
     return best, processed
 
 
+def _measure_stream_overhead(spark) -> float:
+    """Fixed micro-batch cost for this session: one availableNow
+    foreachBatch trigger cycle over a minimal (1-row) staged input.
+    Streaming-twin wall times are dominated by trigger/planning fixed
+    costs at bench SF (VERDICT r7 #7), so BENCH reports this floor
+    separately from the per-query totals — a twin's *work* is roughly
+    total - n_batches * overhead, and regressions should be adjudicated
+    on that, not on the fixed cost."""
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="bench_overhead_")
+    try:
+        spark.createDataFrame([(1,)], "id long").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        start = time.perf_counter()
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(staging)
+            .writeStream.foreachBatch(lambda df, bid: df.count())
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="bench_overhead_ckpt_"),
+            )
+            .start()
+        )
+        q.awaitTermination()
+        return round(time.perf_counter() - start, 3)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def run_one(name: str, sf_dir: str) -> None:
     """Child mode: fresh SparkSession, warm up, time one query, print
     one JSON line on stdout."""
@@ -284,17 +318,22 @@ def run_one(name: str, sf_dir: str) -> None:
         i += 1
         if i == 3 and best < 2.0:
             runs = 5
-    print(
-        json.dumps(
-            {
-                "query": name,
-                "sec": round(best, 3),
-                "rows": rows,
-                "runs": runs,
-                "cal": calibration,
-            }
-        )
-    )
+    rec = {
+        "query": name,
+        "sec": round(best, 3),
+        "rows": rows,
+        "runs": runs,
+        "cal": calibration,
+    }
+    # Streaming twins: also measure this session's fixed trigger-cycle
+    # cost so the parent can report work separate from overhead
+    # (VERDICT r7 #7).
+    if name.startswith("q_stream"):
+        try:
+            rec["overhead"] = _measure_stream_overhead(spark)
+        except Exception:
+            pass
+    print(json.dumps(rec))
 
 
 def main() -> None:
@@ -308,6 +347,7 @@ def main() -> None:
         sf = -1.0
     timings: dict[str, float] = {}
     cals: list[float] = []
+    overheads: dict[str, float] = {}
     for name in HEADLINE:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -322,6 +362,8 @@ def main() -> None:
         timings[name] = rec["sec"]
         if "cal" in rec:
             cals.append(rec["cal"])
+        if "overhead" in rec:
+            overheads[name] = rec["overhead"]
         print(f"# {name}: {rec['sec']:.3f}s ({rec['rows']} rows)", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     cals.sort()
@@ -343,25 +385,37 @@ def main() -> None:
         for f in os.listdir(here)
         if f.startswith("BENCH_r") and f.endswith(".json")
     )
-    if benches:
-        prior_file = benches[-1]
+    # Walk newest-first to the most recent USABLE prior: a driver
+    # record whose parsed line carries a per-query map. BENCH_r07 has
+    # "parsed": null (the r7 machine line overflowed the driver's
+    # 2000-char tail capture — VERDICT r7 #1), so r07 is skipped and
+    # the fallback is the committed BENCH_NOTES.json full record from
+    # the builder's own last full run.
+    for fname in reversed(benches):
         try:
-            with open(os.path.join(here, prior_file)) as fh:
-                prior = json.load(fh)
+            with open(os.path.join(here, fname)) as fh:
+                cand = json.load(fh)
             # driver-recorded BENCH_r{N}.json wraps the bench line in
             # {n, rc, cpus, sf, tail, parsed} — unwrap to the line
-            if isinstance(prior.get("parsed"), dict):
-                prior = prior["parsed"]
+            if isinstance(cand.get("parsed"), dict):
+                cand = cand["parsed"]
+            if cand.get("queries"):
+                prior_file, prior = fname, cand
+                break
         except (OSError, ValueError):
-            prior = None
+            continue
+    notes_path = os.path.join(here, "BENCH_NOTES.json")
+    if prior is None and os.path.exists(notes_path):
+        try:
+            with open(notes_path) as fh:
+                cand = json.load(fh)
+            if cand.get("queries"):
+                prior_file, prior = "BENCH_NOTES.json", cand
+        except (OSError, ValueError):
+            pass
     normalized_ratio, flagged = None, None
-    if (
-        cal_normalized
-        and prior
-        and prior.get("calibration_sec")
-        and prior.get("queries")
-    ):
-        p_cal = prior["calibration_sec"]
+    p_cal = prior.get("calibration_sec") or prior.get("cal") if prior else None
+    if cal_normalized and prior and p_cal:
         normalized_ratio = {
             q: round(cal_normalized[q] / (p_sec / p_cal), 3)
             for q, p_sec in prior["queries"].items()
@@ -370,32 +424,81 @@ def main() -> None:
         flagged = sorted(
             q for q, r in normalized_ratio.items() if r > 1.3
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": "3 (5 when min<2s)",
-                "aggregation": "min",
-                "isolation": "subprocess-per-query",
-                # median per-child time of a fixed shuffle+agg workload:
-                # divide per-query seconds by this to compare runs across
-                # machine-speed drift (raw seconds stay the headline)
-                "calibration_sec": cal_median,
-                "cal_normalized": cal_normalized,
-                "prior_bench": prior_file,
-                # per-query (this run's normalized sec) / (prior round's
-                # normalized sec) for queries present in both
-                "normalized_ratio_vs_prior": normalized_ratio,
-                # queries whose NORMALIZED ratio exceeds 1.3x — the only
-                # rows a round verdict should adjudicate as regressions
-                "flagged_regressions": flagged,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": "3 (5 when min<2s)",
+        "aggregation": "min",
+        "isolation": "subprocess-per-query",
+        # median per-child time of a fixed shuffle+agg workload:
+        # divide per-query seconds by this to compare runs across
+        # machine-speed drift (raw seconds stay the headline)
+        "calibration_sec": cal_median,
+        "cal_normalized": cal_normalized,
+        "prior_bench": prior_file,
+        # per-query (this run's normalized sec) / (prior round's
+        # normalized sec) for queries present in both
+        "normalized_ratio_vs_prior": normalized_ratio,
+        # queries whose NORMALIZED ratio exceeds 1.3x — the only
+        # rows a round verdict should adjudicate as regressions
+        "flagged_regressions": flagged,
+        # per-streaming-twin fixed trigger-cycle cost (one minimal
+        # availableNow foreachBatch cycle in the same child JVM); a
+        # twin's distributed WORK is ~ total - n_batches * overhead
+        "stream_fixed_overhead_sec": overheads or None,
+    }
+    # Full record: side file + stderr. The driver's tail capture is
+    # 2000 chars of stdout (VERDICT r7 #1: the r7 line, which carried
+    # all of the above, overflowed it and left "parsed": null), so
+    # stdout gets ONLY the compact machine line below.
+    try:
+        with open(notes_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(full), file=sys.stderr)
+    print(_machine_line(total, sf, cal_median, timings))
+
+
+def _machine_line(
+    total: float,
+    sf: float,
+    cal_median: float | None,
+    timings: dict[str, float],
+    budget: int = 1900,
+) -> str:
+    """Compact single-line JSON for the driver's 2000-char tail window.
+
+    Keeps the driver contract {metric, value, unit, sf, queries} but
+    caps the per-query map to fit the budget: entries are added
+    heaviest-first (the rows regression adjudication actually needs)
+    until the serialized line would exceed `budget`; the count of
+    dropped (cheapest) entries is reported as "omitted" and the full
+    map always lives in BENCH_NOTES.json + the stderr record."""
+    base = {
+        "metric": "headline_query_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cal": cal_median,
+        "omitted": 0,
+        "notes": "BENCH_NOTES.json",
+        "queries": {},
+    }
+    ordered = sorted(timings.items(), key=lambda kv: -kv[1])
+    for name, sec in ordered:
+        trial = dict(base["queries"])
+        trial[name] = round(sec, 2) if sec < 10 else round(sec, 1)
+        cand = dict(base, queries=trial)
+        if len(json.dumps(cand, separators=(",", ":"))) > budget:
+            break
+        base["queries"] = trial
+    base["omitted"] = len(timings) - len(base["queries"])
+    return json.dumps(base, separators=(",", ":"))
 
 
 if __name__ == "__main__":

@@ -75,11 +75,44 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def _hindex_round(sym: DataFrame, h: DataFrame) -> DataFrame:
+    """One H-index pass: every vertex's value becomes the H-index of
+    its neighbors' values (join + per-vertex rank window + hash-agg)."""
+    w = Window.partitionBy("u").orderBy(F.desc("nh"), F.asc("nbv"))
+    nb = sym.join(
+        h.select(F.col("v").alias("nbv"), F.col("h").alias("nh")),
+        F.col("v") == F.col("nbv"),
+    ).select("u", "nbv", "nh")
+    return (
+        nb.withColumn("rn", F.row_number().over(w))
+        .groupBy(F.col("u").alias("v"))
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("nh") >= F.col("rn"), F.col("rn"))
+                ),
+                F.lit(0),
+            ).alias("h")
+        )
+    )
+
+
 def coreness_hindex(
-    edges: DataFrame, rounds: int = KCORE_ROUNDS
+    edges: DataFrame,
+    rounds: int = KCORE_ROUNDS,
+    check_convergence: bool = True,
 ) -> DataFrame:
     """Coreness per vertex by ``rounds`` H-index iterations from the
-    degree start. Returns (v, coreness)."""
+    degree start. Returns (v, coreness).
+
+    ``check_convergence`` (ADVICE r7): KCORE_ROUNDS is a fixed unroll
+    pinned above the measured convergence of the attested fixtures, so
+    on a larger/denser graph both engines could publish identical
+    pre-fixpoint values and the oracle would never notice. At publish
+    time we therefore run ONE extra round and require it to be a no-op
+    — one more graph-sized join per query, and scale growth fails
+    loudly (the CMS width-guard design) instead of silently shipping
+    under-iterated coreness."""
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(
@@ -90,31 +123,26 @@ def coreness_hindex(
     h = sym.groupBy(F.col("u").alias("v")).agg(
         F.count(F.lit(1)).alias("h")
     )
-    w = Window.partitionBy("u").orderBy(
-        F.desc("nh"), F.asc("nbv")
-    )
     for r in range(rounds):
-        nb = sym.join(
-            h.select(F.col("v").alias("nbv"), F.col("h").alias("nh")),
-            F.col("v") == F.col("nbv"),
-        ).select("u", "nbv", "nh")
-        h = (
-            nb.withColumn("rn", F.row_number().over(w))
-            .groupBy(F.col("u").alias("v"))
-            .agg(
-                F.coalesce(
-                    F.max(
-                        F.when(
-                            F.col("nh") >= F.col("rn"), F.col("rn")
-                        )
-                    ),
-                    F.lit(0),
-                ).alias("h")
-            )
-        )
+        h = _hindex_round(sym, h)
         if r % 2 == 1:  # cut the iterative lineage: without this the
             # 28-round plan's analysis cost dwarfs the (tiny) data
             h = h.localCheckpoint(eager=True)
+    h = h.localCheckpoint(eager=True)
+    if check_convergence:
+        moved = (
+            _hindex_round(sym, h)
+            .join(h.select("v", F.col("h").alias("h_prev")), "v")
+            .filter(F.col("h") != F.col("h_prev"))
+            .count()
+        )
+        if moved:
+            raise RuntimeError(
+                f"coreness_hindex: {moved} vertices still moving after "
+                f"{rounds} rounds — KCORE_ROUNDS is below this graph's "
+                "fixpoint; raise it (both engines must use the same "
+                "unroll)"
+            )
     return h.select(F.col("v"), F.col("h").alias("coreness"))
 
 

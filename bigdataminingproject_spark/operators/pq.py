@@ -165,6 +165,17 @@ def pq_train_encode(
         for m in cents:
             cents[m].sort()
 
+    # Densify cluster ids before the final assignment (ADVICE r7): a
+    # Lloyd round that empties a cluster leaves gaps in the id space,
+    # and the ADC lookup (_adc_dist_expr) indexes its literal table
+    # positionally. Renumbering in sorted-id order is the identity
+    # whenever no cluster emptied (every attested config — outputs are
+    # bit-unchanged) and restores position == code otherwise; labels
+    # never reach query output, only (qid, vec_id, dist) does.
+    cents = {
+        m: [(i, c) for i, (_, c) in enumerate(cs)]
+        for m, cs in cents.items()
+    }
     codes = _assign(sv, cents).select(
         "vec_id", "sub", F.col("cluster").alias("code")
     )
@@ -215,10 +226,18 @@ def _code_arrays(codes: DataFrame) -> DataFrame:
 
 
 def _adc_dist_expr(tables, qid: int):
-    """Pre-rounded lookup sum in pinned subspace order (left fold)."""
+    """Pre-rounded lookup sum in pinned subspace order (left fold).
+
+    Positional indexing is only sound over a dense 0..K-1 code space;
+    pq_train_encode densifies ids after training, and this guard makes
+    any future non-contiguous caller fail loudly instead of silently
+    shifting every lookup by one slot (ADVICE r7)."""
     total = None
     for m in range(PQ_M):
         lut = tables[qid][m]
+        assert sorted(lut) == list(range(len(lut))), (
+            f"non-contiguous PQ codes in subspace {m}: {sorted(lut)[:8]}..."
+        )
         arr = F.array(*[F.lit(float(lut[c])) for c in sorted(lut)])
         term = F.element_at(arr, F.col("codes")[m] + 1)
         total = term if total is None else total + term
@@ -545,3 +564,115 @@ def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors touched only for candidates."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return pq_rerank_knn(spark, vecs, dim=64, r=None, k=PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# The routed DEFAULT ANN entry point (VERDICT r7 #4): the default must
+# CHOOSE its operating point instead of inheriting one. Below the index
+# threshold, exact brute force is both faster than training an index and
+# recall-1.0 by definition; at or above it, the two-stage PQ search
+# (count-aware ADC shortlist at a fixed 10% scan fraction -> exact
+# re-rank) is the measured high-recall path (tools/ann_recall.py:
+# recall@10 = 0.84 at n=2k if forced, 0.94 at n=20k, and measured at
+# n=200k in SCALE.md — vs the IVF probe ball's structural 0.49-0.53
+# ceiling on gaussian embeddings at the matched scan fraction). The
+# IVF-det / IVF-PQ legs remain the cell-pruned alternatives for corpora
+# with real cluster structure, where cells prune honestly.
+# ---------------------------------------------------------------------------
+
+KNN_DEFAULT_EXACT_MAX = 10_000  # below this, exact scan beats any index
+
+
+def exact_l2_knn(
+    vectors: DataFrame,
+    dim: int = 64,
+    k: int = PQ_TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-``k`` for the PQ_NQ probe queries: one
+    corpus scan against an exploded query literal, per-query
+    WindowGroupLimit — the recall-1.0 baseline every ANN leg is
+    measured against (same rounding/tie rules as the PQ re-rank stage,
+    so the two branches of ``knn_default`` share one output contract)."""
+    qrows = (
+        vectors.filter(F.col(id_col) < PQ_NQ)
+        .select(
+            F.col(id_col).alias("qid"),
+            _as_double(F.col(vec_col)).alias("vec"),
+        )
+        .collect()
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("nvec"),
+    )
+    per_query = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(qr["qid"])).alias("query_id"),
+                    F.round(
+                        _sq_l2(
+                            F.col("nvec"),
+                            F.array(*[F.lit(float(x)) for x in qr["vec"]]),
+                        ),
+                        6,
+                    ).alias("l2_dist"),
+                )
+                for qr in sorted(qrows, key=lambda r: r["qid"])
+            ]
+        )
+    )
+    scored = (
+        v.select("neighbor_id", per_query.alias("s"))
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            "neighbor_id",
+            F.col("s.l2_dist").alias("l2_dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "l2_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
+def knn_default(
+    spark: SparkSession,
+    vectors: DataFrame,
+    dim: int = 64,
+    k: int = PQ_TOPK,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Count-aware routed kNN — the engine's DEFAULT ANN entry point.
+
+    n < KNN_DEFAULT_EXACT_MAX: exact brute force (recall 1.0; at that
+    size a full scan is cheaper than building any index). Otherwise:
+    ``pq_rerank_knn`` — ADC over 8-byte codes ranks the whole corpus,
+    the count-aware top-(n/10) shortlist gets exact re-ranked, so full
+    vectors are read for 10% of the corpus and codes for the rest. The
+    oracle replays BOTH branches and selects with the same count
+    comparison, so the routing itself is oracle-checked."""
+    n = vectors.count()
+    if n < KNN_DEFAULT_EXACT_MAX:
+        return exact_l2_knn(vectors, dim, k, id_col, vec_col)
+    return pq_rerank_knn(
+        spark, vectors, dim=dim, r=None, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def q_knn_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed default kNN top-10 for the 5 probe queries: exact below
+    10k vectors (all driver-attested SFs), two-stage PQ re-rank at or
+    above it (the 10x/100x replicas — oracle-exercised by the local
+    scale gates, recall measured by tools/ann_recall.py)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return knn_default(spark, vecs, dim=64, k=PQ_TOPK)

@@ -29,18 +29,39 @@ def file_replay_source(
     stream order (the reference's sorted generator, S4). Without it,
     arrival order is undefined — downstream operators must rely on
     event-time columns (the Spark model).
+
+    ``files_per_trigger`` > 1 splits every chunk into that many staged
+    files (one micro-batch still consumes one CHUNK — maxFilesPerTrigger
+    files in mtime order = one contiguous order_col range). This is the
+    parallelism knob: a single-file chunk is read as ONE input partition,
+    so every per-batch transform downstream runs on one core no matter
+    how many executors exist (measured 17x on the 100x replica — the
+    round-7 KMV twin pathology). Multi-file chunks give each micro-batch
+    ``files_per_trigger``-way scan parallelism while replay order and
+    batch boundaries stay identical.
     """
     import os
     import time
 
-    n = df.count()
-    chunks = max(1, min(chunks, n))
+    total_files = max(1, chunks) * max(1, files_per_trigger)
     if order_col is not None:
-        df = df.repartitionByRange(chunks, order_col).sortWithinPartitions(
-            order_col
-        )
+        # No full count here: it re-evaluates the whole input relation
+        # (expensive when the caller stages a derived stream, e.g. the
+        # KMV twin's exploded+hashed shingle relation) and the ordered
+        # path doesn't need the chunk cap — ranges beyond the data are
+        # simply empty and produce fewer staged files. Only the
+        # zero-row edge needs a cheap existence probe.
+        if df.isEmpty():
+            df = df.coalesce(1)
+        else:
+            df = df.repartitionByRange(
+                total_files, order_col
+            ).sortWithinPartitions(order_col)
     else:
-        per_chunk = max(1, math.ceil(n / chunks))
+        n = df.count()
+        chunks = max(1, min(chunks, n))
+        total_files = chunks * max(1, files_per_trigger)
+        per_chunk = max(1, math.ceil(n / total_files))
         df = df.repartition(max(1, math.ceil(n / per_chunk)))
     df.write.mode("overwrite").parquet(staging_dir)
     if order_col is not None:

@@ -82,6 +82,19 @@ def test_fixed_rounds_reach_the_fixpoint(sf_dir):
     assert at == plus1
 
 
+def test_convergence_guard_fires_below_fixpoint(spark):
+    """The publish-time guard (ADVICE r7): an under-iterated run must
+    raise loudly instead of publishing pre-fixpoint coreness. rounds=0
+    publishes raw degrees, which differ from coreness on CRAFTED
+    (vertex 4: degree 5, coreness 3)."""
+    df = spark.createDataFrame(CRAFTED, "a bigint, b bigint")
+    with pytest.raises(RuntimeError, match="still moving"):
+        coreness_hindex(df, rounds=0).collect()
+    # and the guard is a no-op at the fixpoint
+    got = coreness_hindex(df, rounds=10, check_convergence=True)
+    assert got.count() == 8
+
+
 def test_edge_build_counts_distinct_orders(spark):
     # part 10 and 11 share two orders -> edge; 10 and 12 share one ->
     # pruned by MIN_CO_ORDERS; duplicate lineitems collapse

@@ -201,9 +201,52 @@ def measure(spark, sf_dir: str) -> dict:
             }
         ivf_layouts[label] = {"planes": planes, "by_radius": by_radius}
 
+    # --- Routed DEFAULT path recall (VERDICT r7 #4): knn_default is
+    # exact brute force below the 10k index threshold and PQ-ADC +
+    # count-aware exact re-rank above it. Ground truth is exact L2 (the
+    # PQ family's metric) over the PQ_NQ probe queries, computed here
+    # in numpy. rerank_scan_frac is the documented operating point: the
+    # corpus fraction whose FULL vectors the re-rank stage reads (codes
+    # are read for the rest).
+    from bigdataminingproject_spark.operators.pq import (
+        KNN_DEFAULT_EXACT_MAX,
+        PQ_NQ,
+        PQ_RERANK_R,
+        knn_default,
+    )
+
+    idpos = {int(v): i for i, v in enumerate(ids)}
+    dq = [q for q in range(PQ_NQ) if q in idpos]
+    d_truth = {}
+    for q in dq:
+        qi = idpos[q]
+        d2 = np.round(((mat - mat[qi]) ** 2).sum(axis=1), 6)
+        d2[qi] = np.inf
+        order = np.lexsort((ids, d2))
+        d_truth[q] = [int(ids[j]) for j in order[:K]]
+    d_got = {}
+    for r in knn_default(spark, vecs).collect():
+        d_got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    d_hits = [
+        len(set(d_got.get(q, [])) & set(tk)) / len(tk)
+        for q, tk in d_truth.items()
+    ]
+    branch = "exact" if n < KNN_DEFAULT_EXACT_MAX else "pq_rerank"
+    default_path = {
+        "branch": branch,
+        "recall_at_10": round(float(np.mean(d_hits)), 4),
+        "rerank_scan_frac": (
+            None
+            if branch == "exact"
+            else round(max(PQ_RERANK_R, -(-n // 10)) / n, 4)
+        ),
+        "queries": len(d_truth),
+    }
+
     return {
         "dir": sf_dir,
         "n": n,
+        "default_path": default_path,
         "lsh_recall": round(lsh_recall, 4),
         "lsh_found_pairs": len(got_pairs),
         "lsh_true_pairs": len(truth_pairs),

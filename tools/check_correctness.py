@@ -5,7 +5,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row count, column names/sorted order, and an order-insensitive value
 matrix. Exits non-zero on any mismatch.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--time] [sf_dir] [query ...]
+
+``--time`` prints each query's Spark wall seconds (plan + collect) in
+the PASS/FAIL line — the scale probes (SCALE.md) use this to record
+oracle verdict and timing in one pass.
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 
@@ -50,8 +55,10 @@ def _matrix(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--time"]
+    timed = "--time" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -69,8 +76,10 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            t0 = time.perf_counter()
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
+            spark_sec = round(time.perf_counter() - t0, 1)
             scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {e}"))
@@ -111,7 +120,8 @@ def main() -> int:
             failures.append((name, f"values: first diffs {diffs}"))
             print(f"FAIL  {name}: value mismatch, first diffs: {diffs}")
             continue
-        print(f"PASS  {name}: {len(s_mat)} rows")
+        suffix = f" [{spark_sec}s spark]" if timed else ""
+        print(f"PASS  {name}: {len(s_mat)} rows{suffix}")
     print()
     if failures:
         print(f"{len(failures)} FAILURES: {[f[0] for f in failures]}")
