@@ -139,6 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_grid_maintenance": (
             streaming_pipeline.q_stream_grid_maintenance
         ),
+        # round 8: multi-grain continuous aggregate (hypertable rollup)
+        # maintained as LSM-folded (count, sum) partials; same oracle
+        # as the batch q_events_time_rollup
+        "q_stream_rollup_maintenance": (
+            streaming_pipeline.q_stream_rollup_maintenance
+        ),
         "q_stream_ann_maintenance": (
             streaming_pipeline.q_stream_ann_maintenance
         ),
@@ -5072,6 +5078,11 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY p.source_a, p.source_b
     """
     sql["q_stream_kmv_maintenance"] = sql["q_source_kmv_overlap"]
+
+    # round 8: the streaming continuous-aggregate twin publishes the
+    # batch multi-grain rollup exactly ((count, sum) partials are
+    # associative; 2 dp round at presentation on both sides)
+    sql["q_stream_rollup_maintenance"] = sql["q_events_time_rollup"]
 
     # q_knn_pq: DuckDB replays the SAME grouped deterministic Lloyd
     # program as pq_train_encode — all M=8 (_pq_m) codebooks trained at once

@@ -147,6 +147,11 @@ HEADLINE = [
     "q_stream_kcore_maintenance",
     "q_events_range_selectivity",
     "q_part_clustering",
+    # round-8 additions: the routed default ANN entry point (exact <
+    # 10k, count-aware PQ+re-rank >= 10k) and the multi-grain
+    # continuous-aggregate maintenance twin (hypertable-rollup shape)
+    "q_knn_default",
+    "q_stream_rollup_maintenance",
 ]
 
 

@@ -202,6 +202,30 @@ def time_rollup(
 
     Output: (grain, bucket_ts, key, event_count, total_value).
     """
+    return time_rollup_partials(
+        events, grains, ts_col, key_col, value_col
+    ).select(
+        "grain",
+        "bucket_ts",
+        "key",
+        "event_count",
+        F.round(F.col("sum_value"), 2).alias("total_value"),
+    )
+
+
+def time_rollup_partials(
+    events: DataFrame,
+    grains: tuple[str, ...] = ("minute", "hour", "day"),
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """UNROUNDED multi-grain rollup partials: (grain, bucket_ts, key,
+    event_count, sum_value). The mergeable state behind ``time_rollup``
+    (which rounds at presentation) and the per-batch delta transform of
+    the streaming continuous-aggregate twin — (count, sum) are
+    associative, so partials from any slicing fold to the batch
+    answer."""
     bucket = {g: f"_b_{g}" for g in grains}
     base = events.select(
         *[
@@ -237,7 +261,31 @@ def time_rollup(
         F.coalesce(*[F.col(b) for b in bucket.values()]).alias("bucket_ts"),
         "key",
         "event_count",
-        F.round(F.col("_sum"), 2).alias("total_value"),
+        F.col("_sum").alias("sum_value"),
+    )
+
+
+def fold_rollup_partials(parts: DataFrame) -> DataFrame:
+    """N-ary merge of rollup partials: sum (count, sum) per
+    (grain, bucket_ts, key). Associative/commutative — the LSM store's
+    ``merge_transform``: every compacted level holds one row per
+    rollup cell (the CONTINUOUS-AGGREGATE state: bounded by bucket x
+    key cardinality, never by the event log)."""
+    return parts.groupBy("grain", "bucket_ts", "key").agg(
+        F.sum("event_count").cast("bigint").alias("event_count"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+
+
+def finish_rollup(state: DataFrame) -> DataFrame:
+    """Publish pass: fold and round — lands on ``time_rollup``'s
+    output."""
+    return fold_rollup_partials(state).select(
+        "grain",
+        "bucket_ts",
+        "key",
+        "event_count",
+        F.round(F.col("sum_value"), 2).alias("total_value"),
     )
 
 

@@ -1460,6 +1460,82 @@ def q_stream_grid_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_rollup_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live multi-grain continuous aggregate (round 8) — the
+    hypertable-rollup shape as a maintenance twin: minute/hour/day
+    rollups of event counts and value stay continuously current as
+    events stream in (TimescaleDB continuous aggregates / Druid
+    rollups, done as LSM-folded partials).
+
+    Where ``q_stream_hourly_maintenance`` maintains ONE grain in a
+    parquet snapshot it rewrites per batch, this twin maintains ALL
+    grains in an :class:`AppendOnlyPartsStore`: each micro-batch runs
+    the batch operator's own grouping-sets partial transform
+    (``time_rollup_partials`` — one delta scan, one hash-agg for all
+    grains) over ONLY its delta and appends UNROUNDED (count, sum)
+    rows; ``fold_rollup_partials`` is the merge-operator, so every
+    compacted level holds one row per rollup cell — state is bounded
+    by bucket x key cardinality (the continuous-aggregate state), never
+    by the event log. Publish folds the live tail and rounds — output
+    and oracle are ``q_events_time_rollup``'s: (count, sum) partials
+    are associative, so k micro-batch folds land exactly on the batch
+    aggregate (the 2 dp presentation round absorbs double-summation
+    association order, as in every counter twin).
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.events import (
+        finish_rollup,
+        fold_rollup_partials,
+        time_rollup_partials,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_rollup_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_rollup_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "rollup",
+        merge_fanout=2,
+        merge_transform=fold_rollup_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(time_rollup_partials(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="ts"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "grain string, bucket_ts timestamp, key string, "
+                "event_count bigint, total_value double",
+            )
+        return (
+            finish_rollup(state)
+            .orderBy("grain", "bucket_ts", "key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_ann_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live ANN-index maintenance — the vector-search sibling of the
     maintenance twins: the deterministic-IVF index stays continuously

@@ -481,6 +481,29 @@ def test_stream_hourly_maintenance_equals_batch_hourly(spark, sf_dir):
     assert live == batch
 
 
+def test_stream_rollup_maintenance_equals_batch_rollup(spark, sf_dir):
+    """The multi-grain continuous-aggregate twin (round 8) lands
+    exactly on the batch minute/hour/day rollup: per-batch unrounded
+    (count, sum) partials from the SAME grouping-sets transform fold
+    associatively through the LSM store, with presentation rounding
+    applied only once at publish."""
+    from bigdataminingproject_spark.operators.events import (
+        q_events_time_rollup,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_rollup_maintenance,
+    )
+
+    batch = [
+        tuple(r) for r in q_events_time_rollup(spark, sf_dir).collect()
+    ]
+    live = [
+        tuple(r)
+        for r in q_stream_rollup_maintenance(spark, sf_dir).collect()
+    ]
+    assert live == batch
+
+
 def test_stream_join_attribution_equals_batch_interval_join(spark, sf_dir):
     """The watermarked stream-stream interval join, drained over the
     bounded replay, lands exactly on the batch interval join (inner
