@@ -370,9 +370,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   positions 51-55): q_knn_pq_rerank / q_knn_ivfpq /
     #   q_knn_ivfpq_rerank (same densification — identity renumbering
     #   whenever no Lloyd cluster empties, which holds at every
-    #   attested SF; pytest-pinned), q_stream_kcore_maintenance (same
-    #   guard via coreness_hindex), q_stream_dedup (try/finally temp
-    #   hygiene + eager materialization only). All nine were verified
+    #   attested SF; pytest-pinned; ivfpq_rerank's ORACLE additionally
+    #   gained MATERIALIZED hints + a vec-level pre-join after its
+    #   un-hinted DuckDB plan ate >100 GB on the 100x replica —
+    #   semantic no-op, re-verified exact at sf0.01),
+    #   q_stream_kcore_maintenance (same guard via coreness_hindex),
+    #   q_stream_dedup (try/finally temp hygiene + eager
+    #   materialization only). All nine were verified
     #   green against their oracles at sf0.01 by this round's local
     #   full-gate runs (tools/check_correctness.py) — the deferral
     #   trades only DRIVER re-attestation, not verification.
@@ -5368,7 +5372,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS p
             FROM embeddings
         ),
-        rad AS (
+        rad AS MATERIALIZED (
             SELECT p,
                    list_min(list_filter(range(0, p + 1),
                        r -> 4 * len(list_filter(range(0, 1 << p),
@@ -5376,7 +5380,7 @@ def oracle_sql() -> dict[str, str]:
                             >= (1 << p))) AS r
             FROM prm
         ),
-        ivf_cells AS (
+        ivf_cells AS MATERIALIZED (
             SELECT vec_id, ({_cell16_terms}) % (1 << prm.p) AS cell
             FROM v CROSS JOIN prm
         ),
@@ -5385,24 +5389,33 @@ def oracle_sql() -> dict[str, str]:
                        m -> bit_count(m) <= r)) AS off
             FROM rad
         ),
-        ivf_probes AS (
+        ivf_probes AS MATERIALIZED (
             SELECT c.vec_id AS query_id, xor(c.cell, o.off) AS cell
             FROM ivf_cells c, ivf_offs o
             WHERE c.vec_id < 5
         ),
-        ivfpq_scored AS (
-            SELECT t.qid AS query_id, e.vec_id AS neighbor_id,
+        -- vec-level candidate cut BEFORE touching the 8x-wider codes
+        -- relation, MATERIALIZED so the optimizer cannot flatten the
+        -- downstream 4-way join into a probes x codes blow-up
+        -- (observed: the un-hinted chain ate >100 GB on the 100x
+        -- replica's oracle run; the 10x gate never saw it because the
+        -- volume was 10x smaller — round-8 finding, SCALE.md)
+        ivf_cand AS MATERIALIZED (
+            SELECT pr.query_id, nc.vec_id AS neighbor_id
+            FROM ivf_cells nc JOIN ivf_probes pr ON pr.cell = nc.cell
+            WHERE nc.vec_id <> pr.query_id
+        ),
+        ivfpq_scored AS MATERIALIZED (
+            SELECT c.query_id, e.vec_id AS neighbor_id,
                    round({" + ".join(f"max(CASE WHEN e.sub = {m} THEN t.e END)" for m in range(_pq_m))}, 6)
                        AS pq_dist
-            FROM a{_pq_iters + 1} e
-            JOIN ivf_cells nc ON nc.vec_id = e.vec_id
-            JOIN ivf_probes pr ON pr.cell = nc.cell
+            FROM ivf_cand c
+            JOIN a{_pq_iters + 1} e ON e.vec_id = c.neighbor_id
             JOIN tbl t ON t.sub = e.sub AND t.cluster = e.cluster
-                      AND t.qid = pr.query_id
-            WHERE e.vec_id <> pr.query_id
-            GROUP BY t.qid, e.vec_id
+                      AND t.qid = c.query_id
+            GROUP BY c.query_id, e.vec_id
         ),
-        ivfpq_cand AS (
+        ivfpq_cand AS MATERIALIZED (
             SELECT query_id, neighbor_id FROM (
                 SELECT *, row_number() OVER (
                     PARTITION BY query_id
