@@ -363,9 +363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (staged replay now pre-hashed — a real plan change, VERDICT r7
     #   #3), q_knn_pq (PQ code-space densification, ADVICE r7 —
     #   output-identical at attested SFs by construction, re-attested
-    #   as the family representative), q_part_coreness (publish-time
-    #   convergence guard, ADVICE r7 — re-attested to prove the guard
-    #   is a no-op at driver SFs).
+    #   as the family representative), q_part_coreness (ADVICE r7
+    #   upgraded in-round: the new convergence guard CAUGHT the 100x
+    #   replica's graph pre-fixpoint at the old fixed 28-round unroll,
+    #   so the iteration is now adaptive-to-fixpoint with cap
+    #   KCORE_ROUNDS=64 and the oracle unrolls 64 — outputs at every
+    #   attested SF unchanged by idempotence, re-attested to prove it).
     #   DEFERRED to round 9's tier 0 (listed first below the fold,
     #   positions 51-55): q_knn_pq_rerank / q_knn_ivfpq /
     #   q_knn_ivfpq_rerank (same densification — identity renumbering

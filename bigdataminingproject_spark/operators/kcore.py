@@ -15,13 +15,20 @@ converges to the coreness EXACTLY, and every round is one
 embarrassingly-parallel pass over the edge list — joins, windows and
 hash aggregations, no driver-side graph structure.
 
-Both engines run the identical, FIXED number of rounds
-(``KCORE_ROUNDS``, pinned well above the measured convergence on every
-test graph — 21 rounds at sf0.001, 10 at sf0.01, 5 at sf0.1; the 10x
-replica is key-shifted disjoint copies of sf0.1, so its convergence
-matches sf0.1's). A pytest pins that one extra round is a no-op, so
-the fixed unroll IS the fixpoint on real data rather than an
-approximation of it.
+Spark iterates ADAPTIVELY to the fixpoint (round 8): every other
+round it checks whether one more H-index pass moves any vertex and
+stops at the first no-op — measured convergence is 21 rounds at
+sf0.001, 10 at sf0.01, 5 at sf0.1, and >28 on the 100x replica's
+335x-densified graph (the round-8 guard caught 171 vertices still
+moving at the old fixed 28-round unroll — two engines agreeing on
+pre-fixpoint values, the exact silent failure ADVICE r7 predicted).
+``KCORE_ROUNDS`` is now the CAP, not the schedule: if the cap is hit
+with vertices still moving, the operator raises loudly. The DuckDB
+oracle unrolls exactly ``KCORE_ROUNDS`` rounds — extra rounds past the
+fixpoint are no-ops (idempotence, pinned by pytest), so the adaptive
+Spark result equals the fixed-unroll oracle whenever neither side
+exceeds the cap, and the cap raise is symmetric by construction (same
+integer arithmetic ⇒ same convergence round on both engines).
 
 Graph: parts are vertices; an undirected edge connects two parts that
 appear in >= MIN_CO_ORDERS distinct shared orders (the market-basket
@@ -51,7 +58,7 @@ from pyspark.sql import functions as F
 
 from bigdataminingproject_spark.sources.tables import load_table
 
-KCORE_ROUNDS = 28
+KCORE_ROUNDS = 64  # CAP (and the oracle's unroll), not the schedule
 MIN_CO_ORDERS = 2
 
 
@@ -97,22 +104,42 @@ def _hindex_round(sym: DataFrame, h: DataFrame) -> DataFrame:
     )
 
 
+def _moved_count(sym: DataFrame, h: DataFrame) -> tuple[DataFrame, int]:
+    """Run one H-index round and count the vertices it moved. Returns
+    (next_h checkpointed, moved) so the probe round is REUSED as a real
+    round when it did move — a convergence check costs nothing extra
+    until the round it confirms."""
+    nxt = _hindex_round(sym, h).localCheckpoint(eager=True)
+    moved = (
+        nxt.join(h.select("v", F.col("h").alias("h_prev")), "v")
+        .filter(F.col("h") != F.col("h_prev"))
+        .count()
+    )
+    return nxt, moved
+
+
 def coreness_hindex(
     edges: DataFrame,
     rounds: int = KCORE_ROUNDS,
     check_convergence: bool = True,
 ) -> DataFrame:
-    """Coreness per vertex by ``rounds`` H-index iterations from the
-    degree start. Returns (v, coreness).
+    """Coreness per vertex: H-index iterations from the degree start,
+    run ADAPTIVELY to the fixpoint with ``rounds`` as a hard cap.
+    Returns (v, coreness).
 
-    ``check_convergence`` (ADVICE r7): KCORE_ROUNDS is a fixed unroll
-    pinned above the measured convergence of the attested fixtures, so
-    on a larger/denser graph both engines could publish identical
-    pre-fixpoint values and the oracle would never notice. At publish
-    time we therefore run ONE extra round and require it to be a no-op
-    — one more graph-sized join per query, and scale growth fails
-    loudly (the CMS width-guard design) instead of silently shipping
-    under-iterated coreness."""
+    Round 8 (ADVICE r7, upgraded): the previous design ran a FIXED
+    28-round unroll pinned above the attested fixtures' convergence —
+    and the publish-time guard added this round immediately caught the
+    100x replica's densified graph still moving at 28 (both engines
+    had been agreeing on pre-fixpoint values). Fixed unrolls don't
+    survive scale growth, so Spark now probes convergence every other
+    round (the probe round is reused as a real round — no wasted work)
+    and stops at the first no-op; hitting the cap with vertices still
+    moving raises loudly. The attested SFs converge in 5-21 rounds, so
+    they got FASTER; the DuckDB oracle keeps a fixed ``rounds`` unroll
+    and matches because extra rounds past the fixpoint are no-ops
+    (idempotence, pytest-pinned), while a graph whose fixpoint exceeds
+    the cap fails loudly on the Spark side before any comparison."""
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(
@@ -123,27 +150,34 @@ def coreness_hindex(
     h = sym.groupBy(F.col("u").alias("v")).agg(
         F.count(F.lit(1)).alias("h")
     )
-    for r in range(rounds):
-        h = _hindex_round(sym, h)
-        if r % 2 == 1:  # cut the iterative lineage: without this the
-            # 28-round plan's analysis cost dwarfs the (tiny) data
-            h = h.localCheckpoint(eager=True)
-    h = h.localCheckpoint(eager=True)
-    if check_convergence:
-        moved = (
-            _hindex_round(sym, h)
-            .join(h.select("v", F.col("h").alias("h_prev")), "v")
-            .filter(F.col("h") != F.col("h_prev"))
-            .count()
-        )
+    converged = False
+    r = 0
+    while r < rounds:
+        if check_convergence and (r % 2 == 1 or r == rounds - 1):
+            h, moved = _moved_count(sym, h)
+            r += 1
+            if moved == 0:
+                converged = True
+                break
+        else:
+            h = _hindex_round(sym, h)
+            r += 1
+            if r % 2 == 0:  # cut the iterative lineage: without this
+                # the unrolled plan's analysis cost dwarfs the data
+                h = h.localCheckpoint(eager=True)
+    if check_convergence and not converged:
+        # cap exhausted (or rounds == 0): require the fixpoint anyway
+        _, moved = _moved_count(sym, h)
         if moved:
             raise RuntimeError(
                 f"coreness_hindex: {moved} vertices still moving after "
-                f"{rounds} rounds — KCORE_ROUNDS is below this graph's "
-                "fixpoint; raise it (both engines must use the same "
-                "unroll)"
+                f"{r} rounds (cap {rounds}) — this graph's fixpoint "
+                "exceeds KCORE_ROUNDS; raise the cap (the oracle "
+                "unrolls the same constant)"
             )
-    return h.select(F.col("v"), F.col("h").alias("coreness"))
+    return h.localCheckpoint(eager=True).select(
+        F.col("v"), F.col("h").alias("coreness")
+    )
 
 
 def q_part_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
