@@ -21,6 +21,7 @@ from bigdataminingproject_spark.functions.text import shingles, tokenize
 from bigdataminingproject_spark.sources.tables import load_table
 
 DUP_THRESHOLD = 0.7  # duplicate_detector.py:31
+NGRAM_SHJ_MAX_DOCS = 100_000  # SHJ->sort-merge cutover (round 8; 10x=50k measured safe)
 SHINGLE_K = 3  # duplicate_detector.py:28
 
 
@@ -202,6 +203,19 @@ def ngram_jaccard_pairs(
         if shingle_rel is not None
         else shingle_relation(docs, k=k, text_col=text_col, id_col=id_col)
     )
+    # COUNT-AWARE join strategy (round 8): shuffled-hash joins build an
+    # in-memory hash relation per partition and CANNOT spill — at the
+    # 100x replica (500k docs, densified shingles) the build side
+    # outgrew the task memory grant and the query died with "Can't
+    # acquire ... bytes to build hash relation". Below the threshold
+    # SHJ keeps the measured ReuseExchange win (see below); above it
+    # the same exchanges feed spill-safe sort-merge joins — the same
+    # auto-sizing discipline as the LSH/IVF/PQ layouts, applied to the
+    # join algorithm itself. 10x (50k docs) is measured fine under SHJ;
+    # the cap sits 2x above that.
+    jhint = (
+        "shuffle_hash" if docs.count() < NGRAM_SHJ_MAX_DOCS else "merge"
+    )
     # global document frequency orders the prefix (rarest first).
     # groupBy + shuffle_hash self-join (round 2, replacing the r1
     # count-over-window): the partial aggregation map-side-combines, so
@@ -216,7 +230,7 @@ def ngram_jaccard_pairs(
     docfreq = (
         sh.groupBy("shingle_h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .hint("shuffle_hash")
+        .hint(jhint)
     )
     ranked = sh.join(docfreq, "shingle_h").select(
         "doc_id",
@@ -263,10 +277,10 @@ def ngram_jaccard_pairs(
             b_side_ids.select(F.col(id_col).alias("doc_id")),
             "doc_id",
             "left_semi",
-        ).hint("shuffle_hash")
+        ).hint(jhint)
     else:
-        b_src = prefix.hint("shuffle_hash")
-    a = prefix.hint("shuffle_hash").alias("a")
+        b_src = prefix.hint(jhint)
+    a = prefix.hint(jhint).alias("a")
     b = b_src.alias("b")
     return (
         a.join(b, F.col("a.shingle_h") == F.col("b.shingle_h"))
