@@ -262,3 +262,60 @@ def test_ivfpq_rerank_stays_in_probe_ball(spark):
     allowed = set(hamming_offsets(p, ball_radius(p)))
     for r in q_knn_ivfpq_rerank(spark, SF).collect():
         assert (cells[r["query_id"]] ^ cells[r["neighbor_id"]]) in allowed
+
+
+def test_knn_default_routes_exact_below_threshold(spark):
+    """The routed default (round 8, VERDICT r7 #4): below the index
+    threshold it must BE the exact scan — identical rows to
+    exact_l2_knn — and the exact scan itself must agree with a numpy
+    ground truth computed independently."""
+    import numpy as np
+
+    from bigdataminingproject_spark.operators.pq import (
+        KNN_DEFAULT_EXACT_MAX,
+        PQ_NQ,
+        exact_l2_knn,
+        knn_default,
+    )
+
+    vecs = load_table(spark, SF, "embeddings")
+    n = vecs.count()
+    assert n < KNN_DEFAULT_EXACT_MAX  # every attested SF routes exact
+    got = [tuple(r) for r in knn_default(spark, vecs).collect()]
+    exact = [tuple(r) for r in exact_l2_knn(vecs).collect()]
+    assert got == exact
+    # numpy third implementation
+    rows = sorted(
+        vecs.select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    for q in range(PQ_NQ):
+        qi = int(np.where(ids == q)[0][0])
+        d2 = np.round(((mat - mat[qi]) ** 2).sum(axis=1), 6)
+        d2[qi] = np.inf
+        order = np.lexsort((ids, d2))
+        truth = [int(ids[j]) for j in order[:10]]
+        mine = [t[2] for t in got if t[0] == q]  # (qid, rank, nid, d)
+        assert mine == truth, q
+
+
+def test_knn_default_routes_pq_rerank_above_threshold(spark):
+    """Above the threshold the default must BE the two-stage PQ search
+    (same rows as pq_rerank_knn) — checked by shrinking the threshold
+    rather than growing the corpus."""
+    from unittest import mock
+
+    from bigdataminingproject_spark.operators import pq as pqmod
+
+    vecs = load_table(spark, SF, "embeddings")
+    with mock.patch.object(pqmod, "KNN_DEFAULT_EXACT_MAX", 1):
+        routed = [
+            tuple(r) for r in pqmod.knn_default(spark, vecs).collect()
+        ]
+    two_stage = [
+        tuple(r)
+        for r in pqmod.pq_rerank_knn(spark, vecs, dim=64, r=None).collect()
+    ]
+    assert routed == two_stage

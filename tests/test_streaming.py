@@ -42,6 +42,37 @@ def test_streaming_event_counts_match_batch(spark, sf_dir, tmp_path):
     assert diff.count() == 0
 
 
+def test_multi_file_chunks_preserve_batch_boundaries(spark, tmp_path):
+    """files_per_trigger > 1 (round 8): each chunk stages as N
+    range-contiguous files and one trigger consumes exactly N — so a
+    micro-batch gets N-way scan parallelism while batch boundaries and
+    replay order are IDENTICAL to single-file chunks (the KMV twin's
+    100x fix rests on this contract)."""
+    from bigdataminingproject_spark.streaming.pipeline import snapshot_sink
+
+    df = spark.createDataFrame([(i,) for i in range(120)], "pos long")
+    stream = file_replay_source(
+        spark,
+        df,
+        str(tmp_path / "mfc"),
+        chunks=3,
+        files_per_trigger=4,
+        order_col="pos",
+    )
+    batches = []
+    snapshot_sink(
+        stream,
+        lambda b, bid: batches.append(
+            sorted(r["pos"] for r in b.collect())
+        ),
+    )
+    assert len(batches) == 3
+    flat = [p for b in batches for p in b]
+    assert flat == list(range(120))  # order preserved across batches
+    for b in batches:  # each batch is one contiguous order_col range
+        assert b == list(range(b[0], b[-1] + 1))
+
+
 def test_streaming_exact_dedup_first_wins(spark, tmp_path):
     rows = [(i, "same   TEXT here" if i % 2 == 0 else f"unique {i}") for i in range(20)]
     df = spark.createDataFrame(rows, "msg_id long, body string")
