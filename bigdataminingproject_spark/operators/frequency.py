@@ -458,3 +458,149 @@ def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens by co-occurrence-graph PageRank (3 iterations)."""
     docs = load_table(spark, sf_dir, "documents")
     return token_pagerank(docs, damping=0.85, iters=3, top_n=20)
+
+
+# ---------------------------------------------------------------------------
+# Exact two-pass heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+HH_S = 256  # Misra-Gries summary size; publish threshold is ceil(N / HH_S)
+
+
+def mg_candidate_partials(tokens: DataFrame, s: int = HH_S) -> DataFrame:
+    """Per-partition Misra-Gries summaries of a ``token`` relation.
+
+    One Arrow-batched ``mapInPandas`` pass; per partition it keeps at
+    most ``s`` counters. Each incoming Arrow batch is reduced with
+    vectorized ``value_counts`` (an error-free summary of the batch)
+    and merged into the running summary by the mergeable-summaries MG
+    merge (Agarwal et al., PODS'12): add counts, and if more than ``s``
+    keys survive, subtract the (s+1)-th largest count from all and drop
+    the non-positive — never a per-row Python loop.
+
+    Guarantee (the one the two-pass exactness proof needs): a token
+    with partition frequency f_p is retained unless f_p <= N_p/(s+1),
+    where N_p is the partition's token count. Each partition also emits
+    one marker row (token NULL, cnt = N_p) so the exact global token
+    count N comes out of the same scan.
+
+    Output is at most (s+1) rows per partition: the 100 TB shuffle for
+    candidate discovery is P*(s+1) rows no matter how large the corpus
+    or its vocabulary is.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        run: pd.Series | None = None
+        total = 0
+        for pdf in batches:
+            col = pdf["token"]
+            total += len(col)
+            vc = col.value_counts()  # exact summary of this batch
+            run = vc if run is None else run.add(vc, fill_value=0)
+            if len(run) > s:
+                cut = run.nlargest(s + 1).iloc[-1]
+                run = run - cut
+                run = run[run > 0]
+        out = pd.DataFrame(
+            {
+                "token": ([] if run is None else list(run.index))
+                + [None],
+                "cnt": ([] if run is None else [int(v) for v in run])
+                + [total],
+            }
+        )
+        yield out
+
+    return tokens.mapInPandas(summarize, "token string, cnt long")
+
+
+def heavy_hitters(
+    df: DataFrame, s: int = HH_S, text_col: str = "text"
+) -> DataFrame:
+    """EXACT corpus heavy hitters — every token with frequency >=
+    ceil(N/s) and its exact count — without ever shuffling the full
+    vocabulary.
+
+    The naive plan (`groupBy(token).count()` then filter) shuffles one
+    row per distinct token: at 100 TB that is a multi-billion-key
+    shuffle to answer a question whose output is at most ``s`` rows.
+    This is the classic two-pass instead:
+
+    pass 1  per-partition Misra-Gries summaries (bounded state, map
+            side only) -> union of summary supports = candidate set,
+            at most P*s tokens. Superset proof: a token with global
+            frequency f >= N/s that fell out of EVERY partition summary
+            would need f_p <= N_p/(s+1) in each partition p, so
+            f = sum f_p <= N/(s+1) < N/s — contradiction.
+    pass 2  exact counts of the candidates only: the broadcast semi
+            join prunes the token stream BEFORE the shuffle, so the
+            aggregation moves candidate rows only.
+
+    The published filter (exact count >= ceil(N/s) > N/(s+1)) makes the
+    result deterministic: any token that can pass it is guaranteed to
+    be a candidate under ANY partitioning of the input, so the output
+    is independent of row order, partition count, and Arrow batch size
+    — which is exactly what lets a plain SQL oracle replay it.
+    """
+    toks = df.select(
+        F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias(
+            "token"
+        )
+    )
+    partials = mg_candidate_partials(toks, s)
+    # bounded: marker rows are one per partition
+    n = partials.filter(F.col("token").isNull()).agg(
+        F.sum("cnt").alias("n")
+    )
+    candidates = (
+        partials.filter(F.col("token").isNotNull())
+        .select("token")
+        .distinct()
+    )
+    exact = (
+        toks.join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    return (
+        exact.join(F.broadcast(n))
+        .filter(
+            F.col("token_count")
+            >= F.floor((F.col("n") + F.lit(s - 1)) / F.lit(s))
+        )
+        .select("token", "token_count")
+        .orderBy(F.desc("token_count"), "token")
+    )
+
+
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (freq >= N/256) over the documents corpus via
+    the two-pass MG-candidates plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, s=HH_S)
+
+
+def fold_token_counts(parts: DataFrame) -> DataFrame:
+    """Fold (token, cnt) count partials by summation — the LSM
+    merge-operator for the streaming heavy-hitter twin. Counts are
+    closed under addition, so any fold order lands on the exact batch
+    counts."""
+    return parts.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+
+
+def finish_heavy_hitters(state: DataFrame, s: int = HH_S) -> DataFrame:
+    """Publish step shared by the streaming twin: exact counts in
+    ``state`` -> every token with count >= ceil(N/s), N = sum of all
+    counts."""
+    folded = fold_token_counts(state)
+    n = folded.agg(F.sum("cnt").alias("n"))
+    return (
+        folded.join(F.broadcast(n))
+        .filter(
+            F.col("cnt")
+            >= F.floor((F.col("n") + F.lit(s - 1)) / F.lit(s))
+        )
+        .select("token", F.col("cnt").alias("token_count"))
+        .orderBy(F.desc("token_count"), "token")
+    )
