@@ -28,7 +28,7 @@ from bigdataminingproject_spark.operators import kcore
 from bigdataminingproject_spark.operators import qdigest
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
 from bigdataminingproject_spark.operators import packing, pq, quality, sampling
-from bigdataminingproject_spark.operators import retrieval, sketches
+from bigdataminingproject_spark.operators import retrieval, selection, sketches
 from bigdataminingproject_spark.operators import skyline
 from bigdataminingproject_spark.operators import spectral
 from bigdataminingproject_spark.operators import tpch
@@ -197,6 +197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_gopher_gate": quality.q_doc_gopher_gate,
         "q_knn_ivf_probe_curve": similarity.q_knn_ivf_probe_curve,
         "q_events_value_quantiles": sketches.q_events_value_quantiles,
+        # round 8b: EXACT order statistics via distributed selection
+        # (iterative bracket descent — no global sort, no per-value
+        # counters; the exact complement of the q-digest family)
+        "q_events_exact_quantiles": selection.q_events_exact_quantiles,
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
         "q_join_size_estimate": sketches.q_join_size_estimate,
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
@@ -221,6 +225,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (historical r1/r2 batch — actual round-5 rotation order is
         # set by the explicit lists at the end of this function)
         "q_doc_tokens_topk": frequency.q_doc_tokens_topk,
+        # round 8b: exact two-pass heavy hitters (Misra-Gries
+        # candidates + exact recount — no vocabulary-sized shuffle)
+        # and its count-folding streaming maintenance twin
+        "q_doc_heavy_hitters": frequency.q_doc_heavy_hitters,
+        "q_stream_hh_maintenance": (
+            streaming_pipeline.q_stream_hh_maintenance
+        ),
         "q_doc_term_estimates": frequency.q_doc_term_estimates,
         "q_doc_source_topk": frequency.q_doc_source_topk,
         "q_doc_bigrams": frequency.q_doc_bigrams,
@@ -561,8 +572,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_token_budget",
         "q_doc_tokens_topk",
     ]
+    # Round-8b additions (landed after the round-8 window was pinned
+    # and closing attestations recorded): placed BELOW the deferred
+    # slots so they cannot displace a pinned re-attestation; they rank
+    # as never-attested tier-1 in round 9's rotation. Verified this
+    # round by the local full oracle gate.
+    new_r8b = [
+        "q_doc_heavy_hitters",
+        "q_stream_hh_maintenance",
+        "q_events_exact_quantiles",
+    ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
-    head = tier0_r8 + backlog_r4 + deferred_r9_tier0
+    head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
     ordered = {k: reg[k] for k in head if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
@@ -1131,6 +1152,30 @@ def oracle_sql() -> dict[str, str]:
         FROM want LEFT JOIN counts ON term = token
         ORDER BY term
     """
+
+    # q_doc_heavy_hitters: the Spark side computes this via the
+    # two-pass Misra-Gries candidate plan (bounded per-partition
+    # summaries -> exact recount of candidates only); the published
+    # filter (exact count >= ceil(N/256), integer arithmetic) is
+    # partitioning-independent, so the plain exact-count SQL below
+    # replays it. 255 = HH_S - 1 (frequency.HH_S).
+    sql["q_doc_heavy_hitters"] = f"""
+        WITH {_TOKS_CTE},
+        counts AS (
+            SELECT token, count(*) AS token_count
+            FROM (SELECT unnest(toks) AS token FROM tok_clean)
+            GROUP BY token
+        ),
+        n AS (SELECT CAST(sum(token_count) AS BIGINT) AS n FROM counts)
+        SELECT token, token_count
+        FROM counts, n
+        WHERE token_count >= (n + 255) // 256
+        ORDER BY token_count DESC, token
+    """
+    # streaming heavy-hitter maintenance: k micro-batch count-partial
+    # folds must land exactly on the two-pass batch answer — counts are
+    # closed under addition, so same oracle.
+    sql["q_stream_hh_maintenance"] = sql["q_doc_heavy_hitters"]
 
     sql["q_doc_vocab_stats"] = f"""
         WITH {_TOKS_CTE}
@@ -4331,6 +4376,30 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL ".join(_hq)
         + " ORDER BY quantile"
     )
+
+    # q_events_exact_quantiles: EXACT order statistics. The Spark side
+    # finds the k-th smallest by iterative bracket descent (no global
+    # sort); the oracle replays the SAME inverse-CDF rank rule —
+    # k = max(1, ceil(q * n)) computed in IEEE doubles on both sides
+    # (q cast to DOUBLE so DuckDB cannot take the exact DECIMAL path
+    # the Spark literal doesn't have) — against a plain row_number.
+    sql["q_events_exact_quantiles"] = """
+        WITH n AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
+        qs(q) AS (VALUES (0.01), (0.25), (0.5), (0.75), (0.9), (0.99)),
+        ks AS (
+            SELECT CAST(q AS DOUBLE) AS q,
+                   greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT))
+                       AS rank
+            FROM qs, n
+        ),
+        ranked AS (
+            SELECT value, row_number() OVER (ORDER BY value) AS r
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT q, rank, value
+        FROM ks JOIN ranked ON r = rank
+        ORDER BY q
+    """
 
     # q_events_latency_by_type: grouped fixed-grid quantiles — bounds,
     # widths, binning, and interpolation all SQL-side per key, zero-span

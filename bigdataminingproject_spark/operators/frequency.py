@@ -565,9 +565,10 @@ def heavy_hitters(
     )
     return (
         exact.join(F.broadcast(n))
+        # integer ceil-div — exact at any corpus size (a double
+        # division would drift past 2^53 tokens; 100 TB is ~2^44)
         .filter(
-            F.col("token_count")
-            >= F.floor((F.col("n") + F.lit(s - 1)) / F.lit(s))
+            F.col("token_count") >= F.expr(f"(n + {s - 1}) div {s}")
         )
         .select("token", "token_count")
         .orderBy(F.desc("token_count"), "token")
@@ -579,6 +580,22 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-pass MG-candidates plan."""
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, s=HH_S)
+
+
+def token_count_partial(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(token, cnt) exact counts of ONE micro-batch's docs — the
+    mergeable partial the streaming heavy-hitter twin appends per
+    batch. The delta pays its tokenize exactly once; Spark's partial
+    aggregation map-side-combines before the vocabulary-sized
+    shuffle (which is the DELTA's vocabulary, not the corpus's)."""
+    toks = remove_stopwords(tokenize(F.col(text_col)))
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
 
 
 def fold_token_counts(parts: DataFrame) -> DataFrame:
@@ -597,10 +614,7 @@ def finish_heavy_hitters(state: DataFrame, s: int = HH_S) -> DataFrame:
     n = folded.agg(F.sum("cnt").alias("n"))
     return (
         folded.join(F.broadcast(n))
-        .filter(
-            F.col("cnt")
-            >= F.floor((F.col("n") + F.lit(s - 1)) / F.lit(s))
-        )
+        .filter(F.col("cnt") >= F.expr(f"(n + {s - 1}) div {s}"))
         .select("token", F.col("cnt").alias("token_count"))
         .orderBy(F.desc("token_count"), "token")
     )

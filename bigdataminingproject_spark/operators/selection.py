@@ -1,0 +1,181 @@
+"""Exact distributed order statistics (selection) without a global sort.
+
+The existing quantile surface is approximate-first (histogram
+estimator, q-digest) or relies on Spark's exact ``percentile``
+aggregate, which buffers one counter per distinct value per group —
+fine on low-NDV money columns, an OOM on a high-NDV double column at
+corpus scale. ``orderBy().limit(k)`` ships k rows to one task, which
+dies when k sits in the middle of 100 TB.
+
+This module is the classic iterative SELECTION algorithm instead
+(Blum et al. selection generalized to partitioned data; the
+Munro-Paterson / distributed-median shape): find the exact k-th
+smallest with
+
+  pass 0   count + global [min, max] bracket
+  pass i   ONE scan bins every still-active target's bracket into
+           ``bins`` equal-width cells — (target, cell) -> (count,
+           min, max) — and the driver keeps only the cell containing
+           the rank: bracket mass shrinks by ~``bins``x per pass,
+           driver state is O(targets x 3) floats, never rows
+  final    the narrowed bracket holds <= ``bound`` rows; the (k -
+           rows_before)-th smallest inside it is a bounded
+           TakeOrderedAndProject
+
+Depth is log_bins(N / bound): 3 passes covers 10^13 rows at the
+defaults. Every pass is a full scan (no index), which is the honest
+cost of EXACT mid-stream order statistics on unsorted data; callers
+who can tolerate rank error should stay on the q-digest
+(`operators/qdigest.py`).
+
+Exactness does not depend on float niceties: binning only PARTITIONS
+rows (floor((v - lo)/w * bins) is monotone in v for w > 0, so cells
+are contiguous value ranges), counts are integers, and the refined
+bracket's bounds are the actual min/max of the chosen cell's rows —
+measured, not computed — so no row can leak across a boundary.
+
+No reference counterpart (the reference has no quantile surface at
+all); north-star scale family alongside qdigest.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.sources.tables import load_table
+
+SEL_BINS = 1024
+SEL_BOUND = 50_000  # narrow-pass row budget (driver-safe final sort)
+SEL_MAX_DEPTH = 6  # loud-guard cap: 1024^6 >> any corpus
+
+
+def _rank_of(q: float, n: int) -> int:
+    """DuckDB quantile_disc's inverse-CDF rank, pinned in IEEE doubles
+    on BOTH sides (the oracle computes ceil(CAST(q AS DOUBLE) * n) the
+    same way, so even q*n landing a hair above an integer — 0.01*1000
+    = 10.000000000000002 — diverges on neither)."""
+    return max(1, int(math.ceil(q * float(n))))
+
+
+def exact_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
+    bins: int = SEL_BINS,
+    bound: int = SEL_BOUND,
+) -> DataFrame:
+    """Exact (q, rank, value) order statistics of ``df[col]`` via
+    iterative bracket descent. Returns one row per q, ordered by q."""
+    spark = df.sparkSession
+    # each pass re-reads the source with its filter pushed to the scan
+    # (deliberately NOT cached/checkpointed: at corpus scale the input
+    # does not fit executor storage, and a 2-column pruned parquet
+    # re-scan is the cheaper, honest cost of exactness)
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    out_schema = "q double, rank bigint, value double"
+    n = vals.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    g = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    # per-target state: value bracket [lo, hi], rows strictly below it,
+    # rows inside it
+    state = {
+        q: {"lo": g["lo"], "hi": g["hi"], "before": 0, "mass": n, "k": _rank_of(q, n)}
+        for q in qs
+    }
+
+    for _ in range(SEL_MAX_DEPTH):
+        active = {
+            q: s
+            for q, s in state.items()
+            if s["mass"] > bound and s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        # ONE scan refines every active bracket: tag rows per target
+        # (brackets may overlap; a row serves each bracket it is in),
+        # bin equal-width, and measure each cell.
+        tagged = None
+        for q, s in active.items():
+            w = s["hi"] - s["lo"]
+            cell = F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("v") - F.lit(s["lo"])) / F.lit(w) * bins),
+            ).cast("int")
+            part = (
+                vals.filter(
+                    (F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"])
+                )
+                .select(
+                    F.lit(float(q)).alias("q"),
+                    cell.alias("cell"),
+                    "v",
+                )
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        cells = (
+            tagged.groupBy("q", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("clo"),
+                F.max("v").alias("chi"),
+            )
+            .collect()
+        )  # bounded: <= targets x bins rows
+        by_q: dict[float, list] = {}
+        for r in cells:
+            by_q.setdefault(r["q"], []).append(r)
+        for q, s in active.items():
+            rows = sorted(by_q.get(float(q), []), key=lambda r: r["cell"])
+            need = s["k"] - s["before"]  # rank within the bracket
+            cum = 0
+            for r in rows:
+                if cum + r["c"] >= need:
+                    s["before"] += cum
+                    s["mass"] = r["c"]
+                    # measured bounds of the chosen cell: rows cannot
+                    # leak across them whatever float binning did
+                    s["lo"], s["hi"] = r["clo"], r["chi"]
+                    break
+                cum += r["c"]
+            else:  # pragma: no cover - counts are exact by construction
+                raise AssertionError(f"rank {s['k']} fell out of bracket for q={q}")
+    leftover = {
+        q: s for q, s in state.items() if s["mass"] > bound and s["lo"] < s["hi"]
+    }
+    if leftover:  # pragma: no cover - 1024^6 cells
+        raise ValueError(
+            f"selection bracket still holds >{bound} rows after "
+            f"{SEL_MAX_DEPTH} passes for q={sorted(leftover)}; raise "
+            "SEL_MAX_DEPTH alongside the corpus"
+        )
+
+    # final narrow pass per target: (k - before)-th smallest inside the
+    # bracket — a bounded TakeOrderedAndProject, never a global sort.
+    out_rows = []
+    for q, s in sorted(state.items()):
+        if s["lo"] == s["hi"]:  # bracket collapsed to one value
+            out_rows.append((float(q), s["k"], float(s["lo"])))
+            continue
+        need = s["k"] - s["before"]
+        got = (
+            vals.filter((F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"]))
+            .orderBy("v")
+            .limit(need)
+            .agg(F.max("v").alias("value"))
+            .collect()[0]["value"]
+        )
+        out_rows.append((float(q), s["k"], float(got)))
+    return spark.createDataFrame(out_rows, out_schema).orderBy("q")
+
+
+def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p1/p25/p50/p75/p90/p99 of the event value column via
+    distributed selection (no global sort, no per-value counters)."""
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(ev, "value")

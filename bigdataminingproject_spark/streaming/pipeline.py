@@ -1131,6 +1131,72 @@ def q_stream_index_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_hh_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live heavy-hitter maintenance — exact corpus heavy hitters
+    (freq >= N/256) kept continuously current as documents stream in.
+
+    Each micro-batch tokenizes ONLY its delta docs into an exact
+    (token, cnt) count partial (``token_count_partial``) and appends
+    it to an :class:`AppendOnlyPartsStore` whose ``merge_transform``
+    is ``fold_token_counts``: counts are closed under addition, so
+    LSM compaction FOLDS partials instead of stacking them and every
+    level stays delta-vocabulary-sized. Publish folds the live tail
+    and applies the shared threshold (``finish_heavy_hitters``).
+
+    State is vocabulary-bounded (like the inverted-index twin), never
+    token-stream-bounded; the BATCH side (``q_doc_heavy_hitters``)
+    goes further and avoids even the vocabulary shuffle via the
+    two-pass Misra-Gries candidate plan — the streaming side cannot
+    reuse that trick because an incremental publish needs exact counts
+    for every token that might LATER cross the threshold. Output and
+    oracle are ``q_doc_heavy_hitters``'s: k micro-batch folds must
+    land exactly on the two-pass batch answer, which cross-checks the
+    MG candidate superset proof against plain exact counting.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.frequency import (
+        finish_heavy_hitters,
+        fold_token_counts,
+        token_count_partial,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staging = tempfile.mkdtemp(prefix="q_stream_hh_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_hh_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "hh",
+        merge_fanout=2,
+        merge_transform=fold_token_counts,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(token_count_partial(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, docs, staging, chunks=4, order_col="doc_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream: no tokens, no hitters
+            state = token_count_partial(docs.limit(0))
+        return finish_heavy_hitters(state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_sample_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live weighted-sample maintenance — the sampling-side sibling of
     the curation/index maintenance twins: keep a per-source

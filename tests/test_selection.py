@@ -1,0 +1,95 @@
+"""Exact distributed order statistics via iterative bracket descent
+(operators/selection.py) — selection without a global sort.
+
+No reference counterpart (the reference has no quantile surface);
+north-star scale family alongside the q-digest.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.operators.selection import (
+    _rank_of,
+    exact_quantiles,
+    q_events_exact_quantiles,
+)
+from bigdataminingproject_spark.sources.tables import load_table
+
+QS = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _py_quantiles(values, qs):
+    s = sorted(values)
+    return {q: (_rank_of(q, len(s)), s[_rank_of(q, len(s)) - 1]) for q in qs}
+
+
+def test_matches_python_sort_on_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    vals = [r["value"] for r in ev.select("value").collect() if r["value"] is not None]
+    want = _py_quantiles(vals, QS)
+    got = {
+        r["q"]: (r["rank"], r["value"])
+        for r in q_events_exact_quantiles(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_descent_path_exercised_with_tiny_bound(spark):
+    """bound=25 forces several bin-count refinement passes on 5000
+    rows; the answer must still be the exact sorted-rank element."""
+    rnd = random.Random(42)
+    vals = [rnd.gauss(100.0, 25.0) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["q"]: (r["rank"], r["value"])
+        for r in exact_quantiles(df, "x", qs=QS, bins=8, bound=25).collect()
+    }
+    assert got == _py_quantiles(vals, QS)
+
+
+def test_heavy_ties_collapse_bracket(spark):
+    """A value carrying most of the mass collapses the bracket to a
+    single point (clo == chi) instead of looping; ranks inside the tie
+    run all resolve to that value."""
+    vals = [7.5] * 4000 + [1.0] * 10 + [99.0] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["q"]: r["value"]
+        for r in exact_quantiles(df, "x", qs=(0.5, 0.9), bins=8, bound=25).collect()
+    }
+    assert got == {0.5: 7.5, 0.9: 7.5}
+
+
+def test_rank_rule_matches_duckdb_quantile_disc(spark, sf_dir):
+    """Empirical cross-check of the pinned inverse-CDF rank rule
+    against DuckDB's quantile_disc on the real events column."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in q_events_exact_quantiles(spark, sf_dir).collect()
+    }
+    for q in QS:
+        want = con.execute(
+            f"SELECT quantile_disc(value, {q}) FROM events"
+        ).fetchone()[0]
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_empty_and_nulls(spark):
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x").count() == 0
+    just_nulls = spark.createDataFrame([(None,), (None,)], "x double")
+    assert exact_quantiles(just_nulls, "x").count() == 0
+    one = spark.createDataFrame([(42.0,)], "x double")
+    rows = exact_quantiles(one, "x", qs=(0.5,)).collect()
+    assert [(r["q"], r["rank"], r["value"]) for r in rows] == [(0.5, 1, 42.0)]
