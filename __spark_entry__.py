@@ -96,6 +96,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_sq8": similarity.q_knn_sq8,
         "q_kmeans_clusters": similarity.q_kmeans_clusters,
         "q_token_pagerank": frequency.q_token_pagerank,
+        # round 8b: incremental graph analytics — the co-occurrence
+        # graph (a count aggregate, closed under addition) maintained
+        # in the LSM store; publish reruns the graph-sized iteration
+        "q_stream_pagerank_maintenance": (
+            streaming_pipeline.q_stream_pagerank_maintenance
+        ),
         "q_source_divergence": textstats.q_source_divergence,
         "q_events_cohort_retention": events.q_events_cohort_retention,
         "q_stream_hourly": streaming_pipeline.q_stream_hourly,
@@ -581,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_heavy_hitters",
         "q_stream_hh_maintenance",
         "q_events_exact_quantiles",
+        "q_stream_pagerank_maintenance",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -3948,6 +3955,11 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY pmi DESC, bigram
         LIMIT 25
     """
+
+    # streaming PageRank maintenance: the stream-folded co-occurrence
+    # graph must land the SAME power iteration on bit-identical doubles
+    # — counts are closed under addition, so same oracle.
+    sql["q_stream_pagerank_maintenance"] = sql["q_token_pagerank"]
 
     # q_semantic_dedup: SemDeDup drop list — deterministic sign-bit
     # cells with a COUNT-DERIVED plane count (ADVICE r5: the Spark side

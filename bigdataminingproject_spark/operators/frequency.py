@@ -381,18 +381,50 @@ def token_pagerank(
     driver as a single long. No per-iteration collect of the rank
     vector itself — it stays a DataFrame end to end.
     """
+    return pagerank_from_bigram_counts(
+        bigram_count_partial(docs, text_col),
+        damping=damping,
+        iters=iters,
+        top_n=top_n,
+    )
+
+
+def bigram_count_partial(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(bigram, c) adjacent-pair counts of a doc set — the mergeable
+    partial the streaming PageRank twin appends per micro-batch (each
+    delta pays its tokenize once; bigram counts are closed under
+    addition, so any fold order rebuilds the exact corpus graph)."""
     from bigdataminingproject_spark.functions.text import shingles
 
     toks = remove_stopwords(tokenize(F.col(text_col)))
-    bgc = (
+    return (
         docs.select(F.explode(shingles(toks, 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
-            "c",
-        )
+    )
+
+
+def fold_bigram_counts(parts: DataFrame) -> DataFrame:
+    """LSM merge-operator for the PageRank twin: sum bigram counts."""
+    return parts.groupBy("bigram").agg(F.sum("c").alias("c"))
+
+
+def pagerank_from_bigram_counts(
+    bgc: DataFrame,
+    damping: float = 0.85,
+    iters: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """The graph-build + power-iteration half of ``token_pagerank``,
+    taking the (bigram, c) count relation so the streaming twin's
+    folded state can enter the same publish path."""
+    spark = bgc.sparkSession
+    bgc = bgc.select(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        "c",
     )
     edges = (
         bgc.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "c")
@@ -413,7 +445,6 @@ def token_pagerank(
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
     n_nodes = outw.count()  # ONE driver long (vocabulary size)
     if n_nodes == 0:
-        spark = docs.sparkSession
         return spark.createDataFrame(
             [], "token string, pr double, rank int"
         )

@@ -1197,6 +1197,72 @@ def q_stream_hh_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_pagerank_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live PageRank maintenance — incremental GRAPH analytics over
+    the LSM store: the token co-occurrence graph stays continuously
+    current as documents stream in, and publish ranks it.
+
+    The insight that makes iterative graph analytics maintainable
+    incrementally is that the GRAPH is a sum: the edge relation is a
+    count aggregate of bigrams, closed under addition, so each
+    micro-batch appends only its delta's (bigram, c) partial
+    (``bigram_count_partial``) and LSM compaction folds partials with
+    ``fold_bigram_counts`` — every level stays graph-sized (adjacent-
+    pair diversity), never corpus-sized. The power iteration itself is
+    NOT incrementally maintained (rank is a global fixpoint; a delta
+    perturbs every vertex), so publish reruns the batch iteration
+    (``pagerank_from_bigram_counts``) over the folded graph — cheap
+    because the graph, not the corpus, is its input.
+
+    Output and oracle are ``q_token_pagerank``'s: the stream-built
+    graph must land the walk on bit-identical doubles.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.frequency import (
+        bigram_count_partial,
+        fold_bigram_counts,
+        pagerank_from_bigram_counts,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staging = tempfile.mkdtemp(prefix="q_stream_pr_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_pr_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "pr_edges",
+        merge_fanout=2,
+        merge_transform=fold_bigram_counts,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(bigram_count_partial(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, docs, staging, chunks=4, order_col="doc_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream: empty graph
+            state = bigram_count_partial(docs.limit(0))
+        return pagerank_from_bigram_counts(
+            fold_bigram_counts(state), damping=0.85, iters=3, top_n=20
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_sample_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live weighted-sample maintenance — the sampling-side sibling of
     the curation/index maintenance twins: keep a per-source
