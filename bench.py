@@ -152,6 +152,13 @@ HEADLINE = [
     # continuous-aggregate maintenance twin (hypertable-rollup shape)
     "q_knn_default",
     "q_stream_rollup_maintenance",
+    # round-8b additions: exact two-pass heavy hitters (MG candidates +
+    # recount) with its count-folding twin, exact selection quantiles
+    # (bracket descent), and the LSM-folded-graph PageRank twin
+    "q_doc_heavy_hitters",
+    "q_stream_hh_maintenance",
+    "q_events_exact_quantiles",
+    "q_stream_pagerank_maintenance",
 ]
 
 

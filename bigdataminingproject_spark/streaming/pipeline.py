@@ -1184,8 +1184,16 @@ def q_stream_hh_maintenance(spark, sf_dir: str) -> DataFrame:
         store.append(token_count_partial(batch_df))
 
     try:
+        # 8-way chunks: per-batch tokenize keeps scan parallelism
+        # (single-file chunks replay as one partition — see the
+        # PageRank twin note below)
         stream = file_replay_source(
-            spark, docs, staging, chunks=4, order_col="doc_id"
+            spark,
+            docs,
+            staging,
+            chunks=4,
+            files_per_trigger=8,
+            order_col="doc_id",
         )
         snapshot_sink(stream, upsert)
         state = store.read()
@@ -1248,8 +1256,18 @@ def q_stream_pagerank_maintenance(spark, sf_dir: str) -> DataFrame:
         store.append(bigram_count_partial(batch_df))
 
     try:
+        # files_per_trigger=8: a single-file chunk replays as ONE input
+        # partition, serializing the per-batch shingle+count onto one
+        # core (the round-7 KMV pathology — measured 151.7 s vs 23.8 s
+        # batch on the 10x replica before this knob); 8-way chunks keep
+        # batch boundaries identical with 8-way scan parallelism.
         stream = file_replay_source(
-            spark, docs, staging, chunks=4, order_col="doc_id"
+            spark,
+            docs,
+            staging,
+            chunks=4,
+            files_per_trigger=8,
+            order_col="doc_id",
         )
         snapshot_sink(stream, upsert)
         state = store.read()
