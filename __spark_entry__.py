@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (iterative bracket descent — no global sort, no per-value
         # counters; the exact complement of the q-digest family)
         "q_events_exact_quantiles": selection.q_events_exact_quantiles,
+        "q_events_grouped_exact_quantiles": (
+            selection.q_events_grouped_exact_quantiles
+        ),
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
         "q_join_size_estimate": sketches.q_join_size_estimate,
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
@@ -588,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_hh_maintenance",
         "q_events_exact_quantiles",
         "q_stream_pagerank_maintenance",
+        "q_events_grouped_exact_quantiles",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -4411,6 +4415,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT q, rank, value
         FROM ks JOIN ranked ON r = rank
         ORDER BY q
+    """
+
+    # q_events_grouped_exact_quantiles: keyed EXACT selection — same
+    # pinned rank rule per event type, replayed with a partitioned
+    # row_number.
+    sql["q_events_grouped_exact_quantiles"] = """
+        WITH n AS (
+            SELECT event_type, count(*) AS n FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type
+        ),
+        qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+        ks AS (
+            SELECT event_type, CAST(q AS DOUBLE) AS q,
+                   greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n) AS BIGINT))
+                       AS rank
+            FROM qs, n
+        ),
+        ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY value) AS r
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        )
+        SELECT k.event_type, k.q, k.rank, rk.value
+        FROM ks k JOIN ranked rk
+          ON rk.event_type = k.event_type AND rk.r = k.rank
+        ORDER BY k.event_type, k.q
     """
 
     # q_events_latency_by_type: grouped fixed-grid quantiles — bounds,

@@ -179,3 +179,158 @@ def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed selection (no global sort, no per-value counters)."""
     ev = load_table(spark, sf_dir, "events")
     return exact_quantiles(ev, "value")
+
+
+SEL_MAX_KEYS = 64  # grouped selection collects one state row per key
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    bins: int = SEL_BINS,
+    bound: int = SEL_BOUND,
+) -> DataFrame:
+    """Per-key EXACT order statistics by the same bracket descent, all
+    keys advancing in the same scans (targets = keys x qs; driver state
+    is O(keys x qs) floats).
+
+    Keyed selection needs one driver state row per key, so the key set
+    must be bounded (status/type/tier columns — the guard refuses past
+    ``SEL_MAX_KEYS``); for unbounded keys the bounded-memory grouped
+    histogram (`sketches.grouped_histogram_quantiles`) is the
+    approximate path that never touches the driver.
+    """
+    spark = df.sparkSession
+    vals = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(col).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("k").isNotNull())
+    )
+    out_schema = (
+        f"{key_col} string, q double, rank bigint, value double"
+    )
+    groups = (
+        vals.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    )
+    if not groups:
+        return spark.createDataFrame([], out_schema)
+    if len(groups) > SEL_MAX_KEYS:
+        raise ValueError(
+            f"grouped selection saw {len(groups)} keys (> "
+            f"{SEL_MAX_KEYS}); use grouped_histogram_quantiles for "
+            "unbounded key sets"
+        )
+    state = {
+        (g["k"], q): {
+            "lo": g["lo"],
+            "hi": g["hi"],
+            "before": 0,
+            "mass": g["n"],
+            "k": _rank_of(q, g["n"]),
+        }
+        for g in groups
+        for q in qs
+    }
+
+    for _ in range(SEL_MAX_DEPTH):
+        active = {
+            t: s
+            for t, s in state.items()
+            if s["mass"] > bound and s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        tagged = None
+        for (key, q), s in active.items():
+            w = s["hi"] - s["lo"]
+            cell = F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("v") - F.lit(s["lo"])) / F.lit(w) * bins),
+            ).cast("int")
+            part = (
+                vals.filter(
+                    (F.col("k") == key)
+                    & (F.col("v") >= s["lo"])
+                    & (F.col("v") <= s["hi"])
+                )
+                .select(
+                    F.lit(key).alias("gk"),
+                    F.lit(float(q)).alias("q"),
+                    cell.alias("cell"),
+                    "v",
+                )
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        cells = (
+            tagged.groupBy("gk", "q", "cell")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("clo"),
+                F.max("v").alias("chi"),
+            )
+            .collect()
+        )
+        by_t: dict[tuple, list] = {}
+        for r in cells:
+            by_t.setdefault((r["gk"], r["q"]), []).append(r)
+        for t, s in active.items():
+            rows = sorted(by_t.get((t[0], float(t[1])), []), key=lambda r: r["cell"])
+            need = s["k"] - s["before"]
+            cum = 0
+            for r in rows:
+                if cum + r["c"] >= need:
+                    s["before"] += cum
+                    s["mass"] = r["c"]
+                    s["lo"], s["hi"] = r["clo"], r["chi"]
+                    break
+                cum += r["c"]
+            else:  # pragma: no cover - counts are exact
+                raise AssertionError(f"rank fell out of bracket for {t}")
+    leftover = [
+        t for t, s in state.items() if s["mass"] > bound and s["lo"] < s["hi"]
+    ]
+    if leftover:  # pragma: no cover - 1024^6 cells
+        raise ValueError(
+            f"selection bracket still >{bound} rows after "
+            f"{SEL_MAX_DEPTH} passes for {sorted(leftover)}; raise "
+            "SEL_MAX_DEPTH alongside the corpus"
+        )
+
+    out_rows = []
+    for (key, q), s in sorted(state.items()):
+        if s["lo"] == s["hi"]:
+            out_rows.append((key, float(q), s["k"], float(s["lo"])))
+            continue
+        need = s["k"] - s["before"]
+        got = (
+            vals.filter(
+                (F.col("k") == key)
+                & (F.col("v") >= s["lo"])
+                & (F.col("v") <= s["hi"])
+            )
+            .orderBy("v")
+            .limit(need)
+            .agg(F.max("v").alias("value"))
+            .collect()[0]["value"]
+        )
+        out_rows.append((key, float(q), s["k"], float(got)))
+    return spark.createDataFrame(out_rows, out_schema).orderBy(key_col, "q")
+
+
+def q_events_grouped_exact_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-event-type p50/p90/p99 of the value column via keyed
+    bracket descent (every event type advances in the same scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_exact_quantiles(ev, "event_type", "value")

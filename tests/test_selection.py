@@ -85,6 +85,68 @@ def test_rank_rule_matches_duckdb_quantile_disc(spark, sf_dir):
         assert got[q] == want, (q, got[q], want)
 
 
+def test_grouped_matches_python_sort(spark, sf_dir):
+    from bigdataminingproject_spark.operators.selection import (
+        q_events_grouped_exact_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        if r["value"] is not None and r["event_type"] is not None:
+            by_type.setdefault(r["event_type"], []).append(r["value"])
+    want = {
+        (t, q): (_rank_of(q, len(vs)), sorted(vs)[_rank_of(q, len(vs)) - 1])
+        for t, vs in by_type.items()
+        for q in (0.5, 0.9, 0.99)
+    }
+    got = {
+        (r["event_type"], r["q"]): (r["rank"], r["value"])
+        for r in q_events_grouped_exact_quantiles(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_grouped_descent_with_tiny_bound(spark):
+    from bigdataminingproject_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (k, rnd.uniform(0, 1000.0))
+        for k in ("a", "b", "c")
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = {
+        (r["k"], r["q"]): (r["rank"], r["value"])
+        for r in grouped_exact_quantiles(
+            df, "k", "x", qs=(0.25, 0.5), bins=8, bound=20
+        ).collect()
+    }
+    want = {}
+    for k in ("a", "b", "c"):
+        vs = sorted(v for kk, v in rows if kk == k)
+        for q in (0.25, 0.5):
+            want[(k, q)] = (_rank_of(q, len(vs)), vs[_rank_of(q, len(vs)) - 1])
+    assert got == want
+
+
+def test_grouped_key_guard(spark):
+    from bigdataminingproject_spark.operators.selection import (
+        SEL_MAX_KEYS,
+        grouped_exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", float(i)) for i in range(SEL_MAX_KEYS + 1)],
+        "k string, x double",
+    )
+    with pytest.raises(ValueError, match="grouped selection saw"):
+        grouped_exact_quantiles(df, "k", "x", qs=(0.5,))
+
+
 def test_empty_and_nulls(spark):
     empty = spark.createDataFrame([], "x double")
     assert exact_quantiles(empty, "x").count() == 0
