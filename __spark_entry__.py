@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_grouped_exact_quantiles": (
             selection.q_events_grouped_exact_quantiles
         ),
+        "q_doc_weighted_length_quantiles": (
+            selection.q_doc_weighted_length_quantiles
+        ),
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
         "q_join_size_estimate": sketches.q_join_size_estimate,
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
@@ -592,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_exact_quantiles",
         "q_stream_pagerank_maintenance",
         "q_events_grouped_exact_quantiles",
+        "q_doc_weighted_length_quantiles",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -4444,6 +4448,31 @@ def oracle_sql() -> dict[str, str]:
         FROM ks k JOIN ranked rk
           ON rk.event_type = k.event_type AND rk.r = k.rank
         ORDER BY k.event_type, k.q
+    """
+
+    # q_doc_weighted_length_quantiles: exact weighted selection — the
+    # smallest value whose cumulative INTEGER weight crosses q*W (the
+    # one double both engines derive from the same q and long W).
+    sql["q_doc_weighted_length_quantiles"] = """
+        WITH w AS (
+            SELECT CAST(n_chars AS DOUBLE) AS v,
+                   CAST(n_chars AS BIGINT) AS wt
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        tot AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w),
+        g AS (SELECT v, CAST(sum(wt) AS BIGINT) AS gw FROM w GROUP BY v),
+        c AS (
+            SELECT v, CAST(sum(gw) OVER (
+                ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM g
+        ),
+        qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9))
+        SELECT CAST(q AS DOUBLE) AS q, min(v) AS value
+        FROM c, tot, qs
+        WHERE cum >= CAST(q AS DOUBLE) * W
+        GROUP BY 1
+        ORDER BY q
     """
 
     # q_events_latency_by_type: grouped fixed-grid quantiles — bounds,

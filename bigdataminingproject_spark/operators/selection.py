@@ -44,6 +44,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.sources.tables import load_table
 
@@ -334,3 +335,150 @@ def q_events_grouped_exact_quantiles(
     bracket descent (every event type advances in the same scans)."""
     ev = load_table(spark, sf_dir, "events")
     return grouped_exact_quantiles(ev, "event_type", "value")
+
+
+def weighted_exact_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    bins: int = SEL_BINS,
+    bound: int = SEL_BOUND,
+) -> DataFrame:
+    """Exact WEIGHTED order statistics: for each q, the smallest value
+    v with cumulative weight(rows ≤ v) >= q x total_weight — the
+    byte-budget median family ("the doc length below which half the
+    BYTES live"), which no unweighted quantile answers.
+
+    Same bracket descent, with the cell statistic sum(weight) instead
+    of count (row count still bounds the narrow pass). Weights must be
+    INTEGERS (cast to long): integer sums are associative, so the
+    crossing point is independent of partitioning — a double weight
+    column would make cumulative sums order-dependent and the oracle
+    comparison a lie. The crossing threshold q x W is one double
+    computed from the same (q, W) on both engines.
+    """
+    spark = df.sparkSession
+    vals = (
+        df.select(
+            F.col(col).cast("double").alias("v"),
+            F.col(weight_col).cast("long").alias("wt"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("wt").isNotNull())
+        .filter(F.col("wt") > 0)
+    )
+    out_schema = "q double, value double"
+    g = vals.agg(
+        F.sum("wt").alias("w"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    if g["w"] is None or g["w"] == 0:
+        return spark.createDataFrame([], out_schema)
+    total_w = int(g["w"])
+    state = {
+        q: {
+            "lo": g["lo"],
+            "hi": g["hi"],
+            "before_w": 0,
+            "mass": g["n"],
+            # the target is exceeded at the answer value: smallest v
+            # with before_w + cum_w(v) >= t
+            "t": float(q) * float(total_w),
+        }
+        for q in qs
+    }
+
+    for _ in range(SEL_MAX_DEPTH):
+        active = {
+            q: s
+            for q, s in state.items()
+            if s["mass"] > bound and s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        tagged = None
+        for q, s in active.items():
+            w = s["hi"] - s["lo"]
+            cell = F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("v") - F.lit(s["lo"])) / F.lit(w) * bins),
+            ).cast("int")
+            part = vals.filter(
+                (F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"])
+            ).select(
+                F.lit(float(q)).alias("q"), cell.alias("cell"), "v", "wt"
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        cells = (
+            tagged.groupBy("q", "cell")
+            .agg(
+                F.sum("wt").alias("cw"),
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("clo"),
+                F.max("v").alias("chi"),
+            )
+            .collect()
+        )
+        by_q: dict[float, list] = {}
+        for r in cells:
+            by_q.setdefault(r["q"], []).append(r)
+        for q, s in active.items():
+            rows = sorted(by_q.get(float(q), []), key=lambda r: r["cell"])
+            need = s["t"] - s["before_w"]
+            cum = 0
+            for r in rows:
+                if cum + r["cw"] >= need:
+                    s["before_w"] += cum
+                    s["mass"] = r["c"]
+                    s["lo"], s["hi"] = r["clo"], r["chi"]
+                    break
+                cum += r["cw"]
+            else:  # pragma: no cover - cum(all cells) == W >= t
+                raise AssertionError(f"weight target fell out for q={q}")
+    leftover = [
+        q for q, s in state.items() if s["mass"] > bound and s["lo"] < s["hi"]
+    ]
+    if leftover:  # pragma: no cover
+        raise ValueError(
+            f"weighted selection bracket still >{bound} rows after "
+            f"{SEL_MAX_DEPTH} passes for q={sorted(leftover)}"
+        )
+
+    # final narrow pass: group the <= bound bracket rows by value,
+    # cumulative-sum in value order (tiny window), take the crossing
+    out_rows = []
+    for q, s in sorted(state.items()):
+        if s["lo"] == s["hi"]:
+            out_rows.append((float(q), float(s["lo"])))
+            continue
+        grouped = (
+            vals.filter((F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"]))
+            .groupBy("v")
+            .agg(F.sum("wt").alias("gw"))
+        )
+        win = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        crossing = (
+            grouped.withColumn("cum", F.sum("gw").over(win))
+            .filter(
+                F.col("cum") + F.lit(s["before_w"]) >= F.lit(s["t"])
+            )
+            .orderBy("v")
+            .limit(1)
+            .collect()
+        )
+        out_rows.append((float(q), float(crossing[0]["v"])))
+    return spark.createDataFrame(out_rows, out_schema).orderBy("q")
+
+
+def q_doc_weighted_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-budget length quantiles: the doc length below which q of
+    the corpus BYTES live (n_chars-weighted n_chars order statistics)
+    — the statistic sequence-packing budgets actually need."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_exact_quantiles(docs, "n_chars", "n_chars")

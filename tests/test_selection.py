@@ -147,6 +147,74 @@ def test_grouped_key_guard(spark):
         grouped_exact_quantiles(df, "k", "x", qs=(0.5,))
 
 
+def _py_weighted(pairs, qs):
+    """Reference: smallest v with cumulative weight >= q*W."""
+    pairs = sorted((v, w) for v, w in pairs if w > 0)
+    total = sum(w for _, w in pairs)
+    out = {}
+    for q in qs:
+        t = q * float(total)
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= t:
+                out[q] = v
+                break
+    return out
+
+
+def test_weighted_matches_python_on_docs(spark, sf_dir):
+    from bigdataminingproject_spark.operators.selection import (
+        q_doc_weighted_length_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [
+        (float(r["n_chars"]), int(r["n_chars"]))
+        for r in docs.select("n_chars").collect()
+        if r["n_chars"] is not None and r["n_chars"] > 0
+    ]
+    want = _py_weighted(pairs, (0.25, 0.5, 0.75, 0.9))
+    got = {
+        r["q"]: r["value"]
+        for r in q_doc_weighted_length_quantiles(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_weighted_descent_with_tiny_bound(spark):
+    from bigdataminingproject_spark.operators.selection import (
+        weighted_exact_quantiles,
+    )
+
+    rnd = random.Random(11)
+    rows = [(rnd.uniform(0, 100.0), rnd.randint(1, 50)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "x double, w long")
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_exact_quantiles(
+            df, "x", "w", qs=(0.1, 0.5, 0.99), bins=8, bound=20
+        ).collect()
+    }
+    assert got == _py_weighted(rows, (0.1, 0.5, 0.99))
+
+
+def test_weighted_skew_one_value_holds_most_weight(spark):
+    from bigdataminingproject_spark.operators.selection import (
+        weighted_exact_quantiles,
+    )
+
+    rows = [(5.0, 10_000)] + [(float(i), 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "x double, w long")
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_exact_quantiles(
+            df, "x", "w", qs=(0.05, 0.5, 0.95), bins=8, bound=10
+        ).collect()
+    }
+    assert got == _py_weighted(rows, (0.05, 0.5, 0.95))
+
+
 def test_empty_and_nulls(spark):
     empty = spark.createDataFrame([], "x double")
     assert exact_quantiles(empty, "x").count() == 0
