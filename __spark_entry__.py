@@ -104,6 +104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_source_divergence": textstats.q_source_divergence,
         "q_events_cohort_retention": events.q_events_cohort_retention,
+        # round 8b: the retention triangle maintained live — presence
+        # pairs are a set (closed under distinct-union), LSM-folded
+        "q_stream_retention_maintenance": (
+            streaming_pipeline.q_stream_retention_maintenance
+        ),
         "q_stream_hourly": streaming_pipeline.q_stream_hourly,
         # round 5: foreachBatch sink-side rollup maintenance twin
         "q_stream_hourly_maintenance": (
@@ -596,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_pagerank_maintenance",
         "q_events_grouped_exact_quantiles",
         "q_doc_weighted_length_quantiles",
+        "q_stream_retention_maintenance",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -3699,6 +3705,10 @@ def oracle_sql() -> dict[str, str]:
         FROM m JOIN base b ON b.cohort_week = m.cohort_week
         ORDER BY m.cohort_week, m.period_offset
     """
+
+    # streaming retention maintenance: the stream-folded presence SET
+    # must land the same triangle — distinct-union closure, same oracle.
+    sql["q_stream_retention_maintenance"] = sql["q_events_cohort_retention"]
 
     # q_media_frames: arithmetic re-derivation of the frame sampler —
     # ceil-div frame counts, 12-byte header per emitted frame, and the

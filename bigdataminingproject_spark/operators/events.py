@@ -616,20 +616,50 @@ def cohort_triangle(
     periods x offsets (tiny at any corpus size) and the rate division
     uses the engine-stable half-up rule.
     """
-    from bigdataminingproject_spark.functions.numeric import (
-        stable_round_div,
+    return cohort_triangle_from_uw(
+        user_week_partial(
+            events, anchor=anchor, period_days=period_days,
+            ts_col=ts_col, user_col=user_col,
+        )
     )
 
+
+def user_week_partial(
+    events: DataFrame,
+    anchor: str = "2024-01-01",
+    period_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Distinct (u, wk) presence pairs of a slice of the event stream —
+    the mergeable partial of the retention triangle. Presence is a SET,
+    closed under distinct-union, so any fold order rebuilds the exact
+    corpus relation; state is users x active-weeks, never events."""
     day_idx = F.datediff(
         F.date_trunc("day", F.col(ts_col)), F.lit(anchor)
     )
-    uw = (
+    return (
         events.select(
             F.col(user_col).alias("u"),
             F.floor(day_idx / F.lit(float(period_days))).alias("wk"),
         )
         .distinct()
     )
+
+
+def fold_user_weeks(parts: DataFrame) -> DataFrame:
+    """LSM merge-operator for the retention twin: distinct union."""
+    return parts.distinct()
+
+
+def cohort_triangle_from_uw(uw: DataFrame) -> DataFrame:
+    """The cohort/offset/rate half of ``cohort_triangle``, taking the
+    distinct (u, wk) presence relation so the streaming twin's folded
+    state can enter the same publish path."""
+    from bigdataminingproject_spark.functions.numeric import (
+        stable_round_div,
+    )
+
     coh = uw.groupBy("u").agg(F.min("wk").alias("cohort_week"))
     m = (
         uw.join(coh, "u")

@@ -1205,6 +1205,76 @@ def q_stream_hh_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_retention_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live cohort-retention maintenance — the product-analytics
+    triangle kept continuously current as events stream in.
+
+    The triangle's only corpus-sized intermediate is the distinct
+    (user, week) presence relation — a SET, closed under
+    distinct-union — so each micro-batch appends only its delta's
+    presence pairs (``user_week_partial``) and LSM compaction folds
+    them with ``fold_user_weeks`` (distinct, not stack): every level
+    stays users x active-weeks, never event-count. Publish reruns the
+    tiny cohort/offset/rate aggregation (``cohort_triangle_from_uw``)
+    over the folded presence set.
+
+    A user's cohort week can only move EARLIER as late data arrives
+    (min over a growing set), which is exactly why the presence SET is
+    the right maintained state: cohort assignment is derived at
+    publish, never frozen into the store. Output and oracle are
+    ``q_events_cohort_retention``'s.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.events import (
+        cohort_triangle_from_uw,
+        fold_user_weeks,
+        user_week_partial,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    staging = tempfile.mkdtemp(prefix="q_stream_ret_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_ret_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "retention",
+        merge_fanout=2,
+        merge_transform=fold_user_weeks,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(user_week_partial(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark,
+            ev,
+            staging,
+            chunks=4,
+            files_per_trigger=8,
+            order_col="ts",
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream: empty triangle
+            state = user_week_partial(ev.limit(0))
+        return cohort_triangle_from_uw(
+            fold_user_weeks(state)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_pagerank_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live PageRank maintenance — incremental GRAPH analytics over
     the LSM store: the token co-occurrence graph stays continuously

@@ -62,3 +62,38 @@ def test_stream_twin_equals_batch(spark, sf_dir):
     ]
     want = [tuple(r) for r in q_token_pagerank(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_retention_fold_closure_and_twin(spark, sf_dir):
+    """Presence pairs are a set: distinct-union of arbitrary disjoint
+    event splits rebuilds the exact relation, and the streaming twin
+    lands on the batch triangle."""
+    from bigdataminingproject_spark.operators.events import (
+        cohort_triangle_from_uw,
+        fold_user_weeks,
+        q_events_cohort_retention,
+        user_week_partial,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import (
+        q_stream_retention_maintenance,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        user_week_partial(ev.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    folded = fold_user_weeks(
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+    )
+    want_batch = [
+        tuple(r) for r in q_events_cohort_retention(spark, sf_dir).collect()
+    ]
+    assert [
+        tuple(r) for r in cohort_triangle_from_uw(folded).collect()
+    ] == want_batch
+    got = [
+        tuple(r)
+        for r in q_stream_retention_maintenance(spark, sf_dir).collect()
+    ]
+    assert got == want_batch
