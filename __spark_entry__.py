@@ -1179,7 +1179,8 @@ def oracle_sql() -> dict[str, str]:
     # summaries -> exact recount of candidates only); the published
     # filter (exact count >= ceil(N/256), integer arithmetic) is
     # partitioning-independent, so the plain exact-count SQL below
-    # replays it. 255 = HH_S - 1 (frequency.HH_S).
+    # replays it (threshold interpolated from frequency.HH_S so the
+    # two sides cannot drift).
     sql["q_doc_heavy_hitters"] = f"""
         WITH {_TOKS_CTE},
         counts AS (
@@ -1190,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         n AS (SELECT CAST(sum(token_count) AS BIGINT) AS n FROM counts)
         SELECT token, token_count
         FROM counts, n
-        WHERE token_count >= (n + 255) // 256
+        WHERE token_count >= (n + {frequency.HH_S - 1}) // {frequency.HH_S}
         ORDER BY token_count DESC, token
     """
     # streaming heavy-hitter maintenance: k micro-batch count-partial

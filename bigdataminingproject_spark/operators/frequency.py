@@ -495,7 +495,12 @@ def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact two-pass heavy hitters (Misra-Gries candidates + exact recount)
 # ---------------------------------------------------------------------------
 
-HH_S = 256  # Misra-Gries summary size; publish threshold is ceil(N / HH_S)
+# Misra-Gries summary size; publish threshold is ceil(N / HH_S).
+# 512 (not 256) so the scale replicas' alphabet-rotated vocabulary
+# (~290 near-uniform tokens at ~N/290 each) still crosses the
+# threshold: 10x/100x oracle rows stay NON-empty, attesting the
+# candidate path, not just the empty-set arithmetic.
+HH_S = 512
 
 
 def mg_candidate_partials(tokens: DataFrame, s: int = HH_S) -> DataFrame:
@@ -607,7 +612,7 @@ def heavy_hitters(
 
 
 def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters (freq >= N/256) over the documents corpus via
+    """Exact heavy hitters (freq >= N/HH_S) over the documents corpus via
     the two-pass MG-candidates plan."""
     docs = load_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, s=HH_S)

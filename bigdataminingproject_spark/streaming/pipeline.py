@@ -1133,7 +1133,7 @@ def q_stream_index_maintenance(spark, sf_dir: str) -> DataFrame:
 
 def q_stream_hh_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live heavy-hitter maintenance — exact corpus heavy hitters
-    (freq >= N/256) kept continuously current as documents stream in.
+    (freq >= N/HH_S) kept continuously current as documents stream in.
 
     Each micro-batch tokenizes ONLY its delta docs into an exact
     (token, cnt) count partial (``token_count_partial``) and appends

@@ -47,7 +47,7 @@ def test_two_pass_matches_naive_exact_counts(spark, sf_dir):
     got = heavy_hitters(docs, s=HH_S).collect()
     want = _naive_hh(docs, HH_S).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
-    assert len(got) > 0  # sf0.001 has tokens above N/256
+    assert len(got) > 0  # sf0.001 has tokens above N/HH_S
 
 
 def test_partitioning_independence(spark, sf_dir):
@@ -83,7 +83,7 @@ def test_mg_candidates_are_a_superset_and_bounded(spark, sf_dir):
     assert len(kept) <= s * len(markers)
     # (a) superset of the true hitters at threshold ceil(N/s)
     true_hh = {r["token"] for r in _naive_hh(docs, s).collect()}
-    assert true_hh  # N/256 is crossed on sf0.001 (pinned by the
+    assert true_hh  # N/HH_S is crossed on sf0.001 (pinned by the
     # matches-naive test above)
     assert true_hh <= {r["token"] for r in kept}
 
