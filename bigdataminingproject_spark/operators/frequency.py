@@ -496,11 +496,14 @@ def q_token_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Misra-Gries summary size; publish threshold is ceil(N / HH_S).
-# 512 (not 256) so the scale replicas' alphabet-rotated vocabulary
-# (~290 near-uniform tokens at ~N/290 each) still crosses the
-# threshold: 10x/100x oracle rows stay NON-empty, attesting the
-# candidate path, not just the empty-set arithmetic.
-HH_S = 512
+# 1024 (not 256) so the scale replicas' alphabet-rotated vocabulary
+# stays above threshold at every probe factor: rotations cycle at 26,
+# so the replica vocabulary saturates at ~754 near-uniform tokens
+# (~N/754 each) from 26x upward — N/1024 keeps the 10x AND 100x
+# oracle rows NON-empty, attesting the candidate path rather than
+# just the empty-set arithmetic. (Real corpora are Zipfian; the
+# skewed-stream pytest pins the selective behavior.)
+HH_S = 1024
 
 
 def mg_candidate_partials(tokens: DataFrame, s: int = HH_S) -> DataFrame:

@@ -1184,15 +1184,15 @@ def q_stream_hh_maintenance(spark, sf_dir: str) -> DataFrame:
         store.append(token_count_partial(batch_df))
 
     try:
-        # 8-way chunks: per-batch tokenize keeps scan parallelism
-        # (single-file chunks replay as one partition — see the
-        # PageRank twin note below)
+        # full-width chunks: per-batch tokenize keeps scan
+        # parallelism (single-file chunks replay as one partition —
+        # see the PageRank twin note below)
         stream = file_replay_source(
             spark,
             docs,
             staging,
             chunks=4,
-            files_per_trigger=8,
+            files_per_trigger=32,
             order_col="doc_id",
         )
         snapshot_sink(stream, upsert)
@@ -1326,17 +1326,19 @@ def q_stream_pagerank_maintenance(spark, sf_dir: str) -> DataFrame:
         store.append(bigram_count_partial(batch_df))
 
     try:
-        # files_per_trigger=8: a single-file chunk replays as ONE input
-        # partition, serializing the per-batch shingle+count onto one
-        # core (the round-7 KMV pathology — measured 151.7 s vs 23.8 s
-        # batch on the 10x replica before this knob); 8-way chunks keep
-        # batch boundaries identical with 8-way scan parallelism.
+        # files_per_trigger=32: a single-file chunk replays as ONE
+        # input partition, serializing the per-batch shingle+count onto
+        # one core (the round-7 KMV pathology — measured 151.7 s vs
+        # 23.8 s batch on the 10x replica); 8-way chunks still left the
+        # 100x twin at 3.2x batch (225.7 s vs 70.5 s) because tokenize
+        # dominates there and 8 of 32 cores carried it — full-width
+        # chunks close that to scan parity, batch boundaries unchanged.
         stream = file_replay_source(
             spark,
             docs,
             staging,
             chunks=4,
-            files_per_trigger=8,
+            files_per_trigger=32,
             order_col="doc_id",
         )
         snapshot_sink(stream, upsert)
