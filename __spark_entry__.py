@@ -20,6 +20,7 @@ from bigdataminingproject_spark.functions.text import (
 )
 from bigdataminingproject_spark.operators import association
 from bigdataminingproject_spark.operators import bpe
+from bigdataminingproject_spark.operators import coreset
 from bigdataminingproject_spark.operators import dedup, density, events, frequency
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import graph
@@ -95,6 +96,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_span_dedup": dedup.q_doc_span_dedup,
         "q_knn_sq8": similarity.q_knn_sq8,
         "q_kmeans_clusters": similarity.q_kmeans_clusters,
+        # round 8b: greedy k-center coreset (farthest-point diverse
+        # exemplar selection — the data-pruning coverage primitive)
+        "q_embedding_coreset": coreset.q_embedding_coreset,
         "q_token_pagerank": frequency.q_token_pagerank,
         # round 8b: incremental graph analytics — the co-occurrence
         # graph (a count aggregate, closed under addition) maintained
@@ -602,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_grouped_exact_quantiles",
         "q_doc_weighted_length_quantiles",
         "q_stream_retention_maintenance",
+        "q_embedding_coreset",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -2016,6 +2021,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cluster, dist
         FROM a{_km_iters + 1}
         ORDER BY vec_id
+    """
+    )
+
+    # q_embedding_coreset: DuckDB replays the SAME greedy k-center
+    # sequence — smallest-id seed, per-round min of 6dp-rounded
+    # index-order zipped-diff distances to the selected set, argmax
+    # with smallest-id ties — as a programmatically built CTE chain
+    # (one d/s/sel block per pick).
+    _cs_k = coreset.CORESET_K
+    _cs = [
+        """
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+              FROM embeddings),
+        s0 AS (SELECT 0 AS pick_round, vec_id, 0.0 AS dist, vec AS carr
+               FROM v ORDER BY vec_id LIMIT 1),
+        sel0 AS (SELECT * FROM s0)"""
+    ]
+    for _r in range(1, _cs_k):
+        _cs.append(
+            f"""
+        d{_r} AS (
+            SELECT v.vec_id, v.vec,
+                   min(round(list_dot_product(t.dd, t.dd), 6)) AS dist
+            FROM v CROSS JOIN sel{_r - 1} c,
+                 LATERAL (SELECT list_transform(
+                     list_zip(v.vec, c.carr), s -> s[1] - s[2]) AS dd) t
+            GROUP BY v.vec_id, v.vec
+        ),
+        s{_r} AS (
+            SELECT {_r} AS pick_round, vec_id, dist, vec AS carr
+            FROM d{_r} ORDER BY dist DESC, vec_id LIMIT 1
+        ),
+        sel{_r} AS (SELECT * FROM sel{_r - 1}
+                    UNION ALL SELECT * FROM s{_r})"""
+        )
+    sql["q_embedding_coreset"] = (
+        "WITH "
+        + ",".join(_cs)
+        + f"""
+        SELECT pick_round, vec_id, dist FROM sel{_cs_k - 1}
+        ORDER BY pick_round
     """
     )
 
