@@ -587,7 +587,11 @@ def heavy_hitters(
             "token"
         )
     )
-    partials = mg_candidate_partials(toks, s)
+    # materialize the tiny summary relation (P*(s+1) rows) ONCE: both
+    # consumers below (marker-sum N, candidate support) would otherwise
+    # re-run the corpus tokenize+summarize scan — PLANS.md showed two
+    # MapInPandas scans before this cut
+    partials = mg_candidate_partials(toks, s).localCheckpoint(eager=True)
     # bounded: marker rows are one per partition
     n = partials.filter(F.col("token").isNull()).agg(
         F.sum("cnt").alias("n")
