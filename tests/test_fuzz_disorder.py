@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 
 from bigdataminingproject_spark.streaming.replay import file_replay_source
 
-SEEDS = list(range(17))  # 17 seeds x 3 legs = 51 cases (>= 50, VERDICT)
+SEEDS = list(range(17))  # 17 seeds x 4 legs = 68 cases (>= 50, VERDICT r7 #5)
 
 
 def _gen_events(seed: int):
@@ -245,6 +245,56 @@ def test_disordered_maintenance_fold_matches_batch(spark, seed):
             assert math.isclose(s_g, s_e, abs_tol=2e-6), (
                 f"seed {seed} user {u}: {s_g} vs {s_e}"
             )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_disordered_retention_fold_matches_batch(spark, seed):
+    """Round-8b leg: the retention twin's presence-SET fold is
+    order-insensitive BY CONSTRUCTION (distinct-union), so bounded
+    disorder must land the folded triangle exactly on the batch one —
+    the property that makes the presence set, not the cohort map, the
+    right maintained state (a frozen cohort assignment would go stale
+    when a user's earlier week arrives late)."""
+    from bigdataminingproject_spark.operators.events import (
+        cohort_triangle,
+        cohort_triangle_from_uw,
+        fold_user_weeks,
+        user_week_partial,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import snapshot_sink
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    rows, _ = _gen_events(seed)
+    df = spark.createDataFrame(
+        rows, "arrival_pos long, event_id long, user_id long, epoch_s long"
+    ).withColumn("ts", F.timestamp_seconds("epoch_s"))
+    expected = {tuple(r) for r in cohort_triangle(df).collect()}
+    stream, staging = _stage(spark, rows)
+    state_root = tempfile.mkdtemp(prefix="fuzz_ret_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "fuzz_retention",
+        merge_fanout=2,
+        merge_transform=fold_user_weeks,
+    )
+    try:
+        snapshot_sink(
+            stream,
+            lambda batch_df, bid: store.append(user_week_partial(batch_df)),
+        )
+        got = {
+            tuple(r)
+            for r in cohort_triangle_from_uw(
+                fold_user_weeks(store.read())
+            ).collect()
+        }
+        assert got == expected, f"seed {seed}: retention triangle mismatch"
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
