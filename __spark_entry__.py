@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_weighted_length_quantiles": (
             selection.q_doc_weighted_length_quantiles
         ),
+        "q_events_mad_outliers": selection.q_events_mad_outliers,
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
         "q_join_size_estimate": sketches.q_join_size_estimate,
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
@@ -607,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_weighted_length_quantiles",
         "q_stream_retention_maintenance",
         "q_embedding_coreset",
+        "q_events_mad_outliers",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -4530,6 +4532,44 @@ def oracle_sql() -> dict[str, str]:
         WHERE cum >= CAST(q AS DOUBLE) * W
         GROUP BY 1
         ORDER BY q
+    """
+
+    # q_events_mad_outliers: median/MAD robust screen — both medians
+    # are exact order statistics (same pinned rank rule), so m, MAD,
+    # and the 3xMAD threshold are identical doubles on both engines.
+    sql["q_events_mad_outliers"] = """
+        WITH w AS (
+            SELECT event_type, value AS v FROM events
+            WHERE value IS NOT NULL
+        ),
+        n AS (SELECT count(*) AS n FROM w),
+        r1 AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM w),
+        med AS (
+            SELECT v AS m FROM r1, n
+            WHERE r = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n)
+                                       AS BIGINT))
+        ),
+        r2 AS (
+            SELECT abs(v - m) AS dv,
+                   row_number() OVER (ORDER BY abs(v - m)) AS r
+            FROM w, med
+        ),
+        mad AS (
+            SELECT dv AS mad FROM r2, n
+            WHERE r = greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n)
+                                       AS BIGINT))
+        ),
+        fl AS (
+            SELECT event_type,
+                   CASE WHEN abs(v - m) > 3.0 * mad THEN 1 ELSE 0 END
+                       AS is_out
+            FROM w, med, mad
+        )
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(is_out) AS BIGINT) AS n_outliers,
+               floor(sum(is_out) * 1000000.0 / count(*) + 0.5) / 1000000
+                   AS outlier_rate
+        FROM fl GROUP BY event_type ORDER BY event_type
     """
 
     # q_events_latency_by_type: grouped fixed-grid quantiles — bounds,

@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bigdataminingproject_spark.functions.numeric import stable_round_div
+
 from bigdataminingproject_spark.sources.tables import load_table
 
 SEL_BINS = 1024
@@ -482,3 +484,72 @@ def q_doc_weighted_length_quantiles(
     — the statistic sequence-packing budgets actually need."""
     docs = load_table(spark, sf_dir, "documents")
     return weighted_exact_quantiles(docs, "n_chars", "n_chars")
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    k: float = 3.0,
+    bins: int = SEL_BINS,
+    bound: int = SEL_BOUND,
+) -> DataFrame:
+    """Robust outlier rates per group under the median/MAD rule — the
+    data-cleaning screen that, unlike mean/stddev z-scores, outliers
+    themselves cannot corrupt (50% breakdown point).
+
+    Composes the exact-selection operator twice: m = exact median of
+    ``col``; MAD = exact median of |col - m| (a derived column — the
+    descent never materializes it, each pass recomputes the abs-dev
+    inside the scan); flag rows with |v - m| > k x MAD. Both medians
+    are EXACT order statistics of the full corpus, so m, MAD, and the
+    threshold are single doubles both engines derive identically —
+    the flag comparison is then bitwise-reproducible.
+    """
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    out_schema = (
+        f"{group_col} string, n_events bigint, n_outliers bigint, "
+        "outlier_rate double"
+    )
+    med_rows = exact_quantiles(vals, "v", qs=(0.5,), bins=bins, bound=bound).collect()
+    if not med_rows:
+        return spark.createDataFrame([], out_schema)
+    m = med_rows[0]["value"]
+    dev = vals.select("g", F.abs(F.col("v") - F.lit(m)).alias("d"))
+    mad = exact_quantiles(dev, "d", qs=(0.5,), bins=bins, bound=bound).collect()[0][
+        "value"
+    ]
+    thr = k * mad
+    return (
+        vals.select(
+            "g",
+            (F.abs(F.col("v") - F.lit(m)) > F.lit(thr))
+            .cast("long")
+            .alias("is_out"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_out").alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_events",
+            "n_outliers",
+            stable_round_div(
+                F.col("n_outliers"), F.col("n_events"), 6
+            ).alias("outlier_rate"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier rates of the value column under
+    the corpus-wide median/MAD screen (3 x MAD rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", "event_type")

@@ -215,6 +215,46 @@ def test_weighted_skew_one_value_holds_most_weight(spark):
     assert got == _py_weighted(rows, (0.05, 0.5, 0.95))
 
 
+def test_mad_outliers_matches_python(spark, sf_dir):
+    from bigdataminingproject_spark.operators.selection import (
+        q_events_mad_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = [
+        (r["event_type"], r["value"])
+        for r in ev.select("event_type", "value").collect()
+        if r["value"] is not None
+    ]
+    vals = sorted(v for _, v in rows)
+    m = vals[_rank_of(0.5, len(vals)) - 1]
+    devs = sorted(abs(v - m) for v in vals)
+    mad = devs[_rank_of(0.5, len(devs)) - 1]
+    want = {}
+    for t, v in rows:
+        n, o = want.get(t, (0, 0))
+        want[t] = (n + 1, o + (1 if abs(v - m) > 3.0 * mad else 0))
+    got = {
+        r["event_type"]: (r["n_events"], r["n_outliers"])
+        for r in q_events_mad_outliers(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(o for _, o in want.values()) > 0  # screen actually fires
+
+
+def test_mad_outliers_resists_contamination(spark):
+    """The robust property: planting extreme outliers must not move
+    the median/MAD screen enough to mask them (a mean/std z-score
+    would widen and pass them)."""
+    from bigdataminingproject_spark.operators.selection import mad_outliers
+
+    base = [("a", float(100 + (i % 21) - 10)) for i in range(2000)]
+    spikes = [("a", 1e6)] * 40
+    df = spark.createDataFrame(base + spikes, "g string, x double")
+    row = mad_outliers(df, "x", "g", bins=8, bound=50).collect()[0]
+    assert row["n_outliers"] == 40
+
+
 def test_empty_and_nulls(spark):
     empty = spark.createDataFrame([], "x double")
     assert exact_quantiles(empty, "x").count() == 0
