@@ -1184,7 +1184,7 @@ def oracle_sql() -> dict[str, str]:
     # q_doc_heavy_hitters: the Spark side computes this via the
     # two-pass Misra-Gries candidate plan (bounded per-partition
     # summaries -> exact recount of candidates only); the published
-    # filter (exact count >= ceil(N/256), integer arithmetic) is
+    # filter (exact count >= ceil(N/HH_S), integer arithmetic) is
     # partitioning-independent, so the plain exact-count SQL below
     # replays it (threshold interpolated from frequency.HH_S so the
     # two sides cannot drift).
@@ -2035,7 +2035,7 @@ def oracle_sql() -> dict[str, str]:
     _cs = [
         """
         v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
-              FROM embeddings),
+              FROM embeddings WHERE embedding IS NOT NULL),
         s0 AS (SELECT 0 AS pick_round, vec_id, 0.0 AS dist, vec AS carr
                FROM v ORDER BY vec_id LIMIT 1),
         sel0 AS (SELECT * FROM s0)"""
@@ -2052,8 +2052,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY v.vec_id, v.vec
         ),
         s{_r} AS (
+            -- dist > 0 mirrors the engine's exhaustion stop: when all
+            -- remaining points coincide with a pick, s_r is empty and
+            -- every later sel is unchanged (short sequence on both sides)
             SELECT {_r} AS pick_round, vec_id, dist, vec AS carr
-            FROM d{_r} ORDER BY dist DESC, vec_id LIMIT 1
+            FROM d{_r} WHERE dist > 0 ORDER BY dist DESC, vec_id LIMIT 1
         ),
         sel{_r} AS (SELECT * FROM sel{_r - 1}
                     UNION ALL SELECT * FROM s{_r})"""
@@ -4540,7 +4543,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q_events_mad_outliers"] = """
         WITH w AS (
             SELECT event_type, value AS v FROM events
-            WHERE value IS NOT NULL
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         n AS (SELECT count(*) AS n FROM w),
         r1 AS (SELECT v, row_number() OVER (ORDER BY v) AS r FROM w),

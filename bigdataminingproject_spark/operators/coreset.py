@@ -48,7 +48,7 @@ def kcenter_coreset(
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).filter(F.col("vec").isNotNull())
     out_schema = "pick_round int, vec_id long, dist double"
     seed = v.orderBy("vec_id").limit(1).collect()
     if not seed:
@@ -60,13 +60,17 @@ def kcenter_coreset(
             cent = F.array(*[F.lit(float(x)) for x in carr])
             d = F.round(_sq_l2(F.col("vec"), cent), 6)
             dmin = d if dmin is None else F.least(dmin, d)
+        # dist > 0 BEFORE the argmax (mirrored by the oracle's WHERE):
+        # when every remaining point coincides with a pick the corpus
+        # is exhausted and both engines stop at the same short sequence
         far = (
             v.select("vec_id", "vec", dmin.alias("dist"))
+            .filter(F.col("dist") > 0.0)
             .orderBy(F.desc("dist"), "vec_id")
             .limit(1)
             .collect()
         )
-        if not far or far[0]["dist"] == 0.0:
+        if not far:
             break  # corpus exhausted (fewer distinct points than k)
         r = far[0]
         chosen.append((len(chosen), r["vec_id"], float(r["dist"]), list(r["vec"])))

@@ -12,14 +12,16 @@ This module is the classic iterative SELECTION algorithm instead
 Munro-Paterson / distributed-median shape): find the exact k-th
 smallest with
 
-  pass 0   count + global [min, max] bracket
-  pass i   ONE scan bins every still-active target's bracket into
-           ``bins`` equal-width cells — (target, cell) -> (count,
-           min, max) — and the driver keeps only the cell containing
-           the rank: bracket mass shrinks by ~``bins``x per pass,
-           driver state is O(targets x 3) floats, never rows
+  pass 0   count + per-target [min, max] bracket (one aggregate)
+  pass i   ONE scan — the source broadcast-range-joined against the
+           tiny (target, lo, hi) bracket table — bins every active
+           target's bracket into ``bins`` equal-width cells
+           ((target, cell) -> measure, count, min, max); the driver
+           keeps only the cell containing the rank: bracket mass
+           shrinks by ~``bins``x per pass, driver state is
+           O(targets x 4) floats, never rows
   final    the narrowed bracket holds <= ``bound`` rows; the (k -
-           rows_before)-th smallest inside it is a bounded
+           before)-th smallest inside it is a bounded
            TakeOrderedAndProject
 
 Depth is log_bins(N / bound): 3 passes covers 10^13 rows at the
@@ -28,11 +30,16 @@ cost of EXACT mid-stream order statistics on unsorted data; callers
 who can tolerate rank error should stay on the q-digest
 (`operators/qdigest.py`).
 
+All three public variants — plain, keyed, and integer-weighted —
+share one descent (`_descent`): the key is a constant for the plain
+path, and the weighted path swaps the cell measure from count to
+sum(weight) and the crossing target from a rank to q x W.
+
 Exactness does not depend on float niceties: binning only PARTITIONS
-rows (floor((v - lo)/w * bins) is monotone in v for w > 0, so cells
-are contiguous value ranges), counts are integers, and the refined
-bracket's bounds are the actual min/max of the chosen cell's rows —
-measured, not computed — so no row can leak across a boundary.
+rows (floor((v - lo)/(hi - lo) * bins) is monotone in v, so cells are
+contiguous value ranges), counts/integer weights are exact, and the
+refined bracket's bounds are the actual min/max of the chosen cell's
+rows — measured, not computed — so no row can leak across a boundary.
 
 No reference counterpart (the reference has no quantile surface at
 all); north-star scale family alongside qdigest.py.
@@ -47,12 +54,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.functions.numeric import stable_round_div
-
 from bigdataminingproject_spark.sources.tables import load_table
 
 SEL_BINS = 1024
 SEL_BOUND = 50_000  # narrow-pass row budget (driver-safe final sort)
 SEL_MAX_DEPTH = 6  # loud-guard cap: 1024^6 >> any corpus
+SEL_MAX_KEYS = 64  # grouped selection collects one state row per key
 
 
 def _rank_of(q: float, n: int) -> int:
@@ -63,6 +70,126 @@ def _rank_of(q: float, n: int) -> int:
     return max(1, int(math.ceil(q * float(n))))
 
 
+def _descent(
+    vals: DataFrame,
+    state: dict,
+    key_type: str,
+    bins: int,
+    bound: int,
+    weighted: bool = False,
+) -> None:
+    """Shared bracket-descent loop over ``vals(k, v[, wt])``.
+
+    ``state`` maps (key, q) -> {lo, hi, before, mass, target}; the
+    crossing rule is: first cell (in value order) where
+    before + cumulative measure >= target, measure = count (rank
+    targets) or sum(wt) (weight targets). Mutates ``state`` in place;
+    raises loudly if any bracket still exceeds ``bound`` rows after
+    ``SEL_MAX_DEPTH`` passes.
+
+    Each pass is ONE scan of ``vals``: the active brackets travel as a
+    broadcast (key, q, lo, hi) relation and the range join tags every
+    row with each of its key's active targets (a row serves every
+    bracket it falls in), so target count multiplies only the
+    broadcast, never the source I/O.
+    """
+    spark = vals.sparkSession
+    for _ in range(SEL_MAX_DEPTH):
+        active = {
+            t: s
+            for t, s in state.items()
+            if s["mass"] > bound and s["lo"] < s["hi"]
+        }
+        if not active:
+            break
+        brackets = spark.createDataFrame(
+            [
+                (key, float(q), s["lo"], s["hi"])
+                for (key, q), s in active.items()
+            ],
+            f"gk {key_type}, q double, blo double, bhi double",
+        )
+        # same op order as the literal form: ((v - lo) / (hi - lo)) * bins
+        cell = F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (F.col("v") - F.col("blo"))
+                / (F.col("bhi") - F.col("blo"))
+                * bins
+            ),
+        ).cast("int")
+        measure = F.sum("wt") if weighted else F.count(F.lit(1))
+        cells = (
+            vals.join(
+                F.broadcast(brackets),
+                (vals["k"] == F.col("gk"))
+                & (F.col("v") >= F.col("blo"))
+                & (F.col("v") <= F.col("bhi")),
+            )
+            .groupBy("gk", "q", cell.alias("cell"))
+            .agg(
+                measure.alias("m"),
+                F.count(F.lit(1)).alias("c"),
+                F.min("v").alias("clo"),
+                F.max("v").alias("chi"),
+            )
+            .collect()
+        )  # bounded: <= targets x bins rows
+        by_t: dict[tuple, list] = {}
+        for r in cells:
+            by_t.setdefault((r["gk"], r["q"]), []).append(r)
+        for (key, q), s in active.items():
+            rows = sorted(
+                by_t.get((key, float(q)), []), key=lambda r: r["cell"]
+            )
+            need = s["target"] - s["before"]
+            cum = 0
+            for r in rows:
+                if cum + r["m"] >= need:
+                    s["before"] += cum
+                    s["mass"] = r["c"]
+                    # measured bounds of the chosen cell: rows cannot
+                    # leak across them whatever float binning did
+                    s["lo"], s["hi"] = r["clo"], r["chi"]
+                    break
+                cum += r["m"]
+            else:  # pragma: no cover - measures are exact
+                raise AssertionError(
+                    f"target fell out of bracket for {(key, q)}"
+                )
+    leftover = [
+        t
+        for t, s in state.items()
+        if s["mass"] > bound and s["lo"] < s["hi"]
+    ]
+    if leftover:  # pragma: no cover - 1024^6 cells
+        raise ValueError(
+            f"selection bracket still holds >{bound} rows after "
+            f"{SEL_MAX_DEPTH} passes for {sorted(leftover)}; raise "
+            "SEL_MAX_DEPTH alongside the corpus"
+        )
+
+
+def _kth_in_bracket(vals: DataFrame, key, s: dict):
+    """Final narrow pass for rank targets: the (target - before)-th
+    smallest value inside the <= bound-row bracket — a bounded
+    TakeOrderedAndProject, never a global sort."""
+    if s["lo"] == s["hi"]:  # bracket collapsed to one value
+        return float(s["lo"])
+    need = s["target"] - s["before"]
+    return float(
+        vals.filter(
+            (F.col("k") == key)
+            & (F.col("v") >= s["lo"])
+            & (F.col("v") <= s["hi"])
+        )
+        .orderBy("v")
+        .limit(need)
+        .agg(F.max("v").alias("value"))
+        .collect()[0]["value"]
+    )
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
@@ -71,120 +198,39 @@ def exact_quantiles(
     bound: int = SEL_BOUND,
 ) -> DataFrame:
     """Exact (q, rank, value) order statistics of ``df[col]`` via
-    iterative bracket descent. Returns one row per q, ordered by q."""
+    bracket descent. Returns one row per q, ordered by q."""
     spark = df.sparkSession
     # each pass re-reads the source with its filter pushed to the scan
     # (deliberately NOT cached/checkpointed: at corpus scale the input
     # does not fit executor storage, and a 2-column pruned parquet
     # re-scan is the cheaper, honest cost of exactness)
-    vals = df.select(F.col(col).cast("double").alias("v")).filter(
-        F.col("v").isNotNull()
-    )
+    vals = df.select(
+        F.lit(0).alias("k"), F.col(col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
     out_schema = "q double, rank bigint, value double"
-    n = vals.count()
-    if n == 0:
+    g = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    if g["n"] == 0:
         return spark.createDataFrame([], out_schema)
-    g = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
-    # per-target state: value bracket [lo, hi], rows strictly below it,
-    # rows inside it
     state = {
-        q: {"lo": g["lo"], "hi": g["hi"], "before": 0, "mass": n, "k": _rank_of(q, n)}
+        (0, q): {
+            "lo": g["lo"],
+            "hi": g["hi"],
+            "before": 0,
+            "mass": g["n"],
+            "target": _rank_of(q, g["n"]),
+        }
         for q in qs
     }
-
-    for _ in range(SEL_MAX_DEPTH):
-        active = {
-            q: s
-            for q, s in state.items()
-            if s["mass"] > bound and s["lo"] < s["hi"]
-        }
-        if not active:
-            break
-        # ONE scan refines every active bracket: tag rows per target
-        # (brackets may overlap; a row serves each bracket it is in),
-        # bin equal-width, and measure each cell.
-        tagged = None
-        for q, s in active.items():
-            w = s["hi"] - s["lo"]
-            cell = F.least(
-                F.lit(bins - 1),
-                F.floor((F.col("v") - F.lit(s["lo"])) / F.lit(w) * bins),
-            ).cast("int")
-            part = (
-                vals.filter(
-                    (F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"])
-                )
-                .select(
-                    F.lit(float(q)).alias("q"),
-                    cell.alias("cell"),
-                    "v",
-                )
-            )
-            tagged = part if tagged is None else tagged.unionByName(part)
-        cells = (
-            tagged.groupBy("q", "cell")
-            .agg(
-                F.count(F.lit(1)).alias("c"),
-                F.min("v").alias("clo"),
-                F.max("v").alias("chi"),
-            )
-            .collect()
-        )  # bounded: <= targets x bins rows
-        by_q: dict[float, list] = {}
-        for r in cells:
-            by_q.setdefault(r["q"], []).append(r)
-        for q, s in active.items():
-            rows = sorted(by_q.get(float(q), []), key=lambda r: r["cell"])
-            need = s["k"] - s["before"]  # rank within the bracket
-            cum = 0
-            for r in rows:
-                if cum + r["c"] >= need:
-                    s["before"] += cum
-                    s["mass"] = r["c"]
-                    # measured bounds of the chosen cell: rows cannot
-                    # leak across them whatever float binning did
-                    s["lo"], s["hi"] = r["clo"], r["chi"]
-                    break
-                cum += r["c"]
-            else:  # pragma: no cover - counts are exact by construction
-                raise AssertionError(f"rank {s['k']} fell out of bracket for q={q}")
-    leftover = {
-        q: s for q, s in state.items() if s["mass"] > bound and s["lo"] < s["hi"]
-    }
-    if leftover:  # pragma: no cover - 1024^6 cells
-        raise ValueError(
-            f"selection bracket still holds >{bound} rows after "
-            f"{SEL_MAX_DEPTH} passes for q={sorted(leftover)}; raise "
-            "SEL_MAX_DEPTH alongside the corpus"
-        )
-
-    # final narrow pass per target: (k - before)-th smallest inside the
-    # bracket — a bounded TakeOrderedAndProject, never a global sort.
-    out_rows = []
-    for q, s in sorted(state.items()):
-        if s["lo"] == s["hi"]:  # bracket collapsed to one value
-            out_rows.append((float(q), s["k"], float(s["lo"])))
-            continue
-        need = s["k"] - s["before"]
-        got = (
-            vals.filter((F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"]))
-            .orderBy("v")
-            .limit(need)
-            .agg(F.max("v").alias("value"))
-            .collect()[0]["value"]
-        )
-        out_rows.append((float(q), s["k"], float(got)))
+    _descent(vals, state, "int", bins, bound)
+    out_rows = [
+        (float(q), s["target"], _kth_in_bracket(vals, 0, s))
+        for (_, q), s in sorted(state.items())
+    ]
     return spark.createDataFrame(out_rows, out_schema).orderBy("q")
-
-
-def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p1/p25/p50/p75/p90/p99 of the event value column via
-    distributed selection (no global sort, no per-value counters)."""
-    ev = load_table(spark, sf_dir, "events")
-    return exact_quantiles(ev, "value")
-
-
-SEL_MAX_KEYS = 64  # grouped selection collects one state row per key
 
 
 def grouped_exact_quantiles(
@@ -206,16 +252,12 @@ def grouped_exact_quantiles(
     approximate path that never touches the driver.
     """
     spark = df.sparkSession
-    vals = (
-        df.select(
-            F.col(key_col).alias("k"),
-            F.col(col).cast("double").alias("v"),
-        )
-        .filter(F.col("v").isNotNull() & F.col("k").isNotNull())
-    )
-    out_schema = (
-        f"{key_col} string, q double, rank bigint, value double"
-    )
+    key_type = df.schema[key_col].dataType.simpleString()
+    vals = df.select(
+        F.col(key_col).alias("k"),
+        F.col(col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("k").isNotNull())
+    out_schema = f"{key_col} {key_type}, q double, rank bigint, value double"
     groups = (
         vals.groupBy("k")
         .agg(
@@ -239,104 +281,19 @@ def grouped_exact_quantiles(
             "hi": g["hi"],
             "before": 0,
             "mass": g["n"],
-            "k": _rank_of(q, g["n"]),
+            "target": _rank_of(q, g["n"]),
         }
         for g in groups
         for q in qs
     }
-
-    for _ in range(SEL_MAX_DEPTH):
-        active = {
-            t: s
-            for t, s in state.items()
-            if s["mass"] > bound and s["lo"] < s["hi"]
-        }
-        if not active:
-            break
-        tagged = None
-        for (key, q), s in active.items():
-            w = s["hi"] - s["lo"]
-            cell = F.least(
-                F.lit(bins - 1),
-                F.floor((F.col("v") - F.lit(s["lo"])) / F.lit(w) * bins),
-            ).cast("int")
-            part = (
-                vals.filter(
-                    (F.col("k") == key)
-                    & (F.col("v") >= s["lo"])
-                    & (F.col("v") <= s["hi"])
-                )
-                .select(
-                    F.lit(key).alias("gk"),
-                    F.lit(float(q)).alias("q"),
-                    cell.alias("cell"),
-                    "v",
-                )
-            )
-            tagged = part if tagged is None else tagged.unionByName(part)
-        cells = (
-            tagged.groupBy("gk", "q", "cell")
-            .agg(
-                F.count(F.lit(1)).alias("c"),
-                F.min("v").alias("clo"),
-                F.max("v").alias("chi"),
-            )
-            .collect()
-        )
-        by_t: dict[tuple, list] = {}
-        for r in cells:
-            by_t.setdefault((r["gk"], r["q"]), []).append(r)
-        for t, s in active.items():
-            rows = sorted(by_t.get((t[0], float(t[1])), []), key=lambda r: r["cell"])
-            need = s["k"] - s["before"]
-            cum = 0
-            for r in rows:
-                if cum + r["c"] >= need:
-                    s["before"] += cum
-                    s["mass"] = r["c"]
-                    s["lo"], s["hi"] = r["clo"], r["chi"]
-                    break
-                cum += r["c"]
-            else:  # pragma: no cover - counts are exact
-                raise AssertionError(f"rank fell out of bracket for {t}")
-    leftover = [
-        t for t, s in state.items() if s["mass"] > bound and s["lo"] < s["hi"]
+    _descent(vals, state, key_type, bins, bound)
+    out_rows = [
+        (key, float(q), s["target"], _kth_in_bracket(vals, key, s))
+        for (key, q), s in sorted(state.items())
     ]
-    if leftover:  # pragma: no cover - 1024^6 cells
-        raise ValueError(
-            f"selection bracket still >{bound} rows after "
-            f"{SEL_MAX_DEPTH} passes for {sorted(leftover)}; raise "
-            "SEL_MAX_DEPTH alongside the corpus"
-        )
-
-    out_rows = []
-    for (key, q), s in sorted(state.items()):
-        if s["lo"] == s["hi"]:
-            out_rows.append((key, float(q), s["k"], float(s["lo"])))
-            continue
-        need = s["k"] - s["before"]
-        got = (
-            vals.filter(
-                (F.col("k") == key)
-                & (F.col("v") >= s["lo"])
-                & (F.col("v") <= s["hi"])
-            )
-            .orderBy("v")
-            .limit(need)
-            .agg(F.max("v").alias("value"))
-            .collect()[0]["value"]
-        )
-        out_rows.append((key, float(q), s["k"], float(got)))
-    return spark.createDataFrame(out_rows, out_schema).orderBy(key_col, "q")
-
-
-def q_events_grouped_exact_quantiles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Exact per-event-type p50/p90/p99 of the value column via keyed
-    bracket descent (every event type advances in the same scans)."""
-    ev = load_table(spark, sf_dir, "events")
-    return grouped_exact_quantiles(ev, "event_type", "value")
+    return spark.createDataFrame(out_rows, out_schema).orderBy(
+        key_col, "q"
+    )
 
 
 def weighted_exact_quantiles(
@@ -352,17 +309,18 @@ def weighted_exact_quantiles(
     byte-budget median family ("the doc length below which half the
     BYTES live"), which no unweighted quantile answers.
 
-    Same bracket descent, with the cell statistic sum(weight) instead
-    of count (row count still bounds the narrow pass). Weights must be
-    INTEGERS (cast to long): integer sums are associative, so the
-    crossing point is independent of partitioning — a double weight
-    column would make cumulative sums order-dependent and the oracle
+    Same descent, with the cell measure sum(weight) instead of count
+    (row count still bounds the narrow pass). Weights must be INTEGERS
+    (cast to long): integer sums are associative, so the crossing
+    point is independent of partitioning — a double weight column
+    would make cumulative sums order-dependent and the oracle
     comparison a lie. The crossing threshold q x W is one double
     computed from the same (q, W) on both engines.
     """
     spark = df.sparkSession
     vals = (
         df.select(
+            F.lit(0).alias("k"),
             F.col(col).cast("double").alias("v"),
             F.col(weight_col).cast("long").alias("wt"),
         )
@@ -380,78 +338,23 @@ def weighted_exact_quantiles(
         return spark.createDataFrame([], out_schema)
     total_w = int(g["w"])
     state = {
-        q: {
+        (0, q): {
             "lo": g["lo"],
             "hi": g["hi"],
-            "before_w": 0,
+            "before": 0,
             "mass": g["n"],
-            # the target is exceeded at the answer value: smallest v
-            # with before_w + cum_w(v) >= t
-            "t": float(q) * float(total_w),
+            # crossed AT the answer value: smallest v with
+            # before + cum_w(v) >= target
+            "target": float(q) * float(total_w),
         }
         for q in qs
     }
-
-    for _ in range(SEL_MAX_DEPTH):
-        active = {
-            q: s
-            for q, s in state.items()
-            if s["mass"] > bound and s["lo"] < s["hi"]
-        }
-        if not active:
-            break
-        tagged = None
-        for q, s in active.items():
-            w = s["hi"] - s["lo"]
-            cell = F.least(
-                F.lit(bins - 1),
-                F.floor((F.col("v") - F.lit(s["lo"])) / F.lit(w) * bins),
-            ).cast("int")
-            part = vals.filter(
-                (F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"])
-            ).select(
-                F.lit(float(q)).alias("q"), cell.alias("cell"), "v", "wt"
-            )
-            tagged = part if tagged is None else tagged.unionByName(part)
-        cells = (
-            tagged.groupBy("q", "cell")
-            .agg(
-                F.sum("wt").alias("cw"),
-                F.count(F.lit(1)).alias("c"),
-                F.min("v").alias("clo"),
-                F.max("v").alias("chi"),
-            )
-            .collect()
-        )
-        by_q: dict[float, list] = {}
-        for r in cells:
-            by_q.setdefault(r["q"], []).append(r)
-        for q, s in active.items():
-            rows = sorted(by_q.get(float(q), []), key=lambda r: r["cell"])
-            need = s["t"] - s["before_w"]
-            cum = 0
-            for r in rows:
-                if cum + r["cw"] >= need:
-                    s["before_w"] += cum
-                    s["mass"] = r["c"]
-                    s["lo"], s["hi"] = r["clo"], r["chi"]
-                    break
-                cum += r["cw"]
-            else:  # pragma: no cover - cum(all cells) == W >= t
-                raise AssertionError(f"weight target fell out for q={q}")
-    leftover = [
-        q for q, s in state.items() if s["mass"] > bound and s["lo"] < s["hi"]
-    ]
-    if leftover:  # pragma: no cover
-        raise ValueError(
-            f"weighted selection bracket still >{bound} rows after "
-            f"{SEL_MAX_DEPTH} passes for q={sorted(leftover)}"
-        )
+    _descent(vals, state, "int", bins, bound, weighted=True)
 
     # final narrow pass: group the <= bound bracket rows by value,
     # cumulative-sum in value order (tiny window), take the crossing
     out_rows = []
-    for q, s in sorted(state.items()):
+    for (_, q), s in sorted(state.items()):
         if s["lo"] == s["hi"]:
             out_rows.append((float(q), float(s["lo"])))
             continue
@@ -466,7 +369,7 @@ def weighted_exact_quantiles(
         crossing = (
             grouped.withColumn("cum", F.sum("gw").over(win))
             .filter(
-                F.col("cum") + F.lit(s["before_w"]) >= F.lit(s["t"])
+                F.col("cum") + F.lit(s["before"]) >= F.lit(s["target"])
             )
             .orderBy("v")
             .limit(1)
@@ -474,16 +377,6 @@ def weighted_exact_quantiles(
         )
         out_rows.append((float(q), float(crossing[0]["v"])))
     return spark.createDataFrame(out_rows, out_schema).orderBy("q")
-
-
-def q_doc_weighted_length_quantiles(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Byte-budget length quantiles: the doc length below which q of
-    the corpus BYTES live (n_chars-weighted n_chars order statistics)
-    — the statistic sequence-packing budgets actually need."""
-    docs = load_table(spark, sf_dir, "documents")
-    return weighted_exact_quantiles(docs, "n_chars", "n_chars")
 
 
 def mad_outliers(
@@ -504,25 +397,30 @@ def mad_outliers(
     inside the scan); flag rows with |v - m| > k x MAD. Both medians
     are EXACT order statistics of the full corpus, so m, MAD, and the
     threshold are single doubles both engines derive identically —
-    the flag comparison is then bitwise-reproducible.
+    the flag comparison is then bitwise-reproducible. NULL group keys
+    are excluded (same rule as the keyed-selection sibling and the
+    oracle).
     """
     spark = df.sparkSession
+    key_type = df.schema[group_col].dataType.simpleString()
     vals = df.select(
         F.col(group_col).alias("g"),
         F.col(col).cast("double").alias("v"),
-    ).filter(F.col("v").isNotNull())
+    ).filter(F.col("v").isNotNull() & F.col(group_col).isNotNull())
     out_schema = (
-        f"{group_col} string, n_events bigint, n_outliers bigint, "
+        f"{group_col} {key_type}, n_events bigint, n_outliers bigint, "
         "outlier_rate double"
     )
-    med_rows = exact_quantiles(vals, "v", qs=(0.5,), bins=bins, bound=bound).collect()
+    med_rows = exact_quantiles(
+        vals, "v", qs=(0.5,), bins=bins, bound=bound
+    ).collect()
     if not med_rows:
         return spark.createDataFrame([], out_schema)
     m = med_rows[0]["value"]
     dev = vals.select("g", F.abs(F.col("v") - F.lit(m)).alias("d"))
-    mad = exact_quantiles(dev, "d", qs=(0.5,), bins=bins, bound=bound).collect()[0][
-        "value"
-    ]
+    mad = exact_quantiles(dev, "d", qs=(0.5,), bins=bins, bound=bound).collect()[
+        0
+    ]["value"]
     thr = k * mad
     return (
         vals.select(
@@ -546,6 +444,32 @@ def mad_outliers(
         )
         .orderBy(group_col)
     )
+
+
+def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p1/p25/p50/p75/p90/p99 of the event value column via
+    distributed selection (no global sort, no per-value counters)."""
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles(ev, "value")
+
+
+def q_events_grouped_exact_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-event-type p50/p90/p99 of the value column via keyed
+    bracket descent (every event type advances in the same scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_exact_quantiles(ev, "event_type", "value")
+
+
+def q_doc_weighted_length_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-budget length quantiles: the doc length below which q of
+    the corpus BYTES live (n_chars-weighted n_chars order statistics)
+    — the statistic sequence-packing budgets actually need."""
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_exact_quantiles(docs, "n_chars", "n_chars")
 
 
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,6 +133,21 @@ def test_grouped_descent_with_tiny_bound(spark):
     assert got == want
 
 
+def test_grouped_supports_non_string_keys(spark):
+    """The output schema derives the key dtype from the input — an
+    integer tier column must come back as an integer column."""
+    from bigdataminingproject_spark.operators.selection import (
+        grouped_exact_quantiles,
+    )
+
+    rows = [(t, float(t * 100 + i)) for t in (1, 2) for i in range(50)]
+    df = spark.createDataFrame(rows, "tier_id long, x double")
+    out = grouped_exact_quantiles(df, "tier_id", "x", qs=(0.5,))
+    assert dict(out.dtypes)["tier_id"] == "bigint"
+    got = {(r["tier_id"], r["value"]) for r in out.collect()}
+    assert got == {(1, 124.0), (2, 224.0)}
+
+
 def test_grouped_key_guard(spark):
     from bigdataminingproject_spark.operators.selection import (
         SEL_MAX_KEYS,
