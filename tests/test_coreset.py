@@ -85,6 +85,18 @@ def test_beats_first_k_on_coverage(spark, sf_dir):
     assert radius(greedy) < radius(baseline)
 
 
+def test_null_embeddings_are_skipped(spark):
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, None),
+        (3, [3.0, 4.0]),
+        (4, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    picks = kcenter_coreset(df, k=3).collect()
+    assert [r["vec_id"] for r in picks] == [1, 3, 4]
+
+
 def test_exhausts_small_corpus(spark):
     rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

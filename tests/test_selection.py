@@ -270,6 +270,19 @@ def test_mad_outliers_resists_contamination(spark):
     assert row["n_outliers"] == 40
 
 
+def test_descent_with_negative_values_and_ties(spark):
+    """Brackets spanning negative values and heavy duplicates must
+    still land on the exact sorted ranks."""
+    rnd = random.Random(3)
+    vals = [rnd.uniform(-500.0, 500.0) for _ in range(2000)] + [-123.25] * 500
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["q"]: (r["rank"], r["value"])
+        for r in exact_quantiles(df, "x", qs=QS, bins=8, bound=30).collect()
+    }
+    assert got == _py_quantiles(vals, QS)
+
+
 def test_empty_and_nulls(spark):
     empty = spark.createDataFrame([], "x double")
     assert exact_quantiles(empty, "x").count() == 0
