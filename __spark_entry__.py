@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates + exact recount — no vocabulary-sized shuffle)
         # and its count-folding streaming maintenance twin
         "q_doc_heavy_hitters": frequency.q_doc_heavy_hitters,
+        "q_doc_source_heavy_hitters": (
+            frequency.q_doc_source_heavy_hitters
+        ),
         "q_stream_hh_maintenance": (
             streaming_pipeline.q_stream_hh_maintenance
         ),
@@ -609,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_retention_maintenance",
         "q_embedding_coreset",
         "q_events_mad_outliers",
+        "q_doc_source_heavy_hitters",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -1205,6 +1209,27 @@ def oracle_sql() -> dict[str, str]:
     # folds must land exactly on the two-pass batch answer — counts are
     # closed under addition, so same oracle.
     sql["q_stream_hh_maintenance"] = sql["q_doc_heavy_hitters"]
+
+    # q_doc_source_heavy_hitters: the keyed two-pass plan publishes
+    # with a per-key integer threshold — plain per-key exact counts
+    # replay it for the same partitioning-independence reason.
+    sql["q_doc_source_heavy_hitters"] = f"""
+        WITH {_TOKS_CTE},
+        counts AS (
+            SELECT source, token, count(*) AS token_count
+            FROM (SELECT source, unnest(toks) AS token FROM tok_clean
+                  WHERE source IS NOT NULL)
+            GROUP BY source, token
+        ),
+        n AS (
+            SELECT source, CAST(sum(token_count) AS BIGINT) AS n
+            FROM counts GROUP BY source
+        )
+        SELECT c.source, c.token, c.token_count
+        FROM counts c JOIN n ON n.source = c.source
+        WHERE c.token_count >= (n + {frequency.HH_S - 1}) // {frequency.HH_S}
+        ORDER BY c.source, c.token_count DESC, c.token
+    """
 
     sql["q_doc_vocab_stats"] = f"""
         WITH {_TOKS_CTE}

@@ -625,6 +625,118 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, s=HH_S)
 
 
+def mg_candidate_partials_by_key(
+    tokens: DataFrame, s: int = HH_S
+) -> DataFrame:
+    """Per-partition, PER-KEY Misra-Gries summaries of a (k, token)
+    relation — the keyed generalization of ``mg_candidate_partials``.
+
+    One ``mapInPandas`` pass; per partition the state is one
+    s-bounded summary per key seen there (keys x s counters — the
+    caller's key column is a bounded set like ``source``). Each Arrow
+    batch reduces to exact (key, token) counts vectorized, then merges
+    into the per-key summaries; the Python loop is over KEYS, never
+    rows. The per-key retention bound is the per-key restriction of
+    the global proof: within a partition, a (key, token) with count
+    f_p is retained unless f_p <= N_p(key)/(s+1), so any token with
+    key-frequency > N(key)/(s+1) survives SOME partition's summary.
+    Marker rows (key, token NULL, cnt = N_p(key)) carry each key's
+    exact N out of the same scan.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        runs: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(["k", "token"]).size()
+            for key, sub in vc.groupby(level=0):
+                ser = sub.droplevel(0)
+                run = runs.get(key)
+                run = ser if run is None else run.add(ser, fill_value=0)
+                if len(run) > s:
+                    cut = run.nlargest(s + 1).iloc[-1]
+                    run = run - cut
+                    run = run[run > 0]
+                runs[key] = run
+            for key, cnt in pdf.groupby("k").size().items():
+                totals[key] = totals.get(key, 0) + int(cnt)
+        ks, toks_, cnts = [], [], []
+        for key, run in runs.items():
+            for t, c in run.items():
+                ks.append(key)
+                toks_.append(t)
+                cnts.append(int(c))
+        for key, total in totals.items():
+            ks.append(key)
+            toks_.append(None)
+            cnts.append(total)
+        yield pd.DataFrame({"k": ks, "token": toks_, "cnt": cnts})
+
+    return tokens.mapInPandas(summarize, "k string, token string, cnt long")
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    s: int = HH_S,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT per-key heavy hitters — for each key, every token with
+    key-frequency >= ceil(N(key)/s) and its exact count — the keyed
+    two-pass plan (per-key MG candidates -> exact recount of candidate
+    (key, token) pairs only; the integer per-key threshold makes the
+    output partitioning-independent, same argument as the global
+    operator). The candidate relation is bounded by partitions x keys
+    x s, so the semi join is left to the planner (broadcast when it
+    fits, shuffle otherwise) instead of forced driver-side."""
+    toks = df.select(
+        F.col(key_col).alias("k"),
+        F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias(
+            "token"
+        ),
+    ).filter(F.col("k").isNotNull())
+    partials = mg_candidate_partials_by_key(toks, s).localCheckpoint(
+        eager=True
+    )
+    n = (
+        partials.filter(F.col("token").isNull())
+        .groupBy("k")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    candidates = (
+        partials.filter(F.col("token").isNotNull())
+        .select("k", "token")
+        .distinct()
+    )
+    exact = (
+        toks.join(candidates, ["k", "token"])
+        .groupBy("k", "token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+    )
+    return (
+        exact.join(F.broadcast(n), "k")
+        .filter(
+            F.col("token_count") >= F.expr(f"(n + {s - 1}) div {s}")
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "token",
+            "token_count",
+        )
+        .orderBy(key_col, F.desc("token_count"), "token")
+    )
+
+
+def q_doc_source_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source exact heavy hitters (freq >= N(source)/HH_S) via the
+    keyed two-pass MG-candidates plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_heavy_hitters(docs, "source", s=HH_S)
+
+
 def token_count_partial(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -144,6 +144,78 @@ def test_fold_closure_under_any_split(spark, sf_dir):
     assert got == want
 
 
+def _naive_grouped_hh(docs, key_col, s):
+    """Reference: full per-key exact counts + per-key threshold."""
+    toks = docs.select(
+        F.col(key_col).alias("k"),
+        F.explode(remove_stopwords(tokenize(F.col("text")))).alias("token"),
+    ).filter(F.col("k").isNotNull())
+    counts = toks.groupBy("k", "token").agg(
+        F.count(F.lit(1)).alias("token_count")
+    )
+    n = counts.groupBy("k").agg(F.sum("token_count").alias("n"))
+    return (
+        counts.join(n, "k")
+        .filter(F.col("token_count") >= F.expr(f"(n + {s - 1}) div {s}"))
+        .select(F.col("k").alias(key_col), "token", "token_count")
+        .orderBy(key_col, F.desc("token_count"), "token")
+    )
+
+
+def test_grouped_two_pass_matches_naive(spark, sf_dir):
+    from bigdataminingproject_spark.operators.frequency import (
+        grouped_heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        tuple(r) for r in grouped_heavy_hitters(docs, "source", s=HH_S).collect()
+    ]
+    want = [
+        tuple(r) for r in _naive_grouped_hh(docs, "source", HH_S).collect()
+    ]
+    assert got == want
+    assert len(got) > 0
+    assert len({k for k, _, _ in got}) > 1  # several keys publish
+
+
+def test_grouped_mg_prunes_per_key_and_retains_hitters(spark):
+    """Skewed per-key streams: each key's summary sheds its own tail
+    yet retains that key's hitters — state is keys x s, and one key's
+    flood cannot evict another key's counters."""
+    from bigdataminingproject_spark.operators.frequency import (
+        grouped_heavy_hitters,
+        mg_candidate_partials_by_key,
+    )
+
+    rows = []
+    for key, hot, n_hot in (("a", "aaahot", 2000), ("b", "bbbhot", 900)):
+        rows += [(key, hot)] * n_hot
+        rows += [
+            (key, f"{key}tail{chr(97 + i // 26)}{chr(97 + i % 26)}")
+            for i in range(300)
+            for _ in range(3)
+        ]
+    toks = spark.createDataFrame(rows, "k string, token string").repartition(5)
+    s = 8
+    prows = mg_candidate_partials_by_key(toks, s).collect()
+    markers = {(r["k"]): 0 for r in prows if r["token"] is None}
+    for r in prows:
+        if r["token"] is None:
+            markers[r["k"]] += r["cnt"]
+    assert markers == {"a": 2900, "b": 1800}
+    kept = {(r["k"], r["token"]) for r in prows if r["token"] is not None}
+    assert ("a", "aaahot") in kept and ("b", "bbbhot") in kept
+    docs = toks.select(
+        F.col("k").alias("source"), F.col("token").alias("text")
+    )
+    got = {
+        (r["source"], r["token"], r["token_count"])
+        for r in grouped_heavy_hitters(docs, "source", s=s).collect()
+    }
+    assert got == {("a", "aaahot", 2000), ("b", "bbbhot", 900)}
+
+
 def test_stream_twin_equals_batch(spark, sf_dir):
     from bigdataminingproject_spark.streaming.pipeline import (
         q_stream_hh_maintenance,
