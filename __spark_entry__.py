@@ -222,6 +222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_weighted_length_quantiles": (
             selection.q_doc_weighted_length_quantiles
         ),
+        "q_doc_source_weighted_length": (
+            selection.q_doc_source_weighted_length
+        ),
         "q_events_mad_outliers": selection.q_events_mad_outliers,
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
         "q_join_size_estimate": sketches.q_join_size_estimate,
@@ -613,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_coreset",
         "q_events_mad_outliers",
         "q_doc_source_heavy_hitters",
+        "q_doc_source_weighted_length",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -4560,6 +4564,39 @@ def oracle_sql() -> dict[str, str]:
         WHERE cum >= CAST(q AS DOUBLE) * W
         GROUP BY 1
         ORDER BY q
+    """
+
+    # q_doc_source_weighted_length: per-key weighted selection — per
+    # source, smallest v whose cumulative LONG weight crosses
+    # q * W(source).
+    sql["q_doc_source_weighted_length"] = """
+        WITH w AS (
+            SELECT source, CAST(n_chars AS DOUBLE) AS v,
+                   CAST(n_chars AS BIGINT) AS wt
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+              AND source IS NOT NULL
+        ),
+        tot AS (
+            SELECT source, CAST(sum(wt) AS BIGINT) AS W
+            FROM w GROUP BY source
+        ),
+        g AS (
+            SELECT source, v, CAST(sum(wt) AS BIGINT) AS gw
+            FROM w GROUP BY source, v
+        ),
+        c AS (
+            SELECT source, v, CAST(sum(gw) OVER (
+                PARTITION BY source
+                ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM g
+        ),
+        qs(q) AS (VALUES (0.5), (0.9))
+        SELECT c.source, CAST(q AS DOUBLE) AS q, min(v) AS value
+        FROM c JOIN tot ON tot.source = c.source, qs
+        WHERE cum >= CAST(q AS DOUBLE) * W
+        GROUP BY c.source, q
+        ORDER BY c.source, q
     """
 
     # q_events_mad_outliers: median/MAD robust screen — both medians

@@ -379,6 +379,100 @@ def weighted_exact_quantiles(
     return spark.createDataFrame(out_rows, out_schema).orderBy("q")
 
 
+def grouped_weighted_exact_quantiles(
+    df: DataFrame,
+    key_col: str,
+    col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9),
+    bins: int = SEL_BINS,
+    bound: int = SEL_BOUND,
+) -> DataFrame:
+    """Per-key exact WEIGHTED order statistics — the fourth cell of
+    the selection matrix (plain/keyed x unweighted/weighted), all on
+    the shared descent: every (key, q) target advances in the same
+    scans with sum(weight) as the cell measure and q x W(key) as the
+    crossing target. Integer weights required, same associativity
+    argument as the global weighted variant; ``SEL_MAX_KEYS`` guard as
+    the keyed one."""
+    spark = df.sparkSession
+    key_type = df.schema[key_col].dataType.simpleString()
+    vals = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(col).cast("double").alias("v"),
+            F.col(weight_col).cast("long").alias("wt"),
+        )
+        .filter(
+            F.col("v").isNotNull()
+            & F.col("k").isNotNull()
+            & F.col("wt").isNotNull()
+        )
+        .filter(F.col("wt") > 0)
+    )
+    out_schema = f"{key_col} {key_type}, q double, value double"
+    groups = (
+        vals.groupBy("k")
+        .agg(
+            F.sum("wt").alias("w"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    )
+    if not groups:
+        return spark.createDataFrame([], out_schema)
+    if len(groups) > SEL_MAX_KEYS:
+        raise ValueError(
+            f"grouped selection saw {len(groups)} keys (> "
+            f"{SEL_MAX_KEYS}); use grouped_histogram_quantiles for "
+            "unbounded key sets"
+        )
+    state = {
+        (g["k"], q): {
+            "lo": g["lo"],
+            "hi": g["hi"],
+            "before": 0,
+            "mass": g["n"],
+            "target": float(q) * float(int(g["w"])),
+        }
+        for g in groups
+        for q in qs
+    }
+    _descent(vals, state, key_type, bins, bound, weighted=True)
+    out_rows = []
+    for (key, q), s in sorted(state.items()):
+        if s["lo"] == s["hi"]:
+            out_rows.append((key, float(q), float(s["lo"])))
+            continue
+        grouped = (
+            vals.filter(
+                (F.col("k") == key)
+                & (F.col("v") >= s["lo"])
+                & (F.col("v") <= s["hi"])
+            )
+            .groupBy("v")
+            .agg(F.sum("wt").alias("gw"))
+        )
+        win = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        crossing = (
+            grouped.withColumn("cum", F.sum("gw").over(win))
+            .filter(
+                F.col("cum") + F.lit(s["before"]) >= F.lit(s["target"])
+            )
+            .orderBy("v")
+            .limit(1)
+            .collect()
+        )
+        out_rows.append((key, float(q), float(crossing[0]["v"])))
+    return spark.createDataFrame(out_rows, out_schema).orderBy(
+        key_col, "q"
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     col: str,
@@ -470,6 +564,18 @@ def q_doc_weighted_length_quantiles(
     — the statistic sequence-packing budgets actually need."""
     docs = load_table(spark, sf_dir, "documents")
     return weighted_exact_quantiles(docs, "n_chars", "n_chars")
+
+
+def q_doc_source_weighted_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source byte-budget length quantiles: for each source, the
+    doc length below which half / 90% of THAT source's bytes live —
+    the per-domain packing statistic mixture planning needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return grouped_weighted_exact_quantiles(
+        docs, "source", "n_chars", "n_chars"
+    )
 
 
 def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -230,6 +230,57 @@ def test_weighted_skew_one_value_holds_most_weight(spark):
     assert got == _py_weighted(rows, (0.05, 0.5, 0.95))
 
 
+def test_grouped_weighted_matches_python(spark, sf_dir):
+    from bigdataminingproject_spark.operators.selection import (
+        q_doc_source_weighted_length,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    by_src: dict[str, list] = {}
+    for r in docs.select("source", "n_chars").collect():
+        if r["source"] is not None and r["n_chars"] and r["n_chars"] > 0:
+            by_src.setdefault(r["source"], []).append(
+                (float(r["n_chars"]), int(r["n_chars"]))
+            )
+    want = {}
+    for src, pairs in by_src.items():
+        w = _py_weighted(pairs, (0.5, 0.9))
+        for q, v in w.items():
+            want[(src, q)] = v
+    got = {
+        (r["source"], r["q"]): r["value"]
+        for r in q_doc_source_weighted_length(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len({k for k, _ in got}) > 1
+
+
+def test_grouped_weighted_descent_tiny_bound(spark):
+    from bigdataminingproject_spark.operators.selection import (
+        grouped_weighted_exact_quantiles,
+    )
+
+    rnd = random.Random(19)
+    rows = [
+        (k, rnd.uniform(0, 100.0), rnd.randint(1, 9))
+        for k in ("x", "y")
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = {
+        (r["k"], r["q"]): r["value"]
+        for r in grouped_weighted_exact_quantiles(
+            df, "k", "v", "w", qs=(0.25, 0.75), bins=8, bound=20
+        ).collect()
+    }
+    want = {}
+    for k in ("x", "y"):
+        pairs = [(v, w) for kk, v, w in rows if kk == k]
+        for q, v in _py_weighted(pairs, (0.25, 0.75)).items():
+            want[(k, q)] = v
+    assert got == want
+
+
 def test_mad_outliers_matches_python(spark, sf_dir):
     from bigdataminingproject_spark.operators.selection import (
         q_events_mad_outliers,
