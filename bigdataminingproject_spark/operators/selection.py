@@ -170,24 +170,67 @@ def _descent(
         )
 
 
-def _kth_in_bracket(vals: DataFrame, key, s: dict):
-    """Final narrow pass for rank targets: the (target - before)-th
-    smallest value inside the <= bound-row bracket — a bounded
-    TakeOrderedAndProject, never a global sort."""
-    if s["lo"] == s["hi"]:  # bracket collapsed to one value
-        return float(s["lo"])
-    need = s["target"] - s["before"]
-    return float(
-        vals.filter(
-            (F.col("k") == key)
-            & (F.col("v") >= s["lo"])
-            & (F.col("v") <= s["hi"])
-        )
-        .orderBy("v")
-        .limit(need)
-        .agg(F.max("v").alias("value"))
-        .collect()[0]["value"]
+def _finish(
+    vals: DataFrame,
+    state: dict,
+    key_type: str,
+    weighted: bool = False,
+) -> dict:
+    """ONE batched final narrow pass for EVERY target (not one tiny
+    job per target — 40 sequential driver round-trips dominated the
+    grouped-weighted 100x wall before this): the (target, bracket,
+    before, target-measure) table travels as a broadcast, candidate
+    rows (<= targets x bound) group by (target, value), and a small
+    per-target window finds the crossing value — the smallest v whose
+    cumulative measure reaches the target. Returns {(key, q): value}.
+
+    The crossing rule serves both modes: for rank targets the measure
+    is the row count (value at rank need = smallest v with
+    count(<= v) >= target - before); for weight targets it is
+    sum(wt). Collapsed brackets (lo == hi) skip the scan entirely.
+    """
+    spark = vals.sparkSession
+    out: dict = {}
+    todo = []
+    for (key, q), s in state.items():
+        if s["lo"] == s["hi"]:  # bracket collapsed to one value
+            out[(key, q)] = float(s["lo"])
+        else:
+            todo.append(
+                (key, float(q), s["lo"], s["hi"], int(s["before"]),
+                 float(s["target"]) if weighted else int(s["target"]))
+            )
+    if not todo:
+        return out
+    ttype = "double" if weighted else "bigint"
+    brackets = spark.createDataFrame(
+        todo,
+        f"gk {key_type}, q double, blo double, bhi double, "
+        f"before bigint, target {ttype}",
     )
+    measure = F.sum("wt") if weighted else F.count(F.lit(1))
+    cand = (
+        vals.join(
+            F.broadcast(brackets),
+            (vals["k"] == F.col("gk"))
+            & (F.col("v") >= F.col("blo"))
+            & (F.col("v") <= F.col("bhi")),
+        )
+        .groupBy("gk", "q", "before", "target", "v")
+        .agg(measure.alias("m"))
+    )
+    win = Window.partitionBy("gk", "q").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    crossed = (
+        cand.withColumn("cum", F.sum("m").over(win))
+        .filter(F.col("cum") + F.col("before") >= F.col("target"))
+        .groupBy("gk", "q")
+        .agg(F.min("v").alias("value"))
+    )
+    for r in crossed.collect():
+        out[(r["gk"], r["q"])] = float(r["value"])
+    return out
 
 
 def exact_quantiles(
@@ -226,8 +269,9 @@ def exact_quantiles(
         for q in qs
     }
     _descent(vals, state, "int", bins, bound)
+    values = _finish(vals, state, "int")
     out_rows = [
-        (float(q), s["target"], _kth_in_bracket(vals, 0, s))
+        (float(q), s["target"], values[(0, q)])
         for (_, q), s in sorted(state.items())
     ]
     return spark.createDataFrame(out_rows, out_schema).orderBy("q")
@@ -287,8 +331,9 @@ def grouped_exact_quantiles(
         for q in qs
     }
     _descent(vals, state, key_type, bins, bound)
+    values = _finish(vals, state, key_type)
     out_rows = [
-        (key, float(q), s["target"], _kth_in_bracket(vals, key, s))
+        (key, float(q), s["target"], values[(key, q)])
         for (key, q), s in sorted(state.items())
     ]
     return spark.createDataFrame(out_rows, out_schema).orderBy(
@@ -350,32 +395,10 @@ def weighted_exact_quantiles(
         for q in qs
     }
     _descent(vals, state, "int", bins, bound, weighted=True)
-
-    # final narrow pass: group the <= bound bracket rows by value,
-    # cumulative-sum in value order (tiny window), take the crossing
-    out_rows = []
-    for (_, q), s in sorted(state.items()):
-        if s["lo"] == s["hi"]:
-            out_rows.append((float(q), float(s["lo"])))
-            continue
-        grouped = (
-            vals.filter((F.col("v") >= s["lo"]) & (F.col("v") <= s["hi"]))
-            .groupBy("v")
-            .agg(F.sum("wt").alias("gw"))
-        )
-        win = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        crossing = (
-            grouped.withColumn("cum", F.sum("gw").over(win))
-            .filter(
-                F.col("cum") + F.lit(s["before"]) >= F.lit(s["target"])
-            )
-            .orderBy("v")
-            .limit(1)
-            .collect()
-        )
-        out_rows.append((float(q), float(crossing[0]["v"])))
+    values = _finish(vals, state, "int", weighted=True)
+    out_rows = [
+        (float(q), values[(0, q)]) for (_, q), _s in sorted(state.items())
+    ]
     return spark.createDataFrame(out_rows, out_schema).orderBy("q")
 
 
@@ -441,33 +464,11 @@ def grouped_weighted_exact_quantiles(
         for q in qs
     }
     _descent(vals, state, key_type, bins, bound, weighted=True)
-    out_rows = []
-    for (key, q), s in sorted(state.items()):
-        if s["lo"] == s["hi"]:
-            out_rows.append((key, float(q), float(s["lo"])))
-            continue
-        grouped = (
-            vals.filter(
-                (F.col("k") == key)
-                & (F.col("v") >= s["lo"])
-                & (F.col("v") <= s["hi"])
-            )
-            .groupBy("v")
-            .agg(F.sum("wt").alias("gw"))
-        )
-        win = Window.orderBy("v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        crossing = (
-            grouped.withColumn("cum", F.sum("gw").over(win))
-            .filter(
-                F.col("cum") + F.lit(s["before"]) >= F.lit(s["target"])
-            )
-            .orderBy("v")
-            .limit(1)
-            .collect()
-        )
-        out_rows.append((key, float(q), float(crossing[0]["v"])))
+    values = _finish(vals, state, key_type, weighted=True)
+    out_rows = [
+        (key, float(q), values[(key, q)])
+        for (key, q), _s in sorted(state.items())
+    ]
     return spark.createDataFrame(out_rows, out_schema).orderBy(
         key_col, "q"
     )
