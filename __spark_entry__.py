@@ -18,7 +18,7 @@ from bigdataminingproject_spark.functions.text import (
     ENGLISH_STOPWORDS,
     SKIPWORDS,
 )
-from bigdataminingproject_spark.operators import association
+from bigdataminingproject_spark.operators import aqp, association
 from bigdataminingproject_spark.operators import bpe
 from bigdataminingproject_spark.operators import coreset
 from bigdataminingproject_spark.operators import dedup, density, events, frequency
@@ -228,6 +228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_mad_outliers": selection.q_events_mad_outliers,
         "q_events_latency_by_type": sketches.q_events_latency_by_type,
         "q_join_size_estimate": sketches.q_join_size_estimate,
+        # round 8b: AQP — deterministic hash-sample estimation with a
+        # CLT error bar (the optimizer/dashboard family's third leg
+        # after CMS join-size and q-digest selectivity)
+        "q_lineitem_aqp_revenue": aqp.q_lineitem_aqp_revenue,
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
@@ -617,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_mad_outliers",
         "q_doc_source_heavy_hitters",
         "q_doc_source_weighted_length",
+        "q_lineitem_aqp_revenue",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -4597,6 +4602,47 @@ def oracle_sql() -> dict[str, str]:
         WHERE cum >= CAST(q AS DOUBLE) * W
         GROUP BY c.source, q
         ORDER BY c.source, q
+    """
+
+    # q_lineitem_aqp_revenue: AQP — the deterministic 1% hash sample
+    # is a pure row-key function, moments fold as DECIMAL(38,0) exact
+    # integers, and every double (p = 1.0/100, the CLT arithmetic) is
+    # derived from the same exact inputs with the same op order.
+    sql["q_lineitem_aqp_revenue"] = """
+        WITH r AS (
+            SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                        || '-' || CAST(l_linenumber AS VARCHAR)), 1, 12)
+                        AS BIGINT) % 100 = 0 AS in_sample,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                              0) AS DECIMAL(38,0)) AS u
+            FROM lineitem
+        ),
+        agg AS (
+            SELECT CAST(sum(CASE WHEN in_sample THEN u END)
+                        AS DECIMAL(38,0)) AS s_units,
+                   CAST(sum(CASE WHEN in_sample THEN u * u END)
+                        AS DECIMAL(38,0)) AS sq_units,
+                   count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+                   CAST(sum(u) AS DECIMAL(38,0)) AS exact_units
+            FROM r
+        ),
+        sc AS (
+            SELECT n_sampled,
+                   round(CAST(s_units AS DOUBLE) / (1.0 / 100)
+                         / 10000.0, 2) AS est,
+                   round(CAST(exact_units AS DOUBLE) / 10000.0, 2)
+                       AS exact,
+                   round(1.96 * sqrt(CAST(sq_units AS DOUBLE)
+                             * (1.0 - (1.0 / 100))
+                             / ((1.0 / 100) * (1.0 / 100)))
+                         / 10000.0, 2) AS ci95_half
+            FROM agg
+        )
+        SELECT n_sampled, est, exact,
+               floor(abs(est - exact) * 100.0 * 10000.0 / exact + 0.5)
+                   / 10000.0 AS rel_err_pct,
+               ci95_half
+        FROM sc
     """
 
     # q_events_mad_outliers: median/MAD robust screen — both medians

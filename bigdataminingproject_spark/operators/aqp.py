@@ -1,0 +1,108 @@
+"""Approximate query processing (AQP): sample-based aggregation with
+error bars — the BlinkDB/online-aggregation shape.
+
+At 100 TB many dashboards don't need the exact total; they need a fast
+estimate WITH a confidence interval. This module answers with a
+deterministic hash sample (every row whose 48-bit md5 key lands in a
+1-in-``rate_inv`` bucket), inverse-probability scaling, and a CLT
+95% half-width from the sample's exact integer moments:
+
+  est        = sum(sample) / p                (p = 1/rate_inv)
+  Var(est)   = sum(sample^2) * (1-p) / p^2    (Bernoulli inclusion)
+  ci95_half  = 1.96 * sqrt(Var(est))
+
+Determinism discipline (what lets DuckDB replay it bit-for-bit): the
+sample is a pure function of the row key (no RNG, no sample() — the
+same rows are in the sample on every engine and every run); the money
+column is folded at its exact 4-dp integer scale, and BOTH moments
+accumulate as DECIMAL(38,0) — associative exact integer sums, immune
+to shuffle order, wide enough that sum-of-squares cannot overflow at
+any corpus size a long would allow. Doubles appear only in the final
+scalar arithmetic, identically derived on both engines.
+
+On a bucketed/partitioned layout the hash-bucket sample prunes at the
+scan (sources/bucketing.py); on flat files it is one cheap full scan
+— still ~rate_inv x less aggregation work, and the exact leg here is
+kept ONLY to attest the error envelope (production callers drop it).
+
+No reference counterpart (north-star OLAP family: BlinkDB, Hellerstein
+et al. online aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdataminingproject_spark.functions.numeric import stable_round_div
+from bigdataminingproject_spark.sources.tables import load_table
+
+AQP_RATE_INV = 100  # 1% deterministic hash sample
+
+
+def _hash48(col) -> F.Column:
+    """48-bit md5-derived BIGINT, identical in Spark and DuckDB (the
+    kmv_hash idiom)."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def aqp_sum_estimate(
+    df: DataFrame,
+    key_col: F.Column,
+    units_col: F.Column,
+    unit_scale: int,
+    rate_inv: int = AQP_RATE_INV,
+) -> DataFrame:
+    """One-row (n_sampled, est, exact, rel_err_pct, ci95_half) for the
+    sum of ``units_col`` (an exact integer at ``unit_scale`` units per
+    currency unit), sampled at 1/``rate_inv`` by ``key_col`` hash."""
+    rows = df.select(
+        (_hash48(key_col) % rate_inv == 0).alias("in_sample"),
+        units_col.cast("decimal(38,0)").alias("u"),
+    )
+    agg = rows.agg(
+        F.sum(F.when(F.col("in_sample"), F.col("u"))).alias("s_units"),
+        F.sum(
+            F.when(F.col("in_sample"), F.col("u") * F.col("u"))
+        ).alias("sq_units"),
+        F.count(F.when(F.col("in_sample"), F.lit(1))).alias("n_sampled"),
+        F.sum("u").alias("exact_units"),
+    )
+    p = 1.0 / rate_inv
+    scale = float(unit_scale)
+    est = F.round(F.col("s_units").cast("double") / p / scale, 2)
+    exact = F.round(F.col("exact_units").cast("double") / scale, 2)
+    ci = F.round(
+        F.lit(1.96)
+        * F.sqrt(
+            F.col("sq_units").cast("double") * (1.0 - p) / (p * p)
+        )
+        / scale,
+        2,
+    )
+    return agg.select(
+        "n_sampled",
+        est.alias("est"),
+        exact.alias("exact"),
+        stable_round_div(
+            F.abs(est - exact) * F.lit(100.0), exact, 4
+        ).alias("rel_err_pct"),
+        ci.alias("ci95_half"),
+    )
+
+
+def q_lineitem_aqp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1% deterministic-hash AQP estimate of total discounted revenue
+    over lineitem, with its CLT 95% half-width and the exact envelope.
+    Revenue is exact at 4 dp (price 2 dp x discount 2 dp), folded as
+    integer ten-thousandths."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    )
+    return aqp_sum_estimate(li, key, units, unit_scale=10_000)
