@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CLT error bar (the optimizer/dashboard family's third leg
         # after CMS join-size and q-digest selectivity)
         "q_lineitem_aqp_revenue": aqp.q_lineitem_aqp_revenue,
+        "q_lineitem_aqp_by_flag": aqp.q_lineitem_aqp_by_flag,
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
@@ -622,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_source_heavy_hitters",
         "q_doc_source_weighted_length",
         "q_lineitem_aqp_revenue",
+        "q_lineitem_aqp_by_flag",
     ]
     del tier0, backlog_r3  # r7 layout kept above for the audit trail
     head = tier0_r8 + backlog_r4 + deferred_r9_tier0 + new_r8b
@@ -4643,6 +4645,50 @@ def oracle_sql() -> dict[str, str]:
                    / 10000.0 AS rel_err_pct,
                ci95_half
         FROM sc
+    """
+
+    # q_lineitem_aqp_by_flag: the grouped dashboard form — same sample
+    # and moment discipline, one row per return flag.
+    sql["q_lineitem_aqp_by_flag"] = """
+        WITH r AS (
+            SELECT l_returnflag AS g,
+                   CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                        || '-' || CAST(l_linenumber AS VARCHAR)), 1, 12)
+                        AS BIGINT) % 100 = 0 AS in_sample,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 10000,
+                              0) AS DECIMAL(38,0)) AS u
+            FROM lineitem
+            WHERE l_returnflag IS NOT NULL
+        ),
+        agg AS (
+            SELECT g,
+                   CAST(sum(CASE WHEN in_sample THEN u END)
+                        AS DECIMAL(38,0)) AS s_units,
+                   CAST(sum(CASE WHEN in_sample THEN u * u END)
+                        AS DECIMAL(38,0)) AS sq_units,
+                   count(CASE WHEN in_sample THEN 1 END) AS n_sampled,
+                   CAST(sum(u) AS DECIMAL(38,0)) AS exact_units
+            FROM r GROUP BY g
+        ),
+        sc AS (
+            SELECT g, n_sampled,
+                   round(coalesce(CAST(s_units AS DOUBLE), 0.0)
+                         / (1.0 / 100) / 10000.0, 2) AS est,
+                   round(CAST(exact_units AS DOUBLE) / 10000.0, 2)
+                       AS exact,
+                   round(1.96 * sqrt(coalesce(CAST(sq_units AS DOUBLE),
+                                              0.0)
+                             * (1.0 - (1.0 / 100))
+                             / ((1.0 / 100) * (1.0 / 100)))
+                         / 10000.0, 2) AS ci95_half
+            FROM agg
+        )
+        SELECT g AS l_returnflag, n_sampled, est, exact,
+               floor(abs(est - exact) * 100.0 * 10000.0 / exact + 0.5)
+                   / 10000.0 AS rel_err_pct,
+               ci95_half
+        FROM sc
+        ORDER BY l_returnflag
     """
 
     # q_events_mad_outliers: median/MAD robust screen — both medians

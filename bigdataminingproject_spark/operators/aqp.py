@@ -91,6 +91,77 @@ def aqp_sum_estimate(
     )
 
 
+def aqp_grouped_sum_estimate(
+    df: DataFrame,
+    group_col: str,
+    key_col: F.Column,
+    units_col: F.Column,
+    unit_scale: int,
+    rate_inv: int = AQP_RATE_INV,
+) -> DataFrame:
+    """Per-group (group, n_sampled, est, exact, rel_err_pct, ci95_half)
+    — the dashboard form. Same hash sample and exact-moment
+    discipline; one hash-agg per group, so group count scales freely
+    (no driver state at all)."""
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        (_hash48(key_col) % rate_inv == 0).alias("in_sample"),
+        units_col.cast("decimal(38,0)").alias("u"),
+    ).filter(F.col("g").isNotNull())
+    agg = rows.groupBy("g").agg(
+        F.sum(F.when(F.col("in_sample"), F.col("u"))).alias("s_units"),
+        F.sum(
+            F.when(F.col("in_sample"), F.col("u") * F.col("u"))
+        ).alias("sq_units"),
+        F.count(F.when(F.col("in_sample"), F.lit(1))).alias("n_sampled"),
+        F.sum("u").alias("exact_units"),
+    )
+    p = 1.0 / rate_inv
+    scale = float(unit_scale)
+    est = F.round(
+        F.coalesce(F.col("s_units").cast("double"), F.lit(0.0)) / p / scale,
+        2,
+    )
+    exact = F.round(F.col("exact_units").cast("double") / scale, 2)
+    ci = F.round(
+        F.lit(1.96)
+        * F.sqrt(
+            F.coalesce(F.col("sq_units").cast("double"), F.lit(0.0))
+            * (1.0 - p)
+            / (p * p)
+        )
+        / scale,
+        2,
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_sampled",
+        est.alias("est"),
+        exact.alias("exact"),
+        stable_round_div(
+            F.abs(est - exact) * F.lit(100.0), exact, 4
+        ).alias("rel_err_pct"),
+        ci.alias("ci95_half"),
+    ).orderBy(group_col)
+
+
+def q_lineitem_aqp_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag AQP revenue estimates with their own error bars
+    — the grouped dashboard form of q_lineitem_aqp_revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    )
+    return aqp_grouped_sum_estimate(
+        li, "l_returnflag", key, units, unit_scale=10_000
+    )
+
+
 def q_lineitem_aqp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1% deterministic-hash AQP estimate of total discounted revenue
     over lineitem, with its CLT 95% half-width and the exact envelope.

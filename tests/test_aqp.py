@@ -57,6 +57,41 @@ def test_matches_python_reference(spark, sf_dir):
     assert 0 < got["n_sampled"] < len(rows)
 
 
+def test_grouped_matches_python_reference(spark, sf_dir):
+    from bigdataminingproject_spark.operators.aqp import (
+        q_lineitem_aqp_by_flag,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+    )
+    by_flag: dict = {}
+    for r in li.collect():
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (r["l_orderkey"], r["l_linenumber"], r["l_extendedprice"], r["l_discount"])
+        )
+    want = {
+        flag: _py_reference(rows, AQP_RATE_INV)
+        for flag, rows in by_flag.items()
+    }
+    got = {
+        r["l_returnflag"]: (
+            r["n_sampled"],
+            r["est"],
+            r["exact"],
+            r["rel_err_pct"],
+            r["ci95_half"],
+        )
+        for r in q_lineitem_aqp_by_flag(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len(got) >= 3
+
+
 def test_estimate_within_its_error_bar_at_sf001(spark):
     """Not a theorem (a 95% interval misses 5% of the time) but a
     pinned empirical fact on sf0.01's fixed deterministic sample
