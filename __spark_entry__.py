@@ -4630,11 +4630,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         sc AS (
             SELECT n_sampled,
-                   round(CAST(s_units AS DOUBLE) / (1.0 / 100)
-                         / 10000.0, 2) AS est,
+                   round(coalesce(CAST(s_units AS DOUBLE), 0.0)
+                         / (1.0 / 100) / 10000.0, 2) AS est,
                    round(CAST(exact_units AS DOUBLE) / 10000.0, 2)
                        AS exact,
-                   round(1.96 * sqrt(CAST(sq_units AS DOUBLE)
+                   round(1.96 * sqrt(coalesce(CAST(sq_units AS DOUBLE),
+                                              0.0)
                              * (1.0 - (1.0 / 100))
                              / ((1.0 / 100) * (1.0 / 100)))
                          / 10000.0, 2) AS ci95_half

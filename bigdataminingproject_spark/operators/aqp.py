@@ -70,12 +70,20 @@ def aqp_sum_estimate(
     )
     p = 1.0 / rate_inv
     scale = float(unit_scale)
-    est = F.round(F.col("s_units").cast("double") / p / scale, 2)
+    # empty sample -> 0.0 estimate with 0.0 half-width (same rule as
+    # the grouped variant — a NULL est on a small input was a latent
+    # surprise for library callers; the oracle coalesces identically)
+    est = F.round(
+        F.coalesce(F.col("s_units").cast("double"), F.lit(0.0)) / p / scale,
+        2,
+    )
     exact = F.round(F.col("exact_units").cast("double") / scale, 2)
     ci = F.round(
         F.lit(1.96)
         * F.sqrt(
-            F.col("sq_units").cast("double") * (1.0 - p) / (p * p)
+            F.coalesce(F.col("sq_units").cast("double"), F.lit(0.0))
+            * (1.0 - p)
+            / (p * p)
         )
         / scale,
         2,
@@ -143,6 +151,86 @@ def aqp_grouped_sum_estimate(
         ).alias("rel_err_pct"),
         ci.alias("ci95_half"),
     ).orderBy(group_col)
+
+
+def aqp_quantile_estimate(
+    df: DataFrame,
+    key_col: F.Column,
+    value_col: str,
+    q: float = 0.5,
+    rate_inv: int = AQP_RATE_INV,
+) -> DataFrame:
+    """One-row sample-quantile estimate with a DISTRIBUTION-FREE
+    confidence interval: the q-quantile of the deterministic hash
+    sample, bracketed by the classic binomial order-statistic bounds
+    (sample ranks ceil(qm -/+ 1.96*sqrt(m q (1-q))) — no CLT on the
+    values, no density assumption; only the sample indicator is
+    treated as Bernoulli), next to the exact full-data quantile as the
+    attested envelope.
+
+    Every quantile here — the three sample ranks AND the exact leg —
+    is an exact order statistic via the shared selection descent
+    (operators/selection.py), so both engines pick identical VALUES;
+    the rank arithmetic is the same IEEE double sequence on both
+    sides. Returns (n_sampled, est, exact, rel_err_pct, ci_lo,
+    ci_hi).
+    """
+    import math
+
+    from bigdataminingproject_spark.operators.selection import (
+        exact_ranks,
+    )
+
+    spark = df.sparkSession
+    out_schema = (
+        "n_sampled bigint, est double, exact double, rel_err_pct double, "
+        "ci_lo double, ci_hi double"
+    )
+    sample = df.filter(_hash48(key_col) % rate_inv == 0)
+    m = sample.count()
+    n = df.count()
+    if m == 0 or n == 0:
+        return spark.createDataFrame([], out_schema)
+    r_mid = max(1, math.ceil(q * float(m)))
+    half = 1.96 * math.sqrt(float(m) * q * (1.0 - q))
+    r_lo = max(1, math.ceil(q * float(m) - half))
+    r_hi = min(m, math.ceil(q * float(m) + half))
+    sv = exact_ranks(sample, value_col, (r_mid, r_lo, r_hi))
+    exact = exact_ranks(df, value_col, (max(1, math.ceil(q * float(n))),))
+    est = sv[max(1, min(m, r_mid))]
+    ex = next(iter(exact.values()))
+    rel = (
+        math.floor(abs(est - ex) * 100.0 * 10000.0 / ex + 0.5) / 10000.0
+        if ex
+        else 0.0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m,
+                est,
+                ex,
+                rel,
+                sv[max(1, min(m, r_lo))],
+                sv[max(1, min(m, r_hi))],
+            )
+        ],
+        out_schema,
+    )
+
+
+def q_lineitem_aqp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1% hash-sample median of l_extendedprice with binomial
+    order-statistic 95% bounds and the exact-median envelope — the
+    quantile leg of the AQP family (sums get CLT bars; quantiles get
+    distribution-free rank bars)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return aqp_quantile_estimate(li, key, "l_extendedprice", q=0.5)
 
 
 def q_lineitem_aqp_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -641,9 +641,14 @@ def mg_candidate_partials_by_key(
     f_p is retained unless f_p <= N_p(key)/(s+1), so any token with
     key-frequency > N(key)/(s+1) survives SOME partition's summary.
     Marker rows (key, token NULL, cnt = N_p(key)) carry each key's
-    exact N out of the same scan.
+    exact N out of the same scan. The output k field keeps the input
+    key column's type (derived from the schema, not hardcoded) so a
+    non-string key never round-trips through an implicit cast that
+    the later exact-recount join would have to undo.
     """
     import pandas as pd
+
+    k_type = tokens.schema["k"].dataType.simpleString()
 
     def summarize(batches):
         runs: dict = {}
@@ -673,7 +678,9 @@ def mg_candidate_partials_by_key(
             cnts.append(total)
         yield pd.DataFrame({"k": ks, "token": toks_, "cnt": cnts})
 
-    return tokens.mapInPandas(summarize, "k string, token string, cnt long")
+    return tokens.mapInPandas(
+        summarize, f"k {k_type}, token string, cnt long"
+    )
 
 
 def grouped_heavy_hitters(

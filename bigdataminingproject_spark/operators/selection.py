@@ -53,13 +53,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from bigdataminingproject_spark.functions.numeric import stable_round_div
+from bigdataminingproject_spark.functions.numeric import (
+    stable_avg,
+    stable_round_div,
+)
 from bigdataminingproject_spark.sources.tables import load_table
 
 SEL_BINS = 1024
 SEL_BOUND = 50_000  # narrow-pass row budget (driver-safe final sort)
 SEL_MAX_DEPTH = 6  # loud-guard cap: 1024^6 >> any corpus
 SEL_MAX_KEYS = 64  # grouped selection collects one state row per key
+
+
+def _guard_key_cardinality(vals: DataFrame) -> None:
+    """Refuse unbounded key columns BEFORE any per-key state reaches
+    the driver: a distinct().limit(SEL_MAX_KEYS + 1).count() stops
+    scanning at the cap + 1 instead of collecting an arbitrary-size
+    groupBy first (the driver-memory hazard the guard exists for)."""
+    seen = vals.select("k").distinct().limit(SEL_MAX_KEYS + 1).count()
+    if seen > SEL_MAX_KEYS:
+        raise ValueError(
+            f"grouped selection saw >{SEL_MAX_KEYS} keys; use "
+            "grouped_histogram_quantiles for unbounded key sets"
+        )
 
 
 def _rank_of(q: float, n: int) -> int:
@@ -142,10 +158,13 @@ def _descent(
             rows = sorted(
                 by_t.get((key, float(q)), []), key=lambda r: r["cell"]
             )
-            need = s["target"] - s["before"]
             cum = 0
             for r in rows:
-                if cum + r["m"] >= need:
+                # crossing rule bit-identical to _finish and the oracle
+                # (before + cum >= target): a float subtraction
+                # (target - before) could disagree by one ulp when a
+                # weighted cumulative lands exactly on the target
+                if s["before"] + cum + r["m"] >= s["target"]:
                     s["before"] += cum
                     s["mass"] = r["c"]
                     # measured bounds of the chosen cell: rows cannot
@@ -277,6 +296,46 @@ def exact_quantiles(
     return spark.createDataFrame(out_rows, out_schema).orderBy("q")
 
 
+def exact_ranks(
+    df: DataFrame,
+    col: str,
+    ranks: tuple[int, ...],
+    bins: int = SEL_BINS,
+    bound: int = SEL_BOUND,
+) -> dict[int, float]:
+    """Exact values at explicit 1-based RANKS of ``df[col]`` (the raw
+    selection primitive under exact_quantiles, exposed for callers —
+    like the AQP quantile estimator's binomial rank bounds — whose
+    targets are ranks, not quantile fractions). All ranks advance in
+    one shared descent; returns {rank: value} (ranks clamped to
+    [1, n]); empty dict on an empty column."""
+    g = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    vals = g.select(F.lit(0).alias("k"), "v")
+    s = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    if s["n"] == 0:
+        return {}
+    clamped = sorted({max(1, min(int(s["n"]), int(r))) for r in ranks})
+    state = {
+        (0, float(r)): {
+            "lo": s["lo"],
+            "hi": s["hi"],
+            "before": 0,
+            "mass": s["n"],
+            "target": int(r),
+        }
+        for r in clamped
+    }
+    _descent(vals, state, "int", bins, bound)
+    values = _finish(vals, state, "int")
+    return {int(r): values[(0, float(r))] for r in clamped}
+
+
 def grouped_exact_quantiles(
     df: DataFrame,
     key_col: str,
@@ -302,6 +361,7 @@ def grouped_exact_quantiles(
         F.col(col).cast("double").alias("v"),
     ).filter(F.col("v").isNotNull() & F.col("k").isNotNull())
     out_schema = f"{key_col} {key_type}, q double, rank bigint, value double"
+    _guard_key_cardinality(vals)
     groups = (
         vals.groupBy("k")
         .agg(
@@ -313,12 +373,6 @@ def grouped_exact_quantiles(
     )
     if not groups:
         return spark.createDataFrame([], out_schema)
-    if len(groups) > SEL_MAX_KEYS:
-        raise ValueError(
-            f"grouped selection saw {len(groups)} keys (> "
-            f"{SEL_MAX_KEYS}); use grouped_histogram_quantiles for "
-            "unbounded key sets"
-        )
     state = {
         (g["k"], q): {
             "lo": g["lo"],
@@ -434,6 +488,7 @@ def grouped_weighted_exact_quantiles(
         .filter(F.col("wt") > 0)
     )
     out_schema = f"{key_col} {key_type}, q double, value double"
+    _guard_key_cardinality(vals)
     groups = (
         vals.groupBy("k")
         .agg(
@@ -446,12 +501,6 @@ def grouped_weighted_exact_quantiles(
     )
     if not groups:
         return spark.createDataFrame([], out_schema)
-    if len(groups) > SEL_MAX_KEYS:
-        raise ValueError(
-            f"grouped selection saw {len(groups)} keys (> "
-            f"{SEL_MAX_KEYS}); use grouped_histogram_quantiles for "
-            "unbounded key sets"
-        )
     state = {
         (g["k"], q): {
             "lo": g["lo"],
@@ -539,6 +588,94 @@ def mad_outliers(
         )
         .orderBy(group_col)
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    bins: int = SEL_BINS,
+    bound: int = SEL_BOUND,
+) -> DataFrame:
+    """Per-group winsorized statistics: clip ``col`` to the group's
+    EXACT [p_lo, p_hi] order statistics, then aggregate — the robust
+    mean that tail corruption cannot drag (the data-cleaning sibling
+    of mad_outliers, clipping instead of flagging).
+
+    Composes the keyed descent once for both clip bounds (every
+    (group, p) target advances in the same scans), broadcasts the
+    bounded (group, lo, hi) clip table back, and finishes with one
+    hash-agg over clipped values. The clip bounds are exact selected
+    VALUES — identical doubles on both engines — so clipping is a
+    pure per-row function and the winsorized mean inherits the
+    stable_avg discipline (2-dp inner sum on 2-dp clipped values).
+    Returns (group, n_events, n_lo_clipped, n_hi_clipped, p_lo_value,
+    p_hi_value, win_mean).
+    """
+    spark = df.sparkSession
+    key_type = df.schema[group_col].dataType.simpleString()
+    out_schema = (
+        f"{group_col} {key_type}, n_events bigint, n_lo_clipped bigint, "
+        "n_hi_clipped bigint, p_lo_value double, p_hi_value double, "
+        "win_mean double"
+    )
+    qdf = grouped_exact_quantiles(
+        df, group_col, col, qs=(p_lo, p_hi), bins=bins, bound=bound
+    ).collect()  # bounded: keys x 2 (the descent's own guard applies)
+    if not qdf:
+        return spark.createDataFrame([], out_schema)
+    clip: dict = {}
+    for r in qdf:
+        lohi = clip.setdefault(r[group_col], {})
+        lohi[float(r["q"])] = float(r["value"])
+    clip_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v[p_lo], v[p_hi]) for k, v in clip.items()],
+            f"g {key_type}, qlo double, qhi double",
+        )
+    )
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col(group_col).isNotNull())
+    w = F.least(F.greatest(F.col("v"), F.col("qlo")), F.col("qhi"))
+    return (
+        vals.join(clip_df, "g")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("v") < F.col("qlo")).cast("long")).alias(
+                "n_lo_clipped"
+            ),
+            F.sum((F.col("v") > F.col("qhi")).cast("long")).alias(
+                "n_hi_clipped"
+            ),
+            F.min("qlo").alias("p_lo_value"),
+            F.max("qhi").alias("p_hi_value"),
+            stable_avg(w, 4, 2).alias("win_mean"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_events",
+            "n_lo_clipped",
+            "n_hi_clipped",
+            "p_lo_value",
+            "p_hi_value",
+            "win_mean",
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_events_winsorized_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-event-type winsorized value statistics (clip at the exact
+    per-type [p5, p95], count what the clip touched, robust mean)."""
+    ev = load_table(spark, sf_dir, "events")
+    return winsorized_stats(ev, "value", "event_type")
 
 
 def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
