@@ -24,7 +24,10 @@ from bigdataminingproject_spark.operators import coreset
 from bigdataminingproject_spark.operators import dedup, density, events, frequency
 from bigdataminingproject_spark.operators import fuzzy
 from bigdataminingproject_spark.operators import graph
+from bigdataminingproject_spark.operators import histogram
+from bigdataminingproject_spark.operators import intervals
 from bigdataminingproject_spark.operators import kmv
+from bigdataminingproject_spark.operators import recommend
 from bigdataminingproject_spark.operators import kcore
 from bigdataminingproject_spark.operators import qdigest
 from bigdataminingproject_spark.operators import minhash, multimodal, relational
@@ -233,6 +236,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # after CMS join-size and q-digest selectivity)
         "q_lineitem_aqp_revenue": aqp.q_lineitem_aqp_revenue,
         "q_lineitem_aqp_by_flag": aqp.q_lineitem_aqp_by_flag,
+        # round 9: the AQP quantile leg — sample median with
+        # distribution-free binomial order-statistic bounds; every
+        # quantile involved is an exact selection on both engines
+        "q_lineitem_aqp_quantile": aqp.q_lineitem_aqp_quantile,
+        # round 9: equi-depth histogram (exact boundaries via the
+        # shared selection descent) + the histogram-interpolation
+        # selectivity estimator — the classic optimizer statistic
+        # alongside CMS join-size and q-digest range rank
+        "q_events_equidepth_hist": histogram.q_events_equidepth_hist,
+        "q_events_hist_selectivity": (
+            histogram.q_events_hist_selectivity
+        ),
+        # round 9: bucketized point-in-interval (range) join — the
+        # equi-join decomposition of an inequality join; incident-
+        # window stats per error anchor
+        "q_events_interval_join": intervals.q_events_interval_join,
+        # round 9: item-item co-purchase cosine top-k (the
+        # recommendation family; within-basket pair enumeration only)
+        "q_part_itemsim": recommend.q_part_itemsim,
+        # round 9: deterministic synchronous label-propagation
+        # communities on the co-purchase part graph
+        "q_part_communities": graph.q_part_communities,
+        # round 9: per-group winsorized robust statistics (clip at
+        # exact per-group [p5, p95] via the keyed selection descent)
+        "q_events_winsorized_stats": (
+            selection.q_events_winsorized_stats
+        ),
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
@@ -4690,6 +4720,299 @@ def oracle_sql() -> dict[str, str]:
                ci95_half
         FROM sc
         ORDER BY l_returnflag
+    """
+
+    # q_lineitem_aqp_quantile: the sample and the full column both go
+    # through the pinned rank rule (max(1, ceil(q*n)) over row_number),
+    # and the binomial rank-bound arithmetic is the identical IEEE
+    # double op sequence on both engines, so every selected VALUE is
+    # bit-equal.
+    sql["q_lineitem_aqp_quantile"] = """
+        WITH s AS (
+            SELECT l_extendedprice AS v
+            FROM lineitem
+            WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                       || '-' || CAST(l_linenumber AS VARCHAR)), 1, 12)
+                       AS BIGINT) % 100 = 0
+        ),
+        m AS (SELECT count(*) AS m FROM s),
+        nn AS (SELECT count(*) AS n FROM lineitem),
+        ranks AS (
+            SELECT m,
+                   greatest(1, CAST(ceil(0.5 * m) AS BIGINT)) AS r_mid,
+                   greatest(1, CAST(ceil(0.5 * m
+                       - 1.96 * sqrt(m * 0.5 * (1.0 - 0.5)))
+                       AS BIGINT)) AS r_lo,
+                   least(m, CAST(ceil(0.5 * m
+                       + 1.96 * sqrt(m * 0.5 * (1.0 - 0.5)))
+                       AS BIGINT)) AS r_hi
+            FROM m
+        ),
+        rs AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s
+        ),
+        re AS (
+            SELECT l_extendedprice AS v,
+                   row_number() OVER (ORDER BY l_extendedprice) AS rn
+            FROM lineitem
+        ),
+        picks AS (
+            SELECT ranks.m AS n_sampled,
+                   (SELECT v FROM rs WHERE rn =
+                        greatest(1, least(ranks.m, ranks.r_mid))) AS est,
+                   (SELECT v FROM re, nn WHERE rn =
+                        greatest(1, CAST(ceil(0.5 * nn.n) AS BIGINT)))
+                       AS exact,
+                   (SELECT v FROM rs WHERE rn =
+                        greatest(1, least(ranks.m, ranks.r_lo))) AS ci_lo,
+                   (SELECT v FROM rs WHERE rn =
+                        greatest(1, least(ranks.m, ranks.r_hi))) AS ci_hi
+            FROM ranks
+        )
+        SELECT n_sampled, est, exact,
+               floor(abs(est - exact) * 100.0 * 10000.0 / exact + 0.5)
+                   / 10000.0 AS rel_err_pct,
+               ci_lo, ci_hi
+        FROM picks
+    """
+
+    # q_events_equidepth_hist: boundaries are exact i/8 order
+    # statistics (the pinned rank rule over row_number), bucket
+    # membership is 1 + #(v > boundary) — ties land low on both
+    # engines; empty buckets emitted via the generated spec.
+    _HIST_CTE = """
+        w AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+        n AS (SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM w),
+        r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM w),
+        b AS (
+            SELECT t.i AS i, r.v AS bv
+            FROM generate_series(1, 7) AS t(i)
+            CROSS JOIN n
+            JOIN r ON r.rn = greatest(1,
+                CAST(ceil((CAST(t.i AS DOUBLE) / 8) * n.n) AS BIGINT))
+        ),
+        vc AS (SELECT v, count(*) AS c FROM w GROUP BY v),
+        assigned AS (
+            SELECT vc.v, vc.c,
+                   1 + sum(CASE WHEN vc.v > b.bv THEN 1 ELSE 0 END)
+                       AS bucket
+            FROM vc CROSS JOIN b GROUP BY vc.v, vc.c
+        ),
+        counts AS (
+            SELECT bucket, CAST(sum(c) AS BIGINT) AS n_rows
+            FROM assigned GROUP BY bucket
+        ),
+        spec AS (
+            SELECT k.bucket AS bucket,
+                   CASE WHEN k.bucket = 1 THEN n.mn
+                        ELSE (SELECT bv FROM b WHERE i = k.bucket - 1)
+                   END AS lo,
+                   CASE WHEN k.bucket = 8 THEN n.mx
+                        ELSE (SELECT bv FROM b WHERE i = k.bucket)
+                   END AS hi
+            FROM generate_series(1, 8) AS k(bucket) CROSS JOIN n
+        ),
+        hist AS (
+            SELECT CAST(spec.bucket AS INT) AS bucket, spec.lo, spec.hi,
+                   coalesce(counts.n_rows, 0) AS n_rows
+            FROM spec LEFT JOIN counts ON counts.bucket = spec.bucket
+        )
+    """
+    sql["q_events_equidepth_hist"] = f"""
+        WITH {_HIST_CTE}
+        SELECT bucket, lo, hi, n_rows FROM hist ORDER BY bucket
+    """
+
+    # q_events_hist_selectivity: the 8-term interpolation fold is an
+    # EXPLICIT left-associated chain (not a SQL aggregate, whose
+    # summation tree could reassociate) so the estimate is the same
+    # double the Spark driver's left-to-right loop produces.
+    _HIST_TERM = """
+            coalesce((SELECT CASE
+                WHEN hi < 20.0 OR lo > 100.0 OR n_rows = 0 THEN 0.0
+                WHEN lo = hi THEN CAST(n_rows AS DOUBLE)
+                ELSE CAST(n_rows AS DOUBLE) * least(1.0, greatest(0.0,
+                     (least(100.0, hi) - greatest(20.0, lo)) / (hi - lo)))
+                END FROM hist WHERE bucket = {i}), 0.0)
+    """
+    _HIST_FOLD = "0.0"
+    for _i in range(1, 9):
+        _HIST_FOLD = f"({_HIST_FOLD} + {_HIST_TERM.format(i=_i)})"
+    sql["q_events_hist_selectivity"] = f"""
+        WITH {_HIST_CTE},
+        est AS (SELECT {_HIST_FOLD} AS est),
+        ex AS (
+            SELECT count(*) AS exact_rows FROM w
+            WHERE v >= 20.0 AND v <= 100.0
+        )
+        SELECT CAST(20.0 AS DOUBLE) AS range_lo,
+               CAST(100.0 AS DOUBLE) AS range_hi,
+               CAST(floor(est + 0.5) AS BIGINT) AS est_rows,
+               exact_rows,
+               CASE WHEN exact_rows = 0 THEN 0.0
+                    ELSE floor(abs(CAST(floor(est + 0.5) AS BIGINT)
+                         - exact_rows) * 100.0 * 100.0 / exact_rows
+                         + 0.5) / 100.0
+               END AS err_pct
+        FROM est, ex
+    """
+
+    # q_events_interval_join: the oracle states the semantics as the
+    # plain inequality join the bucketized equi-join decomposes.
+    sql["q_events_interval_join"] = """
+        WITH base AS (
+            SELECT event_id, user_id, event_type, value,
+                   epoch_us(ts) AS p_us
+            FROM events
+        ),
+        anchors AS (
+            SELECT event_id AS anchor_id, user_id,
+                   p_us AS start_us, p_us + 1800000000 AS end_us
+            FROM base WHERE event_type = 'error'
+        ),
+        m AS (
+            SELECT a.anchor_id, p.event_type AS p_type,
+                   p.value AS p_value
+            FROM anchors a
+            JOIN base p ON p.user_id = a.user_id
+                AND p.p_us >= a.start_us AND p.p_us <= a.end_us
+                AND p.event_id <> a.anchor_id
+        ),
+        agg AS (
+            SELECT anchor_id, count(*) AS n_events,
+                   count(DISTINCT p_type) AS n_types,
+                   round(sum(p_value), 2) AS sum_value
+            FROM m GROUP BY anchor_id
+        )
+        SELECT a.anchor_id,
+               coalesce(g.n_events, 0) AS n_events,
+               coalesce(g.n_types, 0) AS n_types,
+               coalesce(g.sum_value, 0.0) AS sum_value
+        FROM anchors a LEFT JOIN agg g ON g.anchor_id = a.anchor_id
+        ORDER BY a.anchor_id
+    """
+
+    # q_part_itemsim: cosine is one IEEE sqrt+divide of exact integer
+    # counts; ranking tie-breaks on neighbor id on both engines.
+    sql["q_part_itemsim"] = """
+        WITH bi AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        n AS (SELECT p, count(*) AS n_orders FROM bi GROUP BY p),
+        co AS (
+            SELECT a.p AS a, b.p AS b, count(*) AS co_count
+            FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT a, b, co_count FROM co
+            UNION ALL SELECT b, a, co_count FROM co
+        ),
+        scored AS (
+            SELECT s.a AS item, s.b AS neighbor,
+                   CAST(s.co_count AS BIGINT) AS co_count,
+                   s.co_count / sqrt(CAST(na.n_orders AS DOUBLE)
+                                     * nb.n_orders) AS cos_sim
+            FROM sym s
+            JOIN n na ON na.p = s.a
+            JOIN n nb ON nb.p = s.b
+        )
+        SELECT item, neighbor, co_count, cos_sim, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY item ORDER BY cos_sim DESC, neighbor
+            ) AS rn FROM scored
+        )
+        WHERE rn <= 5
+        ORDER BY item, rank
+    """
+
+    # q_part_communities: 4 unrolled synchronous LPA rounds over the
+    # same >=2-shared-orders co-purchase adjacency as the coreness
+    # oracle; the (count desc, label asc) argmax is deterministic on
+    # both engines, so the fixed unroll yields the identical labels.
+    _LPA_ROUND = """
+        {nxt} AS (
+            SELECT v, label FROM (
+                SELECT u AS v, label, row_number() OVER (
+                    PARTITION BY u ORDER BY c DESC, label
+                ) AS rn
+                FROM (
+                    SELECT s.u, l.label, count(*) AS c
+                    FROM sym s JOIN {prev} l ON l.v = s.v
+                    GROUP BY s.u, l.label
+                )
+            ) WHERE rn = 1
+        )
+    """
+    _LPA_ROUNDS_SQL = ",\n".join(
+        _LPA_ROUND.format(nxt=f"l{i + 1}", prev=f"l{i}")
+        for i in range(4)
+    )
+    sql["q_part_communities"] = f"""
+        WITH bi AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e AS (
+            SELECT a.p AS a, b.p AS b
+            FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p HAVING count(*) >= 2
+        ),
+        sym AS (
+            SELECT a AS u, b AS v FROM e
+            UNION ALL SELECT b, a FROM e
+        ),
+        l0 AS (SELECT DISTINCT u AS v, u AS label FROM sym),
+        {_LPA_ROUNDS_SQL}
+        SELECT label AS community, CAST(count(*) AS BIGINT) AS size,
+               min(v) AS first_member
+        FROM l4 GROUP BY label HAVING count(*) >= 2
+        ORDER BY size DESC, community
+    """
+
+    # q_events_winsorized_stats: clip bounds are exact per-group order
+    # statistics (pinned rank rule); the winsorized mean follows the
+    # stable_avg discipline (2-dp inner sum of 2-dp clipped values).
+    sql["q_events_winsorized_stats"] = f"""
+        WITH w AS (
+            SELECT event_type AS g, value AS v FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        gn AS (SELECT g, count(*) AS n FROM w GROUP BY g),
+        r AS (
+            SELECT g, v,
+                   row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+            FROM w
+        ),
+        qlo AS (
+            SELECT r.g, r.v AS qlo
+            FROM r JOIN gn ON gn.g = r.g
+            WHERE r.rn = greatest(1,
+                CAST(ceil(CAST(0.05 AS DOUBLE) * gn.n) AS BIGINT))
+        ),
+        qhi AS (
+            SELECT r.g, r.v AS qhi
+            FROM r JOIN gn ON gn.g = r.g
+            WHERE r.rn = greatest(1,
+                CAST(ceil(CAST(0.95 AS DOUBLE) * gn.n) AS BIGINT))
+        ),
+        clip AS (
+            SELECT w.g, w.v, qlo.qlo, qhi.qhi,
+                   least(greatest(w.v, qlo.qlo), qhi.qhi) AS wv
+            FROM w
+            JOIN qlo ON qlo.g = w.g
+            JOIN qhi ON qhi.g = w.g
+        )
+        SELECT g AS event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN v < qlo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lo_clipped,
+               CAST(sum(CASE WHEN v > qhi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hi_clipped,
+               min(qlo) AS p_lo_value,
+               max(qhi) AS p_hi_value,
+               {stable_avg_sql("wv", 4, 2)} AS win_mean
+        FROM clip GROUP BY g ORDER BY event_type
     """
 
     # q_events_mad_outliers: median/MAD robust screen — both medians

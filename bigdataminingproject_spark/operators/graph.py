@@ -148,6 +148,78 @@ def q_token_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+LPA_ROUNDS = 4  # fixed synchronous unroll, mirrored by the oracle
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = LPA_ROUNDS
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al., Phys. Rev. E '07) made DETERMINISTIC: every vertex starts
+    labeled with itself; each round every vertex adopts the label most
+    frequent among its neighbors, ties broken by smallest label. A
+    fixed ``rounds`` unroll (not run-to-convergence — synchronous LPA
+    can 2-cycle) keeps both engines on the identical update sequence.
+
+    Per round: one edge-list join against the label relation, one
+    (vertex, label) hash-agg, one per-vertex argmax window — all
+    graph-sized, no driver state; lineage is cut per round. Returns
+    (v, label) after the final round.
+    """
+    sym = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("v"), F.col("u").alias("label"))
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        nb = sym.join(
+            labels.select(
+                F.col("v").alias("nv"), F.col("label").alias("label")
+            ),
+            F.col("v") == F.col("nv"),
+        ).select("u", "label")
+        labels = (
+            nb.groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("v"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part communities after 4 synchronous LPA rounds on the
+    co-purchase graph (>= 2 shared orders): one row per community of
+    size >= 2 — (community label, member count, smallest member)
+    ordered by size. Basket-affinity clusters, the unsupervised
+    complement of the coreness/clustering-coefficient family on the
+    same graph. (The token co-occurrence graph is the wrong substrate
+    here: at every attested SF it is a single dense 29-vertex clique
+    cluster that LPA correctly collapses to one label.)"""
+    from bigdataminingproject_spark.operators.kcore import (
+        copurchase_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    labels = label_propagation(copurchase_edges(li))
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("v").alias("first_member"),
+        )
+        .filter(F.col("size") >= 2)
+        .orderBy(F.desc("size"), "community")
+    )
+
+
 def q_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient of every part in the co-purchase
     graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how interconnected
