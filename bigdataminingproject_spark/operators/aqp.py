@@ -31,8 +31,11 @@ et al. online aggregation).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.functions.numeric import stable_round_div
 from bigdataminingproject_spark.sources.tables import load_table
@@ -265,3 +268,135 @@ def q_lineitem_aqp_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
     )
     return aqp_sum_estimate(li, key, units, unit_scale=10_000)
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: distribution-free error bars in ONE pass
+# ---------------------------------------------------------------------------
+
+# Integer thresholds floor(CDF_Poisson(1)(k) * 2^20), k = 0..9: a row's
+# bootstrap weight in replica r is the number of thresholds <= its
+# 20-bit hash draw — a pure integer staircase both engines evaluate
+# identically (no float CDF literals in the comparison path).
+BOOT_THRESHOLDS = (
+    385749, 771499, 964373, 1028665, 1044738,
+    1047952, 1048488, 1048565, 1048574, 1048575,
+)
+BOOT_REPLICAS = 32
+BOOT_DENOM = 1 << 20
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    group_col: str,
+    key_col: F.Column,
+    units_col: F.Column,
+    unit_scale: int,
+    replicas: int = BOOT_REPLICAS,
+) -> DataFrame:
+    """Per-group Poisson(1)-bootstrap mean estimates with order-
+    statistic confidence bounds — the distribution-free sibling of the
+    CLT bars above (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012).
+
+    The classic bootstrap resamples N rows WITH replacement B times —
+    impossible to coordinate across a cluster. The Poisson bootstrap
+    replaces each replica's multinomial with independent Poisson(1)
+    weights per (row, replica): every row computes its own weights
+    from a deterministic hash, so the whole thing is ONE scan, B
+    integer-weighted partial sums per group, no shuffle of raw rows
+    beyond the group agg. Each replica's weighted sum is an EXACT
+    bigint (weights <= 10, units exact integers), so replica means are
+    engine-identical doubles and the percentile bounds — 2nd-smallest
+    / 2nd-largest of 32 replica means, a ~94% interval — replay
+    bit-for-bit on the oracle.
+
+    Returns (group, n_rows, mean_value, boot_lo, boot_hi, boot_width).
+    """
+    reps = F.explode(
+        F.array(*[F.lit(r) for r in range(1, replicas + 1)])
+    ).alias("r")
+    u = _hash48(
+        F.concat(F.col("_key"), F.lit(":"), F.col("r").cast("string"))
+    ) % BOOT_DENOM
+    w = reduce(
+        lambda acc, t: acc
+        + F.when(F.col("u") >= F.lit(t), F.lit(1)).otherwise(F.lit(0)),
+        BOOT_THRESHOLDS,
+        F.lit(0),
+    )
+    rows = df.select(
+        F.col(group_col).alias("g"),
+        key_col.alias("_key"),
+        units_col.cast("long").alias("y"),
+        reps,
+    ).select(
+        "g", "y", "r", u.alias("u")
+    ).select(
+        "g", "y", "r", w.alias("w")
+    )
+    per_replica = rows.groupBy("g", "r").agg(
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum("w").alias("sw"),
+    )
+    scale = float(unit_scale)
+    rmeans = per_replica.select(
+        "g",
+        "r",
+        F.when(
+            F.col("sw") > 0,
+            F.col("swy").cast("double")
+            / F.col("sw").cast("double")
+            / scale,
+        ).alias("m"),
+    )
+    asc = Window.partitionBy("g").orderBy(F.col("m").asc(), F.col("r").asc())
+    desc = Window.partitionBy("g").orderBy(
+        F.col("m").desc(), F.col("r").desc()
+    )
+    bounds = (
+        rmeans.withColumn("ra", F.row_number().over(asc))
+        .withColumn("rd", F.row_number().over(desc))
+        .groupBy("g")
+        .agg(
+            F.max(F.when(F.col("ra") == 2, F.col("m"))).alias("lo"),
+            F.max(F.when(F.col("rd") == 2, F.col("m"))).alias("hi"),
+        )
+    )
+    full = df.select(
+        F.col(group_col).alias("g"), units_col.cast("long").alias("y")
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("y").alias("sy")
+    )
+    return (
+        full.join(bounds, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows",
+            F.round(
+                F.col("sy").cast("double")
+                / F.col("n_rows").cast("double")
+                / scale,
+                6,
+            ).alias("mean_value"),
+            F.round(F.col("lo"), 6).alias("boot_lo"),
+            F.round(F.col("hi"), 6).alias("boot_hi"),
+            F.round(F.col("hi") - F.col("lo"), 6).alias("boot_width"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How uncertain is each event type's mean value? 32-replica
+    Poisson-bootstrap order-statistic bounds, one scan, all-integer
+    partials."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+    return poisson_bootstrap_means(
+        ev,
+        "event_type",
+        F.col("event_id").cast("string"),
+        cents,
+        unit_scale=100,
+    )

@@ -2716,3 +2716,76 @@ def q_stream_kcore_maintenance(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_regression_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live per-group OLS trend maintenance — the regression member of
+    the incremental-view-maintenance family: each event type's
+    slope/intercept/r² over the full history stays continuously
+    current as events stream in.
+
+    Sufficient statistics are the textbook mergeable state: each
+    micro-batch folds ONLY its delta events into one
+    (k, n, Σx, Σy, Σx², Σxy, Σy²) row per group
+    (``trends.regression_partials``) and appends it to an
+    :class:`AppendOnlyPartsStore` whose ``merge_transform`` is
+    ``fold_regression_partials`` — compaction collapses stacked
+    partials by per-key integer addition, so every LSM level holds
+    exactly one 7-number row per group no matter how many batches fed
+    it. All sums are EXACT bigints (pinned-epoch hour index × integer
+    cents), so publish — ``finish_regression`` over the folded live
+    tail — lands bit-for-bit on ``q_events_linear_trend``'s DuckDB
+    oracle with no tolerance and no decay.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.trends import (
+        finish_regression,
+        fold_regression_partials,
+        regression_partials,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_reg_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_reg_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "regression",
+        merge_fanout=2,
+        merge_transform=fold_regression_partials,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(regression_partials(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "event_type string, n_rows bigint, "
+                "slope_per_hour double, intercept double, r2 double",
+            )
+        return (
+            finish_regression(fold_regression_partials(state))
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)

@@ -44,26 +44,18 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
         con.execute(q).fetchall()
 
 
-def test_round8_rotation_head_is_pinned():
+def test_round9_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
-    registry's head section IS the round-8 rotation contract
-    (VERDICT r7 #2): 4 triaged tier-0 slots (the new routed-default
-    kNN, the re-staged KMV twin, and the two re-attested
-    representatives of the guard-only ADVICE fixes), then the ENTIRE
-    46-row r4-latest backlog — after this round no registry query's
-    latest driver attestation predates r5 config. Slots 51-55 are the
-    five code-changed-but-output-identical queries deferred to round
-    9's tier 0 (see the rotation comment in __spark_entry__.queries).
-    An accidental reorder (e.g. a new query inserted at the literal
-    top) would silently displace a re-attestation — pin it."""
+    registry's head section IS the round-9 rotation contract
+    (COVERAGE round-8b queue #1): the five round-8-deferred
+    re-attestations first, then EVERY never-driver-attested row (the
+    13 round-8b additions, q_stream_rollup_maintenance, and the
+    round-9 additions), then the 47-row r5-latest backlog in registry
+    order (spillover past the ~50-row cap rolls to round 10). An
+    accidental reorder (e.g. a new query inserted at the literal top)
+    would silently displace a re-attestation — pin it."""
     keys = list(entrymod.queries().keys())
-    assert keys[:4] == [
-        "q_knn_default",
-        "q_stream_kmv_maintenance",
-        "q_knn_pq",
-        "q_part_coreness",
-    ]
-    assert keys[50:55] == [
+    assert keys[:5] == [
         "q_knn_pq_rerank",
         "q_knn_ivfpq",
         "q_knn_ivfpq_rerank",
@@ -75,13 +67,23 @@ def test_round8_rotation_head_is_pinned():
 
     latest = {}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         path = os.path.join(here, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # slots 5-50 burn the entire r4 backlog, in registry order
-    assert all(latest.get(k) == 4 for k in keys[4:50]), [
-        (k, latest.get(k)) for k in keys[4:50] if latest.get(k) != 4
+    # after the deferred five, every never-driver-attested row sits
+    # above the backlog; the tail of that block is the (growing)
+    # round-9 additions list
+    n_never = sum(1 for k in keys if k not in latest)
+    never_block = keys[5 : 5 + n_never]
+    assert all(k not in latest for k in never_block), [
+        k for k in never_block if k in latest
     ]
-    assert len(keys[4:50]) == 46
+    assert "q_stream_rollup_maintenance" in never_block
+    # the backlog burn starts right after: r5-latest rows, oldest
+    # staleness in the registry
+    backlog_head = keys[5 + n_never : 5 + n_never + 10]
+    assert all(latest.get(k) == 5 for k in backlog_head), [
+        (k, latest.get(k)) for k in backlog_head if latest.get(k) != 5
+    ]
