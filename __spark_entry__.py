@@ -294,6 +294,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: Poisson-bootstrap per-group mean with order-
         # statistic error bars — the distribution-free AQP sibling
         "q_events_bootstrap_ci": aqp.q_events_bootstrap_ci,
+        # round 9: kth-NN-distance outlier scoring (Ramaswamy et al.)
+        # — exact all-pairs baseline for the IVF-shortlist path
+        "q_embedding_knn_outliers": similarity.q_embedding_knn_outliers,
+        # round 9: IVM twins — equi-depth histogram maintained as
+        # value-domain counters, MI as contingency cells; both publish
+        # exactly onto their batch oracles
+        "q_stream_hist_maintenance": (
+            streaming_pipeline.q_stream_hist_maintenance
+        ),
+        "q_stream_mi_maintenance": (
+            streaming_pipeline.q_stream_mi_maintenance
+        ),
         "q_events_hourly_incremental": events.q_events_hourly_incremental,
         "q_doc_blocklist": quality.q_doc_blocklist,
         "q_doc_quality_classifier": quality.q_doc_quality_classifier,
@@ -716,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_mi",
         "q_orders_fd_profile",
         "q_events_bootstrap_ci",
+        "q_embedding_knn_outliers",
+        "q_stream_hist_maintenance",
+        "q_stream_mi_maintenance",
     ]
     backlog_r5 = [
         "q_doc_association_rules",
@@ -6489,6 +6504,37 @@ def oracle_sql() -> dict[str, str]:
     # integer sums, so publish lands on the batch trend's oracle
     sql["q_stream_regression_maintenance"] = sql["q_events_linear_trend"]
 
+    # q_embedding_knn_outliers: exact kth-NN cosine distance, same
+    # cosine/rank idioms as q_knn_bruteforce; top-20 cut pinned by
+    # (score desc, vec_id asc).
+    sql["q_embedding_knn_outliers"] = """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT a.vec_id AS id, b.vec_id AS nid,
+                   round(list_dot_product(a.vec, b.vec) /
+                         (sqrt(list_dot_product(a.vec, a.vec)) *
+                          sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos
+            FROM v a JOIN v b ON a.vec_id <> b.vec_id
+        ),
+        kth AS (
+            SELECT id, cos FROM (
+                SELECT id, cos,
+                       row_number() OVER (
+                           PARTITION BY id ORDER BY cos DESC, nid
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 10
+        )
+        SELECT id AS vec_id, cos AS knn_cos,
+               round(1 - cos, 6) AS outlier_score
+        FROM kth
+        ORDER BY outlier_score DESC, vec_id
+        LIMIT 20
+    """
+
     # q_events_mi: exact contingency counts; ln() only in the final
     # per-cell/margin expression (NLL precedent), 6 dp both sides.
     sql["q_events_mi"] = """
@@ -6871,5 +6917,11 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_matches DESC, c_name
         LIMIT 50
     """
+
+    # streaming histogram / MI maintenance: counter-form state is the
+    # exact distribution / contingency table, so publish rebuilds the
+    # batch output bit-for-bit — same oracles
+    sql["q_stream_hist_maintenance"] = sql["q_events_equidepth_hist"]
+    sql["q_stream_mi_maintenance"] = sql["q_events_mi"]
 
     return sql

@@ -159,6 +159,26 @@ HEADLINE = [
     "q_stream_hh_maintenance",
     "q_events_exact_quantiles",
     "q_stream_pagerank_maintenance",
+    # round-9 additions: the histogram statistic (build + probe), the
+    # bucketized interval join, item-item cosine, LPA communities,
+    # exact OLS trends with the sufficient-stats folding twin, the
+    # counter-form histogram twin, ACF/CUSUM time-series statistics,
+    # MI profiling, the Poisson-bootstrap AQP bars, and kth-NN-distance
+    # outliers (exact all-pairs baseline)
+    "q_events_equidepth_hist",
+    "q_events_hist_selectivity",
+    "q_events_interval_join",
+    "q_part_itemsim",
+    "q_part_communities",
+    "q_events_linear_trend",
+    "q_stream_regression_maintenance",
+    "q_stream_hist_maintenance",
+    "q_events_autocorr",
+    "q_events_cusum_changepoint",
+    "q_events_mi",
+    "q_orders_fd_profile",
+    "q_events_bootstrap_ci",
+    "q_embedding_knn_outliers",
 ]
 
 

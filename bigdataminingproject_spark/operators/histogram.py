@@ -171,3 +171,108 @@ def q_events_hist_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator, so the two statistics' errors are comparable)."""
     ev = load_table(spark, sf_dir, "events")
     return histogram_selectivity(ev, "value", 20.0, 100.0, HIST_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Counter-form state (the streaming twin's mergeable representation)
+# ---------------------------------------------------------------------------
+
+
+def value_counters(df: DataFrame, col: str) -> DataFrame:
+    """Exact distribution state as (v, c) counters — one row per
+    DISTINCT value, closed under per-value addition. For bounded-
+    cardinality columns (2-dp money/metric scales, enums, small-int
+    measures) this is the exact histogram state a streaming view
+    maintains: state size tracks the VALUE DOMAIN, not the corpus.
+    (A truly continuous column would cap distinct values near N; that
+    regime belongs to the q-digest sketch twin instead.)"""
+    return (
+        df.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fold_value_counters(parts: DataFrame) -> DataFrame:
+    """LSM merge-operator: stacked (v, c) partials collapse by
+    per-value integer addition."""
+    return parts.groupBy("v").agg(F.sum("c").alias("c"))
+
+
+def equidepth_from_counters(
+    counters: DataFrame, buckets: int = HIST_BUCKETS
+) -> DataFrame:
+    """Rebuild the EXACT equi-depth histogram from folded (v, c)
+    counters — bit-identical to ``equidepth_histogram`` on the raw
+    rows, because every ingredient is recoverable exactly:
+
+      * boundary at q = value at ascending rank max(1, ceil(q·N))
+        (the pinned exact-selection rank rule) = smallest v whose
+        cumulative count reaches the rank;
+      * bucket membership = the same Σ(v > boundary) flag expression,
+        weighted by c instead of evaluated per row.
+
+    The cumulative walk runs on the counter relation (O(domain) rows,
+    a publish-time window over bounded state — not a corpus sort)."""
+    import math as _math
+
+    from pyspark.sql.window import Window as _W
+
+    spark = counters.sparkSession
+    out_schema = "bucket int, lo double, hi double, n_rows bigint"
+    g = counters.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum("c").alias("n"),
+    ).collect()[0]
+    if g["lo"] is None:
+        return spark.createDataFrame([], out_schema)
+    total = int(g["n"])
+    cum = counters.withColumn(
+        "cum",
+        F.sum("c").over(
+            _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+        ),
+    ).localCheckpoint(eager=True)
+    ranks = spark.createDataFrame(
+        [
+            (i, max(1, _math.ceil(i / buckets * total)))
+            for i in range(1, buckets)
+        ],
+        "i int, r bigint",
+    )
+    brows = (
+        F.broadcast(ranks)
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("i")
+        .agg(F.min("v").alias("b"))
+        .collect()
+    )
+    bmap = {int(row["i"]): float(row["b"]) for row in brows}
+    bs = [bmap[i] for i in range(1, buckets)]
+    edges = [float(g["lo"])] + bs + [float(g["hi"])]
+    bucket = reduce(
+        lambda acc, b: acc
+        + F.when(F.col("v") > F.lit(b), F.lit(1)).otherwise(F.lit(0)),
+        bs,
+        F.lit(1),
+    )
+    counts = (
+        counters.groupBy(bucket.alias("bucket"))
+        .agg(F.sum("c").alias("n_rows"))
+    )
+    spec = spark.createDataFrame(
+        [(i + 1, edges[i], edges[i + 1]) for i in range(buckets)],
+        "bucket int, lo double, hi double",
+    )
+    return (
+        spec.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        )
+        .orderBy("bucket")
+    )

@@ -33,23 +33,29 @@ from bigdataminingproject_spark.operators.trends import hour_index
 from bigdataminingproject_spark.sources.tables import load_table
 
 
-def mutual_information(
-    df: DataFrame, x: Column, y: Column
-) -> DataFrame:
-    """One row (n_rows, h_x, h_y, mi_nats, nmi): exact-count entropies
-    H(X), H(Y), mutual information I(X;Y) in nats, and the
-    sqrt-normalized NMI = I / sqrt(H(X)·H(Y)).
+def contingency_cells(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """Exact contingency counts (x, y, nxy) — the sufficient state for
+    every information metric below. Closed under per-cell addition
+    (the streaming twin folds exactly these counters), bounded by
+    |X|·|Y| regardless of corpus size."""
+    return (
+        df.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+
+
+def mi_from_cells(cells: DataFrame) -> DataFrame:
+    """One row (n_rows, h_x, h_y, mi_nats, nmi) from a contingency-cell
+    relation (x, y, nxy): exact-count entropies H(X), H(Y), mutual
+    information I(X;Y) in nats, and the sqrt-normalized
+    NMI = I / sqrt(H(X)·H(Y)).
 
     Identity used (integer-count form, one ln per cell/margin):
       H(X)  = ln N - Σ_x n_x ln n_x / N
       I     = Σ_xy (n_xy/N) ln(N·n_xy / (n_x·n_y))
     """
-    cells = (
-        df.select(x.alias("x"), y.alias("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("nxy"))
-        .localCheckpoint(eager=True)
-    )
+    cells = cells.localCheckpoint(eager=True)
     mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
     tot = cells.agg(F.sum("nxy").alias("n")).collect()[0]["n"]
@@ -97,6 +103,18 @@ def mutual_information(
             else F.lit(None).cast("double")
         ).alias("nmi"),
     )
+
+
+def mutual_information(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """MI profile of two columns: contingency counts, then the
+    information fold on that tiny relation."""
+    return mi_from_cells(contingency_cells(df, x, y))
+
+
+def fold_contingency_cells(parts: DataFrame) -> DataFrame:
+    """LSM merge-operator: stacked cell partials collapse by per-cell
+    integer addition."""
+    return parts.groupBy("x", "y").agg(F.sum("nxy").alias("nxy"))
 
 
 def q_events_mi(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1650,3 +1650,65 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus via mergeable per-batch gram partials."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return embedding_covariance(vecs)
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier scoring
+# ---------------------------------------------------------------------------
+
+
+def knn_distance_outliers(
+    vectors: DataFrame,
+    k: int = 10,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``top_n`` outliers by k-th-nearest-neighbor distance — the
+    classic distance-based outlier definition (Ramaswamy et al.
+    SIGMOD'00): a point is anomalous when even its k-th closest
+    neighbor is far. Score = 1 - cosine_k (cosine distance to the k-th
+    neighbor).
+
+    This is the exact all-pairs baseline (one self-join + per-point
+    rank window) — the attested reference the indexed path is measured
+    against. At corpus scale the identical score comes from the IVF
+    shortlist (operators/similarity.py ivf / pq family): probe each
+    point's cell neighborhood for >= k candidates, exact re-rank the
+    shortlist — the same two-stage shape as q_knn_ivfpq_rerank, scoring
+    N queries instead of a query panel.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("o_id"), _as_double(F.col(vec_col)).alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    scored = (
+        a.join(F.broadcast(b), F.col("o_id") != F.col("n_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("va"), F.col("vb")), 6)
+        )
+        .select("o_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("o_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    kth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+    )
+    return (
+        kth.select(
+            F.col("o_id").alias("vec_id"),
+            F.col("cos").alias("knn_cos"),
+            F.round(F.lit(1.0) - F.col("cos"), 6).alias("outlier_score"),
+        )
+        .orderBy(F.desc("outlier_score"), F.asc("vec_id"))
+        .limit(top_n)
+    )
+
+
+def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which embeddings sit farthest from everything? Top-20 by
+    10th-NN cosine distance (exact baseline)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return knn_distance_outliers(vecs, k=10, top_n=20)

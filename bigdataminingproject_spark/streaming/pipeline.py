@@ -2789,3 +2789,151 @@ def q_stream_regression_maintenance(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_hist_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live equi-depth-histogram maintenance — the optimizer-statistics
+    member of the IVM family: the exact 8-bucket value histogram stays
+    continuously current as events stream in.
+
+    State is the exact distribution in COUNTER FORM: each micro-batch
+    folds its delta into (v, c) rows (``histogram.value_counters``)
+    appended to an :class:`AppendOnlyPartsStore` whose
+    ``merge_transform`` is ``fold_value_counters`` — compaction
+    collapses by per-value addition, so every LSM level is bounded by
+    the value DOMAIN (2-dp metric scale), not the corpus. Publish
+    rebuilds boundaries and bucket counts exactly from the folded
+    counters (``equidepth_from_counters`` — the pinned selection rank
+    rule over a cumulative walk on the bounded state), so the output
+    lands bit-for-bit on ``q_events_equidepth_hist``'s oracle. This is
+    how a warehouse keeps its scan statistics fresh without re-scanning
+    history: O(|delta|) per batch, O(domain) state, zero approximation.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.histogram import (
+        HIST_BUCKETS,
+        equidepth_from_counters,
+        fold_value_counters,
+        value_counters,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    staging = tempfile.mkdtemp(prefix="q_stream_hist_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_hist_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "hist",
+        merge_fanout=2,
+        merge_transform=fold_value_counters,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(value_counters(batch_df, "value"))
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [], "bucket int, lo double, hi double, n_rows bigint"
+            )
+        return (
+            equidepth_from_counters(
+                fold_value_counters(state), HIST_BUCKETS
+            )
+            .orderBy("bucket")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_mi_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live mutual-information maintenance — the dependence-profiling
+    member of the IVM family: MI(event type; hour-of-day) stays
+    continuously current as events stream in.
+
+    State is the exact contingency table: each micro-batch folds its
+    delta into (x, y, nxy) cells (``profiling.contingency_cells``)
+    appended to an :class:`AppendOnlyPartsStore` whose
+    ``merge_transform`` is ``fold_contingency_cells`` — per-cell
+    integer addition bounds every LSM level at |X|·|Y| rows. Publish
+    runs the shared information fold (``mi_from_cells``) over the
+    folded live tail; counts are exact, the 6 dp round absorbs the
+    ln-sum association order, so the output lands on
+    ``q_events_mi``'s oracle.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from bigdataminingproject_spark.operators.profiling import (
+        contingency_cells,
+        fold_contingency_cells,
+        mi_from_cells,
+    )
+    from bigdataminingproject_spark.operators.trends import hour_index
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_mi_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_mi_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "mi",
+        merge_fanout=2,
+        merge_transform=fold_contingency_cells,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(
+            contingency_cells(
+                batch_df,
+                _F.col("event_type"),
+                hour_index() % _F.lit(24),
+            )
+        )
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "n_rows bigint, h_x double, h_y double, "
+                "mi_nats double, nmi double",
+            )
+        return (
+            mi_from_cells(fold_contingency_cells(state))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
