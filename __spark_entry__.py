@@ -297,6 +297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: kth-NN-distance outlier scoring (Ramaswamy et al.)
         # — exact all-pairs baseline for the IVF-shortlist path
         "q_embedding_knn_outliers": similarity.q_embedding_knn_outliers,
+        # round 9: PSI distribution drift per group (exact reference
+        # deciles via the selection descent, Laplace-smoothed fold)
+        "q_events_psi_drift": profiling.q_events_psi_drift,
+        # round 9: Pearson chi-square independence + Cramér's V from
+        # the exact contingency table (shares the MI cell state)
+        "q_events_chi2": profiling.q_events_chi2,
         # round 9: IVM twins — equi-depth histogram maintained as
         # value-domain counters, MI as contingency cells; both publish
         # exactly onto their batch oracles
@@ -731,6 +737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_knn_outliers",
         "q_stream_hist_maintenance",
         "q_stream_mi_maintenance",
+        "q_events_psi_drift",
+        "q_events_chi2",
     ]
     backlog_r5 = [
         "q_doc_association_rules",
@@ -6923,5 +6931,122 @@ def oracle_sql() -> dict[str, str]:
     # batch output bit-for-bit — same oracles
     sql["q_stream_hist_maintenance"] = sql["q_events_equidepth_hist"]
     sql["q_stream_mi_maintenance"] = sql["q_events_mi"]
+
+    # q_events_psi_drift: reference deciles via the pinned rank rule,
+    # bucket = 1 + Σ(v > boundary) (duplicate boundaries counted per
+    # occurrence, exactly like the Spark reduce), Laplace +0.5 per
+    # bucket on both sides of the 6 dp ln fold.
+    sql["q_events_psi_drift"] = """
+        WITH pts AS (
+            SELECT event_type AS k,
+                   (epoch_us(ts) - 1704067200000000) // 3600000000 AS h,
+                   CAST(value AS DOUBLE) AS v
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        ref AS (SELECT k, v FROM pts WHERE h < 360),
+        cur AS (SELECT k, v FROM pts WHERE h >= 360),
+        n AS (SELECT count(*) AS n FROM ref),
+        qs(q) AS (VALUES (0.1), (0.2), (0.3), (0.4), (0.5),
+                         (0.6), (0.7), (0.8), (0.9)),
+        ks AS (
+            SELECT CAST(q AS DOUBLE) AS q,
+                   greatest(1, CAST(ceil(CAST(q AS DOUBLE) * n)
+                                    AS BIGINT)) AS rank
+            FROM qs, n
+        ),
+        ranked AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS r FROM ref
+        ),
+        bs AS (SELECT q, v AS b FROM ks JOIN ranked ON r = rank),
+        rbuck AS (
+            SELECT k, rid,
+                   1 + sum(CASE WHEN v > b THEN 1 ELSE 0 END) AS bucket
+            FROM (SELECT k, v, row_number() OVER () AS rid FROM ref)
+            CROSS JOIN bs GROUP BY k, rid
+        ),
+        cbuck AS (
+            SELECT k, rid,
+                   1 + sum(CASE WHEN v > b THEN 1 ELSE 0 END) AS bucket
+            FROM (SELECT k, v, row_number() OVER () AS rid FROM cur)
+            CROSS JOIN bs GROUP BY k, rid
+        ),
+        rcnt AS (SELECT k, bucket, CAST(count(*) AS BIGINT) AS cr
+                 FROM rbuck GROUP BY k, bucket),
+        ccnt AS (SELECT k, bucket, CAST(count(*) AS BIGINT) AS cc
+                 FROM cbuck GROUP BY k, bucket),
+        grid AS (
+            SELECT keys.k, b.bucket
+            FROM (SELECT DISTINCT k FROM pts) keys
+            CROSS JOIN (
+                SELECT unnest(generate_series(1, 10)) AS bucket
+            ) b
+        ),
+        dense AS (
+            SELECT grid.k, grid.bucket,
+                   coalesce(rcnt.cr, 0) AS cr,
+                   coalesce(ccnt.cc, 0) AS cc
+            FROM grid
+            LEFT JOIN rcnt ON rcnt.k = grid.k
+                          AND rcnt.bucket = grid.bucket
+            LEFT JOIN ccnt ON ccnt.k = grid.k
+                          AND ccnt.bucket = grid.bucket
+        ),
+        tot AS (
+            SELECT k, CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(sum(cc) AS BIGINT) AS nc
+            FROM dense GROUP BY k
+        )
+        SELECT d.k AS event_type,
+               max(t.nr) AS n_ref,
+               max(t.nc) AS n_cur,
+               round(sum(
+                   ((CAST(cc AS DOUBLE) + 0.5)
+                        / (CAST(t.nc AS DOUBLE) + 5.0)
+                    - (CAST(cr AS DOUBLE) + 0.5)
+                        / (CAST(t.nr AS DOUBLE) + 5.0))
+                   * ln(((CAST(cc AS DOUBLE) + 0.5)
+                             / (CAST(t.nc AS DOUBLE) + 5.0))
+                        / ((CAST(cr AS DOUBLE) + 0.5)
+                             / (CAST(t.nr AS DOUBLE) + 5.0)))
+               ), 6) AS psi
+        FROM dense d JOIN tot t ON t.k = d.k
+        GROUP BY d.k ORDER BY event_type
+    """
+
+    # q_events_chi2: same contingency cells as MI; chi2 via the
+    # single-sum identity N·(Σ nxy²/(nx·ny) − 1).
+    sql["q_events_chi2"] = """
+        WITH cells AS (
+            SELECT event_type AS x,
+                   ((epoch_us(ts) - 1704067200000000) // 3600000000) % 24
+                       AS y,
+                   CAST(count(*) AS BIGINT) AS nxy
+            FROM events GROUP BY x, y
+        ),
+        mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+               FROM cells GROUP BY x),
+        my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+               FROM cells GROUP BY y),
+        tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+        dims AS (
+            SELECT (SELECT count(*) FROM mx) AS rx,
+                   (SELECT count(*) FROM my) AS ry
+        ),
+        s AS (
+            SELECT sum(CAST(nxy AS DOUBLE) * CAST(nxy AS DOUBLE)
+                       / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS s
+            FROM cells JOIN mx USING (x) JOIN my USING (y)
+        )
+        SELECT tot.n AS n_rows,
+               round(CAST(tot.n AS DOUBLE) * (s.s - 1.0), 6) AS chi2,
+               CAST((rx - 1) * (ry - 1) AS BIGINT) AS dof,
+               CASE WHEN least(rx - 1, ry - 1) > 0
+                    THEN round(sqrt(CAST(tot.n AS DOUBLE) * (s.s - 1.0)
+                               / (CAST(tot.n AS DOUBLE)
+                                  * least(rx - 1, ry - 1))), 6)
+               END AS cramers_v
+        FROM tot, s, dims
+    """
 
     return sql

@@ -190,3 +190,169 @@ def q_orders_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     fail? Exact g3 violation metrics for four canonical candidates."""
     orders = load_table(spark, sf_dir, "orders")
     return fd_profile(orders, ORDERS_FD_CANDIDATES)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) and independence testing (chi-square)
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_SPLIT_HOUR = 360  # Jan 1-15 reference / Jan 16+ current
+PSI_SMOOTH = 0.5  # Laplace half-count per bucket (pinned rule)
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    split_hour: int = PSI_SPLIT_HOUR,
+    buckets: int = PSI_BUCKETS,
+) -> DataFrame:
+    """Population Stability Index per group — the ML-ops drift metric:
+    bucket the CURRENT window's values into the REFERENCE window's
+    exact equi-depth deciles and fold Σ (p_c - p_r)·ln(p_c/p_r).
+
+    Decile boundaries are exact order statistics of the reference
+    window (the shared selection descent — O(log N) scans, no sort);
+    bucketing is the same broadcast Σ(v > boundary) flag expression
+    the histogram family uses; both halves' bucket counts are exact
+    integers with Laplace +0.5 smoothing (pinned, so empty buckets
+    stay finite and engines agree bit-for-bit before the 6 dp round).
+
+    PSI rule-of-thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 major.
+    """
+    from functools import reduce
+
+    from bigdataminingproject_spark.operators.selection import (
+        exact_quantiles,
+    )
+    from bigdataminingproject_spark.operators.trends import hour_index
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(key_col).alias("k"),
+        hour_index().alias("h"),
+        F.col(val_col).cast("double").alias("v"),
+    ).filter(F.col("v").isNotNull() & F.col("k").isNotNull())
+    ref = base.filter(F.col("h") < split_hour)
+    cur = base.filter(F.col("h") >= split_hour)
+    qs = tuple(i / buckets for i in range(1, buckets))
+    qdf = exact_quantiles(ref, "v", qs=qs)
+    bmap = {float(r["q"]): float(r["value"]) for r in qdf.collect()}
+    bs = [bmap[i / buckets] for i in range(1, buckets)]
+    bucket = reduce(
+        lambda acc, b: acc
+        + F.when(F.col("v") > F.lit(b), F.lit(1)).otherwise(F.lit(0)),
+        bs,
+        F.lit(1),
+    )
+
+    def _counts(half: DataFrame, name: str) -> DataFrame:
+        return (
+            half.groupBy(F.col("k"), bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    keys = base.select("k").distinct()
+    grid = keys.crossJoin(
+        F.broadcast(
+            spark.range(1, buckets + 1).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    dense = (
+        grid.join(_counts(ref, "cr"), ["k", "bucket"], "left")
+        .join(_counts(cur, "cc"), ["k", "bucket"], "left")
+        .select(
+            "k",
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    tot = dense.groupBy("k").agg(
+        F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
+    )
+    smooth = float(PSI_SMOOTH)
+    pad = smooth * buckets
+    j = dense.join(F.broadcast(tot), "k")
+    pr = (F.col("cr").cast("double") + F.lit(smooth)) / (
+        F.col("nr").cast("double") + F.lit(pad)
+    )
+    pc = (F.col("cc").cast("double") + F.lit(smooth)) / (
+        F.col("nc").cast("double") + F.lit(pad)
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.max("nr").alias("n_ref"),
+            F.max("nc").alias("n_cur"),
+            F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"),
+        )
+        .select(
+            F.col("k").alias(key_col), "n_ref", "n_cur", "psi"
+        )
+        .orderBy(key_col)
+    )
+
+
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did any event type's value distribution drift between the first
+    and second half of the month? Exact-decile PSI per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(ev)
+
+
+def chi_square(cells: DataFrame) -> DataFrame:
+    """Pearson chi-square independence test from a contingency-cell
+    relation (x, y, nxy): one row (n_rows, chi2, dof, cramers_v).
+
+    Identity (single-sum form, exact integer counts):
+      chi2 = N · (Σ_xy nxy² / (n_x·n_y) − 1)
+    Cramér's V = sqrt(chi2 / (N · min(|X|−1, |Y|−1))).
+    """
+    cells = cells.localCheckpoint(eager=True)
+    mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = cells.agg(F.sum("nxy")).collect()[0][0]
+    rx = mx.count()
+    ry = my.count()
+    nd = F.lit(float(n))
+    s = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .agg(
+            F.sum(
+                F.col("nxy").cast("double")
+                * F.col("nxy").cast("double")
+                / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+            ).alias("s")
+        )
+    )
+    dof = (rx - 1) * (ry - 1)
+    mindim = min(rx - 1, ry - 1)
+    return s.select(
+        F.lit(int(n)).cast("bigint").alias("n_rows"),
+        F.round(nd * (F.col("s") - F.lit(1.0)), 6).alias("chi2"),
+        F.lit(dof).cast("bigint").alias("dof"),
+        (
+            F.round(
+                F.sqrt(nd * (F.col("s") - F.lit(1.0)) / (nd * mindim)), 6
+            )
+            if mindim > 0
+            else F.lit(None).cast("double")
+        ).alias("cramers_v"),
+    )
+
+
+def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is event type independent of hour-of-day? Pearson chi-square +
+    Cramér's V from the exact contingency table (shares the MI
+    family's cell state)."""
+    ev = load_table(spark, sf_dir, "events")
+    return chi_square(
+        contingency_cells(
+            ev, F.col("event_type"), hour_index() % F.lit(24)
+        )
+    )

@@ -154,3 +154,82 @@ def test_bootstrap_weighted_sums_match_python(spark):
     means.sort()
     assert out["boot_lo"] == pytest.approx(means[1], abs=1e-6)
     assert out["boot_hi"] == pytest.approx(means[-2], abs=1e-6)
+
+
+def _mk_ts_events(spark, rows):
+    """rows: (event_type, hour, value)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(hours=h), k, float(v))
+        for i, (k, h, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_psi_zero_for_identical_halves(spark):
+    from bigdataminingproject_spark.operators.profiling import psi_drift
+
+    rnd = random.Random(23)
+    vals = [round(rnd.uniform(0, 100), 2) for _ in range(500)]
+    rows = [("a", 10, v) for v in vals] + [("a", 400, v) for v in vals]
+    out = psi_drift(_mk_ts_events(spark, rows)).collect()
+    assert len(out) == 1
+    # same value multiset in both halves: PSI ~ 0 (smoothing keeps it
+    # tiny but nonzero only via count differences — here none)
+    assert abs(out[0]["psi"]) < 1e-9
+    assert out[0]["n_ref"] == out[0]["n_cur"] == 500
+
+
+def test_psi_detects_mean_shift(spark):
+    from bigdataminingproject_spark.operators.profiling import psi_drift
+
+    rnd = random.Random(29)
+    rows = [("a", 10, round(rnd.uniform(0, 50), 2)) for _ in range(500)]
+    rows += [("a", 400, round(rnd.uniform(40, 90), 2)) for _ in range(500)]
+    out = psi_drift(_mk_ts_events(spark, rows)).collect()[0]
+    assert out["psi"] > 0.25  # "major drift" regime
+
+
+def test_chi2_matches_python_model(spark):
+    from bigdataminingproject_spark.operators.profiling import (
+        chi_square,
+        contingency_cells,
+    )
+
+    rnd = random.Random(31)
+    rows = [(rnd.choice("ab"), rnd.choice("xyz")) for _ in range(1000)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = chi_square(
+        contingency_cells(df, F.col("x"), F.col("y"))
+    ).collect()[0]
+    cxy = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    n = len(rows)
+    chi2 = sum(
+        (cxy.get((x, y), 0) - cx[x] * cy[y] / n) ** 2 / (cx[x] * cy[y] / n)
+        for x in cx for y in cy
+    )
+    assert out["chi2"] == pytest.approx(chi2, abs=1e-4)
+    assert out["dof"] == 2
+    assert out["cramers_v"] == pytest.approx(
+        math.sqrt(chi2 / (n * 1)), abs=1e-5
+    )
+
+
+def test_chi2_independent_layout_is_zero(spark):
+    from bigdataminingproject_spark.operators.profiling import (
+        chi_square,
+        contingency_cells,
+    )
+
+    rows = [(x, y) for x in "ab" for y in "cd" for _ in range(25)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = chi_square(
+        contingency_cells(df, F.col("x"), F.col("y"))
+    ).collect()[0]
+    assert out["chi2"] == pytest.approx(0.0, abs=1e-9)
