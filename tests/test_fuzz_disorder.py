@@ -298,3 +298,78 @@ def test_disordered_retention_fold_matches_batch(spark, seed):
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_disordered_regression_fold_matches_batch(spark, seed):
+    """Fifth leg (round 9): the OLS sufficient-statistics fold must
+    land EXACTLY on the batch trend regardless of which disorder
+    permutation sliced the batches — the sums are exact integers, so
+    unlike the decay leg there is no float envelope at all."""
+    from bigdataminingproject_spark.operators.trends import (
+        finish_regression,
+        fold_regression_partials,
+        group_linear_trend,
+        regression_partials,
+    )
+    from bigdataminingproject_spark.streaming.pipeline import snapshot_sink
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    rows, _ = _gen_events(seed)
+    df = (
+        spark.createDataFrame(
+            rows,
+            "arrival_pos long, event_id long, user_id long, epoch_s long",
+        )
+        .withColumn("ts", F.timestamp_seconds("epoch_s"))
+        .withColumn(
+            "event_type",
+            F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")),
+        )
+        .withColumn(
+            "value",
+            F.round((F.col("event_id") % 500) * 0.37 + 1.0, 2),
+        )
+    )
+    expected = sorted(
+        tuple(r) for r in group_linear_trend(df).collect()
+    )
+    stream, staging = _stage(spark, rows.copy())
+    state_root = tempfile.mkdtemp(prefix="fuzz_reg_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "fuzz_reg",
+        merge_fanout=2,
+        merge_transform=fold_regression_partials,
+    )
+
+    def _upsert(batch_df, bid):
+        b = (
+            batch_df.withColumn(
+                "event_type",
+                F.concat(
+                    F.lit("t"), (F.col("user_id") % 3).cast("string")
+                ),
+            )
+            .withColumn(
+                "value",
+                F.round((F.col("event_id") % 500) * 0.37 + 1.0, 2),
+            )
+        )
+        store.append(regression_partials(b))
+
+    try:
+        snapshot_sink(stream, _upsert)
+        got = sorted(
+            tuple(r)
+            for r in finish_regression(
+                fold_regression_partials(store.read())
+            ).collect()
+        )
+        assert got == expected, f"seed {seed}"
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
