@@ -253,7 +253,13 @@ def psi_drift(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    keys = base.select("k").distinct()
+    rcnt = _counts(ref, "cr").localCheckpoint(eager=True)
+    ccnt = _counts(cur, "cc").localCheckpoint(eager=True)
+    # key universe from the (tiny, already-aggregated) count relations
+    # — no third scan of the raw rows
+    keys = (
+        rcnt.select("k").unionByName(ccnt.select("k")).distinct()
+    )
     grid = keys.crossJoin(
         F.broadcast(
             spark.range(1, buckets + 1).select(
@@ -262,8 +268,8 @@ def psi_drift(
         )
     )
     dense = (
-        grid.join(_counts(ref, "cr"), ["k", "bucket"], "left")
-        .join(_counts(cur, "cc"), ["k", "bucket"], "left")
+        grid.join(rcnt, ["k", "bucket"], "left")
+        .join(ccnt, ["k", "bucket"], "left")
         .select(
             "k",
             "bucket",
