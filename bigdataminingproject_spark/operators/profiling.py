@@ -56,9 +56,16 @@ def mi_from_cells(cells: DataFrame) -> DataFrame:
       I     = Σ_xy (n_xy/N) ln(N·n_xy / (n_x·n_y))
     """
     cells = cells.localCheckpoint(eager=True)
+    spark = cells.sparkSession
     mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
     tot = cells.agg(F.sum("nxy").alias("n")).collect()[0]["n"]
+    if tot is None:  # empty cell relation
+        return spark.createDataFrame(
+            [],
+            "n_rows bigint, h_x double, h_y double, "
+            "mi_nats double, nmi double",
+        )
     nd = F.lit(float(tot))
     joined = cells.join(F.broadcast(mx), "x").join(F.broadcast(my), "y")
     mi = joined.agg(
@@ -239,6 +246,12 @@ def psi_drift(
     qs = tuple(i / buckets for i in range(1, buckets))
     qdf = exact_quantiles(ref, "v", qs=qs)
     bmap = {float(r["q"]): float(r["value"]) for r in qdf.collect()}
+    if not bmap:  # empty reference window: no deciles, no report
+        ktype = df.schema[key_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"{key_col} {ktype}, n_ref bigint, n_cur bigint, psi double",
+        )
     bs = [bmap[i / buckets] for i in range(1, buckets)]
     bucket = reduce(
         lambda acc, b: acc
@@ -319,9 +332,14 @@ def chi_square(cells: DataFrame) -> DataFrame:
     Cramér's V = sqrt(chi2 / (N · min(|X|−1, |Y|−1))).
     """
     cells = cells.localCheckpoint(eager=True)
+    spark = cells.sparkSession
     mx = cells.groupBy("x").agg(F.sum("nxy").alias("nx"))
     my = cells.groupBy("y").agg(F.sum("nxy").alias("ny"))
     n = cells.agg(F.sum("nxy")).collect()[0][0]
+    if n is None:  # empty cell relation
+        return spark.createDataFrame(
+            [], "n_rows bigint, chi2 double, dof bigint, cramers_v double"
+        )
     rx = mx.count()
     ry = my.count()
     nd = F.lit(float(n))

@@ -160,6 +160,8 @@ def hourly_series(
             F.count(F.lit(1)).alias("c")
         )
         max_h = counts.agg(F.max("h")).collect()[0][0]
+        if max_h is None:  # empty input: empty dense series
+            return spark.createDataFrame([], "h long, c bigint")
         hours = spark.range(0, int(max_h) + 1).select(
             F.col("id").cast("long").alias("h")
         )
@@ -173,6 +175,9 @@ def hourly_series(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     max_h = counts.agg(F.max("h")).collect()[0][0]
+    if max_h is None:  # empty input: empty dense series (keep key dtype)
+        ktype = df.schema[key_col].dataType.simpleString()
+        return spark.createDataFrame([], f"k {ktype}, h long, c bigint")
     hours = spark.range(0, int(max_h) + 1).select(
         F.col("id").cast("long").alias("h")
     )
