@@ -5067,7 +5067,7 @@ def oracle_sql() -> dict[str, str]:
     # oracle; the (count desc, label asc) argmax is deterministic on
     # both engines, so the fixed unroll yields the identical labels.
     _LPA_ROUND = """
-        {nxt} AS (
+        {nxt} AS MATERIALIZED (
             SELECT v, label FROM (
                 SELECT u AS v, label, row_number() OVER (
                     PARTITION BY u ORDER BY c DESC, label
@@ -5085,19 +5085,19 @@ def oracle_sql() -> dict[str, str]:
         for i in range(4)
     )
     sql["q_part_communities"] = f"""
-        WITH bi AS (
+        WITH bi AS MATERIALIZED (
             SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
         ),
-        e AS (
+        e AS MATERIALIZED (
             SELECT a.p AS a, b.p AS b
             FROM bi a JOIN bi b ON a.o = b.o AND a.p < b.p
             GROUP BY a.p, b.p HAVING count(*) >= 2
         ),
-        sym AS (
+        sym AS MATERIALIZED (
             SELECT a AS u, b AS v FROM e
             UNION ALL SELECT b, a FROM e
         ),
-        l0 AS (SELECT DISTINCT u AS v, u AS label FROM sym),
+        l0 AS MATERIALIZED (SELECT DISTINCT u AS v, u AS label FROM sym),
         {_LPA_ROUNDS_SQL}
         SELECT label AS community, CAST(count(*) AS BIGINT) AS size,
                min(v) AS first_member
