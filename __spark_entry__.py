@@ -4866,12 +4866,14 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
             SELECT l_extendedprice AS v
             FROM lineitem
-            WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+            WHERE l_extendedprice IS NOT NULL
+              AND CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
                        || '-' || CAST(l_linenumber AS VARCHAR)), 1, 12)
                        AS BIGINT) % 100 = 0
         ),
         m AS (SELECT count(*) AS m FROM s),
-        nn AS (SELECT count(*) AS n FROM lineitem),
+        nn AS (SELECT count(*) AS n FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
         ranks AS (
             SELECT m,
                    greatest(1, CAST(ceil(0.5 * m) AS BIGINT)) AS r_mid,
@@ -4889,7 +4891,7 @@ def oracle_sql() -> dict[str, str]:
         re AS (
             SELECT l_extendedprice AS v,
                    row_number() OVER (ORDER BY l_extendedprice) AS rn
-            FROM lineitem
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
         ),
         picks AS (
             SELECT ranks.m AS n_sampled,
@@ -4946,6 +4948,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (SELECT bv FROM b WHERE i = k.bucket)
                    END AS hi
             FROM generate_series(1, 8) AS k(bucket) CROSS JOIN n
+            WHERE n.n > 0
         ),
         hist AS (
             SELECT CAST(spec.bucket AS INT) AS bucket, spec.lo, spec.hi,
@@ -6647,10 +6650,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         rmeans AS (
             SELECT g, r,
-                   CASE WHEN sw > 0
-                        THEN CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE)
-                             / 100 END AS m
-            FROM per_replica
+                   CAST(swy AS DOUBLE) / CAST(sw AS DOUBLE) / 100 AS m
+            FROM per_replica WHERE sw > 0
         ),
         ranked AS (
             SELECT g, m,
@@ -6975,9 +6976,14 @@ def oracle_sql() -> dict[str, str]:
                  FROM rbuck GROUP BY k, bucket),
         ccnt AS (SELECT k, bucket, CAST(count(*) AS BIGINT) AS cc
                  FROM cbuck GROUP BY k, bucket),
+        keyu AS (
+            SELECT DISTINCT k FROM (
+                SELECT k FROM rcnt UNION ALL SELECT k FROM ccnt
+            )
+        ),
         grid AS (
-            SELECT keys.k, b.bucket
-            FROM (SELECT DISTINCT k FROM pts) keys
+            SELECT keyu.k, b.bucket
+            FROM keyu
             CROSS JOIN (
                 SELECT unnest(generate_series(1, 10)) AS bucket
             ) b
@@ -7034,9 +7040,11 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM my) AS ry
         ),
         s AS (
-            SELECT sum(CAST(nxy AS DOUBLE) * CAST(nxy AS DOUBLE)
+            SELECT n,
+                   sum(CAST(nxy AS DOUBLE) * CAST(nxy AS DOUBLE)
                        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS s
-            FROM cells JOIN mx USING (x) JOIN my USING (y)
+            FROM cells JOIN mx USING (x) JOIN my USING (y), tot
+            GROUP BY n
         )
         SELECT tot.n AS n_rows,
                round(CAST(tot.n AS DOUBLE) * (s.s - 1.0), 6) AS chi2,

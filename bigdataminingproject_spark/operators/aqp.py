@@ -189,17 +189,59 @@ def aqp_quantile_estimate(
         "n_sampled bigint, est double, exact double, rel_err_pct double, "
         "ci_lo double, ci_hi double"
     )
-    sample = df.filter(_hash48(key_col) % rate_inv == 0)
-    m = sample.count()
-    n = df.count()
+    # rank over the NON-NULL value population on both engines (a NULL
+    # value would otherwise inflate the rank budget past exact_ranks'
+    # clamped keys — driver KeyError — and DuckDB would rank the NULL
+    # tail); the oracle filters identically
+    vals = df.filter(F.col(value_col).isNotNull())
+    sample = vals.filter(_hash48(key_col) % rate_inv == 0)
+    # ONE scan yields both populations' (count, min, max) — the
+    # descent calls below reuse them instead of re-aggregating
+    st = vals.select(
+        (_hash48(key_col) % rate_inv == 0).alias("in_s"),
+        F.col(value_col).cast("double").alias("v"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.sum(F.when(F.col("in_s"), 1).otherwise(0)).alias("m"),
+        F.min(F.when(F.col("in_s"), F.col("v"))).alias("slo"),
+        F.max(F.when(F.col("in_s"), F.col("v"))).alias("shi"),
+    ).collect()[0]
+    m = int(st["m"] or 0)
+    n = int(st["n"] or 0)
     if m == 0 or n == 0:
-        return spark.createDataFrame([], out_schema)
+        # degenerate shapes mirror the oracle's always-one-row CTE
+        # chain: empty sample -> NULL estimate next to the real exact;
+        # empty table -> all-NULL row (same rule the sum estimator's
+        # coalesce fix followed, but a NULL is honest for a quantile)
+        if n == 0:
+            row = (0, None, None, None, None, None)
+        else:
+            exact = exact_ranks(
+                vals,
+                value_col,
+                (max(1, math.ceil(q * float(n))),),
+                stats=(n, st["lo"], st["hi"]),
+            )
+            row = (0, None, next(iter(exact.values())), None, None, None)
+        return spark.createDataFrame([row], out_schema)
     r_mid = max(1, math.ceil(q * float(m)))
     half = 1.96 * math.sqrt(float(m) * q * (1.0 - q))
     r_lo = max(1, math.ceil(q * float(m) - half))
     r_hi = min(m, math.ceil(q * float(m) + half))
-    sv = exact_ranks(sample, value_col, (r_mid, r_lo, r_hi))
-    exact = exact_ranks(df, value_col, (max(1, math.ceil(q * float(n))),))
+    sv = exact_ranks(
+        sample,
+        value_col,
+        (r_mid, r_lo, r_hi),
+        stats=(m, st["slo"], st["shi"]),
+    )
+    exact = exact_ranks(
+        vals,
+        value_col,
+        (max(1, math.ceil(q * float(n))),),
+        stats=(n, st["lo"], st["hi"]),
+    )
     est = sv[max(1, min(m, r_mid))]
     ex = next(iter(exact.values()))
     rel = (
@@ -340,14 +382,19 @@ def poisson_bootstrap_means(
         F.sum("w").alias("sw"),
     )
     scale = float(unit_scale)
-    rmeans = per_replica.select(
+    # drop all-zero-weight replicas BEFORE ranking: Spark windows rank
+    # NULLs first in ASC order while DuckDB ranks them last, so a NULL
+    # replica mean would silently shift the order-statistic bounds on
+    # one engine only (P ~ e^-n per replica — tiny groups only, but
+    # the rule must be engine-identical; the oracle filters sw > 0 the
+    # same way)
+    rmeans = per_replica.filter(F.col("sw") > 0).select(
         "g",
         "r",
-        F.when(
-            F.col("sw") > 0,
+        (
             F.col("swy").cast("double")
             / F.col("sw").cast("double")
-            / scale,
+            / scale
         ).alias("m"),
     )
     asc = Window.partitionBy("g").orderBy(F.col("m").asc(), F.col("r").asc())

@@ -67,11 +67,18 @@ def equidepth_histogram(
     vals = df.select(F.col(col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    g = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    g = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
     if g["lo"] is None:
         return spark.createDataFrame([], out_schema)
     qs = tuple(i / buckets for i in range(1, buckets))
-    qdf = exact_quantiles(df, col, qs=qs)
+    # one bounds aggregate serves both this spec and the descent
+    qdf = exact_quantiles(
+        df, col, qs=qs, stats=(g["n"], g["lo"], g["hi"])
+    )
     bmap = {float(r["q"]): float(r["value"]) for r in qdf.collect()}
     bs = [bmap[i / buckets] for i in range(1, buckets)]
     edges = [float(g["lo"])] + bs + [float(g["hi"])]

@@ -64,22 +64,18 @@ MIN_CO_ORDERS = 2
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Distinct undirected part-adjacency edges ``(a < b)`` for parts
-    sharing >= MIN_CO_ORDERS distinct orders. One dedup shuffle, one
-    within-order self-join (per-order fanout C(items, 2)), one pair
-    hash-agg — the Apriori pair-join shape."""
-    li = lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    lo = li.select("o", F.col("p").alias("a"))
-    hi = li.select("o", F.col("p").alias("b"))
-    return (
-        lo.join(hi, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= MIN_CO_ORDERS)
-        .select("a", "b")
+    sharing >= MIN_CO_ORDERS distinct orders. Delegates the pair
+    enumeration to the shared substrate
+    (recommend.basket_pair_counts — one dedup shuffle, one
+    within-order self-join, one pair hash-agg, the coincidence floor)
+    and drops the count column the recommender keeps."""
+    from bigdataminingproject_spark.operators.recommend import (
+        basket_pair_counts,
     )
+
+    return basket_pair_counts(
+        lineitem, "l_orderkey", "l_partkey", MIN_CO_ORDERS
+    ).select("a", "b")
 
 
 def _hindex_round(sym: DataFrame, h: DataFrame) -> DataFrame:

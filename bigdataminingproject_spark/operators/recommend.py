@@ -38,6 +38,32 @@ SIM_MIN_CO = 2  # co-occurrence floor (orders), prunes coincidences
 SIM_TOP_K = 5
 
 
+def basket_pair_counts(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = SIM_MIN_CO,
+) -> DataFrame:
+    """Floored within-basket pair counts ``(a < b, c)`` — the shared
+    pair-enumeration substrate: one dedup shuffle, one within-basket
+    self-join (per-basket fanout C(items, 2)), one pair hash-agg, the
+    ``c >= min_co`` coincidence floor. The recommender consumes the
+    counts; the graph family (kcore.copurchase_edges) drops them —
+    ONE implementation keeps the two substrates provably identical."""
+    bi = baskets.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
+    ).distinct()
+    lo = bi.select("o", F.col("p").alias("a"))
+    hi = bi.select("o", F.col("p").alias("b"))
+    return (
+        lo.join(hi, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_co)
+    )
+
+
 def item_cosine_topk(
     baskets: DataFrame,
     basket_col: str,
@@ -53,15 +79,9 @@ def item_cosine_topk(
         F.col(basket_col).alias("o"), F.col(item_col).alias("p")
     ).distinct()
     n = bi.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
-    lo = bi.select("o", F.col("p").alias("a"))
-    hi = bi.select("o", F.col("p").alias("b"))
-    co = (
-        lo.join(hi, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("co_count"))
-        .filter(F.col("co_count") >= min_co)
-    )
+    co = basket_pair_counts(
+        baskets, basket_col, item_col, min_co
+    ).withColumnRenamed("c", "co_count")
     # credit both directions, then attach the two marginals
     sym = co.select("a", "b", "co_count").unionAll(
         co.select(

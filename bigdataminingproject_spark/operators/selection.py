@@ -258,9 +258,16 @@ def exact_quantiles(
     qs: tuple[float, ...] = (0.01, 0.25, 0.5, 0.75, 0.9, 0.99),
     bins: int = SEL_BINS,
     bound: int = SEL_BOUND,
+    stats: tuple[int, float, float] | None = None,
 ) -> DataFrame:
     """Exact (q, rank, value) order statistics of ``df[col]`` via
-    bracket descent. Returns one row per q, ordered by q."""
+    bracket descent. Returns one row per q, ordered by q.
+
+    ``stats`` — optional precomputed ``(n, min, max)`` of the NON-NULL
+    double population of ``df[col]``; callers that already aggregated
+    the column (histogram build, AQP samplers) pass it to skip the
+    redundant bounds scan. Wrong stats give wrong answers — the
+    contract is the caller aggregated the identical population."""
     spark = df.sparkSession
     # each pass re-reads the source with its filter pushed to the scan
     # (deliberately NOT cached/checkpointed: at corpus scale the input
@@ -270,20 +277,23 @@ def exact_quantiles(
         F.lit(0).alias("k"), F.col(col).cast("double").alias("v")
     ).filter(F.col("v").isNotNull())
     out_schema = "q double, rank bigint, value double"
-    g = vals.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-    ).collect()[0]
-    if g["n"] == 0:
+    if stats is None:
+        g = vals.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        stats = (g["n"], g["lo"], g["hi"])
+    s_n, s_lo, s_hi = stats
+    if s_n == 0:
         return spark.createDataFrame([], out_schema)
     state = {
         (0, q): {
-            "lo": g["lo"],
-            "hi": g["hi"],
+            "lo": s_lo,
+            "hi": s_hi,
             "before": 0,
-            "mass": g["n"],
-            "target": _rank_of(q, g["n"]),
+            "mass": s_n,
+            "target": _rank_of(q, s_n),
         }
         for q in qs
     }
@@ -302,31 +312,37 @@ def exact_ranks(
     ranks: tuple[int, ...],
     bins: int = SEL_BINS,
     bound: int = SEL_BOUND,
+    stats: tuple[int, float, float] | None = None,
 ) -> dict[int, float]:
     """Exact values at explicit 1-based RANKS of ``df[col]`` (the raw
     selection primitive under exact_quantiles, exposed for callers —
     like the AQP quantile estimator's binomial rank bounds — whose
     targets are ranks, not quantile fractions). All ranks advance in
     one shared descent; returns {rank: value} (ranks clamped to
-    [1, n]); empty dict on an empty column."""
+    [1, n]); empty dict on an empty column. ``stats`` as in
+    :func:`exact_quantiles` — precomputed (n, min, max) of the
+    non-null population, skips the bounds scan."""
     g = df.select(F.col(col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
     vals = g.select(F.lit(0).alias("k"), "v")
-    s = vals.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-    ).collect()[0]
-    if s["n"] == 0:
+    if stats is None:
+        s = vals.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()[0]
+        stats = (s["n"], s["lo"], s["hi"])
+    s_n, s_lo, s_hi = stats
+    if s_n == 0:
         return {}
-    clamped = sorted({max(1, min(int(s["n"]), int(r))) for r in ranks})
+    clamped = sorted({max(1, min(int(s_n), int(r))) for r in ranks})
     state = {
         (0, float(r)): {
-            "lo": s["lo"],
-            "hi": s["hi"],
+            "lo": s_lo,
+            "hi": s_hi,
             "before": 0,
-            "mass": s["n"],
+            "mass": s_n,
             "target": int(r),
         }
         for r in clamped
