@@ -303,6 +303,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: Pearson chi-square independence + Cramér's V from
         # the exact contingency table (shares the MI cell state)
         "q_events_chi2": profiling.q_events_chi2,
+        # round 9: the item-item recommender maintained live — pair
+        # counts by the delta-join rule (a basket's pairs span arrival
+        # batches), additive marginals, shared scoring tail; lands on
+        # q_part_itemsim's oracle
+        "q_stream_itemsim_maintenance": (
+            streaming_pipeline.q_stream_itemsim_maintenance
+        ),
         # round 9: IVM twins — equi-depth histogram maintained as
         # value-domain counters, MI as contingency cells; both publish
         # exactly onto their batch oracles
@@ -739,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_mi_maintenance",
         "q_events_psi_drift",
         "q_events_chi2",
+        "q_stream_itemsim_maintenance",
     ]
     backlog_r5 = [
         "q_doc_association_rules",
@@ -7056,5 +7064,10 @@ def oracle_sql() -> dict[str, str]:
                END AS cramers_v
         FROM tot, s, dims
     """
+
+    # streaming item-sim maintenance: delta-rule pair counts and
+    # additive marginals are exact integers, the scoring tail is
+    # shared — same oracle as the batch recommender
+    sql["q_stream_itemsim_maintenance"] = sql["q_part_itemsim"]
 
     return sql

@@ -179,6 +179,7 @@ HEADLINE = [
     "q_orders_fd_profile",
     "q_events_bootstrap_ci",
     "q_embedding_knn_outliers",
+    "q_stream_itemsim_maintenance",
 ]
 
 

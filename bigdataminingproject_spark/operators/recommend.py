@@ -82,6 +82,17 @@ def item_cosine_topk(
     co = basket_pair_counts(
         baskets, basket_col, item_col, min_co
     ).withColumnRenamed("c", "co_count")
+    return cosine_topk_from_counts(co, n, k)
+
+
+def cosine_topk_from_counts(
+    co: DataFrame, n: DataFrame, k: int = SIM_TOP_K
+) -> DataFrame:
+    """Scoring tail shared by the batch operator and the streaming
+    maintenance twin: from floored pair counts ``(a < b, co_count)``
+    and item marginals ``(p, n_orders)``, produce the per-item top-k.
+    All inputs are exact integers, so the single sqrt+divide per pair
+    is bit-identical on any engine."""
     # credit both directions, then attach the two marginals
     sym = co.select("a", "b", "co_count").unionAll(
         co.select(

@@ -2937,3 +2937,138 @@ def q_stream_mi_maintenance(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_itemsim_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live item-item recommender maintenance — the bilinear-delta
+    member applied to a PRODUCT surface: every part's top-k cosine
+    neighbors stay continuously current as order lines stream in.
+
+    Pair counts are NOT a per-row aggregate — a basket's pairs span
+    arrival batches — so the twin maintains them by the delta-join
+    rule the Z-set/DBSP twins established:
+
+      Δpairs = (Δitems ⋈ old items of the same order) ∪ C(Δitems, 2)
+
+    with Δitems first anti-joined against the item state so replayed
+    duplicates can never double-count. Three LSM stores carry the
+    view: the (order, item) relation (the join state the delta rule
+    probes — read per batch FILTERED to the delta's orders), additive
+    pair-count partials, and additive item marginals; compaction folds
+    the latter two by per-key integer addition. Publish feeds the
+    folded counts through the SAME scoring tail as the batch operator
+    (recommend.cosine_topk_from_counts — one sqrt+divide of exact
+    integers per surviving pair), so the output lands bit-for-bit on
+    ``q_part_itemsim``'s oracle.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.recommend import (
+        SIM_MIN_CO,
+        SIM_TOP_K,
+        cosine_topk_from_counts,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_orderkey").alias("o"),
+        F.col("l_partkey").alias("p"),
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_itemsim_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_itemsim_state_")
+    items = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "items",
+        merge_fanout=2,
+        merge_transform=lambda df: df.dropDuplicates(["o", "p"]),
+    )
+    pairs = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "pairs",
+        merge_fanout=2,
+        merge_transform=lambda df: df.groupBy("a", "b").agg(
+            F.sum("c").alias("c")
+        ),
+    )
+    margs = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "margs",
+        merge_fanout=2,
+        merge_transform=lambda df: df.groupBy("p").agg(
+            F.sum("c").alias("c")
+        ),
+    )
+
+    def upsert(batch_df, batch_id):
+        delta = batch_df.select("o", "p").distinct()
+        old = items.read()
+        if old is not None:
+            delta = delta.join(old, ["o", "p"], "left_anti")
+        delta = delta.localCheckpoint(eager=True)
+        lo = delta.select("o", F.col("p").alias("a"))
+        hi = delta.select("o", F.col("p").alias("b"))
+        within = (
+            lo.join(hi, "o")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        if old is not None:
+            # probe ONLY the delta's orders out of the join state
+            oldrel = old.join(
+                delta.select("o").distinct(), "o"
+            ).select("o", F.col("p").alias("q"))
+            cross = (
+                delta.join(oldrel, "o")
+                .filter(F.col("p") != F.col("q"))
+                .select(
+                    F.least("p", "q").alias("a"),
+                    F.greatest("p", "q").alias("b"),
+                )
+            )
+            within = within.unionByName(cross)
+        pairs.append(
+            within.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+        )
+        margs.append(
+            delta.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+        )
+        items.append(delta)
+
+    try:
+        stream = file_replay_source(
+            spark, li, staging, chunks=4, order_col="rid"
+        )
+        snapshot_sink(stream, upsert)
+        pstate = pairs.read()
+        mstate = margs.read()
+        if pstate is None or mstate is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "item bigint, neighbor bigint, co_count bigint, "
+                "cos_sim double, rank int",
+            )
+        co = (
+            pstate.groupBy("a", "b")
+            .agg(F.sum("c").alias("co_count"))
+            .filter(F.col("co_count") >= SIM_MIN_CO)
+        )
+        n = mstate.groupBy("p").agg(F.sum("c").alias("n_orders"))
+        return (
+            cosine_topk_from_counts(co, n, SIM_TOP_K)
+            .orderBy("item", "rank")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)

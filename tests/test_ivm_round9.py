@@ -86,3 +86,96 @@ def test_mi_cells_fold_over_splits(spark):
         stacked = stacked.unionByName(p)
     folded = mi_from_cells(fold_contingency_cells(stacked)).collect()
     assert folded == whole
+
+
+def test_itemsim_delta_rule_matches_batch(spark):
+    """The delta-join pair rule (cross term against prior state +
+    within-batch pairs, duplicate-proof via the anti-join) must
+    reproduce the batch pair counts EXACTLY under arbitrary batch
+    slicing — including baskets that straddle batches and replayed
+    duplicate rows."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.recommend import (
+        basket_pair_counts,
+        cosine_topk_from_counts,
+        item_cosine_topk,
+    )
+
+    rnd = random.Random(41)
+    rows = []
+    for o in range(60):
+        items = rnd.sample(range(20), rnd.randint(1, 6))
+        rows.extend((o, p) for p in items)
+    rows += rows[:25]  # replayed duplicates must not double-count
+    rnd.shuffle(rows)  # baskets straddle the slices
+    df = spark.createDataFrame(rows, "o long, p long")
+    batch = item_cosine_topk(df, "o", "p", k=3, min_co=2).collect()
+
+    # simulate the twin's per-batch fold over 4 slices
+    slices = [
+        spark.createDataFrame(rows[i::4], "o long, p long")
+        for i in range(4)
+    ]
+    state = None
+    pair_parts, marg_parts = [], []
+    for b in slices:
+        delta = b.select("o", "p").distinct()
+        if state is not None:
+            delta = delta.join(state, ["o", "p"], "left_anti")
+        delta = delta.localCheckpoint(eager=True)
+        lo = delta.select("o", F.col("p").alias("a"))
+        hi = delta.select("o", F.col("p").alias("b"))
+        within = (
+            lo.join(hi, "o").filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        if state is not None:
+            oldrel = state.join(
+                delta.select("o").distinct(), "o"
+            ).select("o", F.col("p").alias("q"))
+            cross = (
+                delta.join(oldrel, "o")
+                .filter(F.col("p") != F.col("q"))
+                .select(
+                    F.least("p", "q").alias("a"),
+                    F.greatest("p", "q").alias("b"),
+                )
+            )
+            within = within.unionByName(cross)
+        pair_parts.append(
+            within.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+        )
+        marg_parts.append(
+            delta.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+        )
+        state = (
+            delta if state is None else state.unionByName(delta)
+        ).localCheckpoint(eager=True)
+    pstate = pair_parts[0]
+    for p in pair_parts[1:]:
+        pstate = pstate.unionByName(p)
+    mstate = marg_parts[0]
+    for p in marg_parts[1:]:
+        mstate = mstate.unionByName(p)
+    co = (
+        pstate.groupBy("a", "b").agg(F.sum("c").alias("co_count"))
+        .filter(F.col("co_count") >= 2)
+    )
+    n = mstate.groupBy("p").agg(F.sum("c").alias("n_orders"))
+    folded = cosine_topk_from_counts(co, n, k=3).collect()
+    assert folded == batch
+    # and the raw pair counts agree with the substrate too
+    direct = {
+        (r["a"], r["b"]): r["c"]
+        for r in basket_pair_counts(df, "o", "p", min_co=1).collect()
+    }
+    via_delta = {
+        (r["a"], r["b"]): r["co_count"]
+        for r in pstate.groupBy("a", "b")
+        .agg(F.sum("c").alias("co_count"))
+        .collect()
+    }
+    assert via_delta == direct
