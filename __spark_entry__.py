@@ -310,6 +310,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_itemsim_maintenance": (
             streaming_pipeline.q_stream_itemsim_maintenance
         ),
+        # round 9: the drift monitor maintained live — per-(key, half,
+        # value) counters, publish rebuilds deciles by the pinned rank
+        # rule; lands on q_events_psi_drift's oracle
+        "q_stream_psi_maintenance": (
+            streaming_pipeline.q_stream_psi_maintenance
+        ),
+        # round 9: chi-square maintained from the same cell-state
+        # discipline as the MI twin
+        "q_stream_chi2_maintenance": (
+            streaming_pipeline.q_stream_chi2_maintenance
+        ),
         # round 9: IVM twins — equi-depth histogram maintained as
         # value-domain counters, MI as contingency cells; both publish
         # exactly onto their batch oracles
@@ -747,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_psi_drift",
         "q_events_chi2",
         "q_stream_itemsim_maintenance",
+        "q_stream_psi_maintenance",
+        "q_stream_chi2_maintenance",
     ]
     backlog_r5 = [
         "q_doc_association_rules",
@@ -7069,5 +7082,11 @@ def oracle_sql() -> dict[str, str]:
     # additive marginals are exact integers, the scoring tail is
     # shared — same oracle as the batch recommender
     sql["q_stream_itemsim_maintenance"] = sql["q_part_itemsim"]
+
+    # streaming PSI / chi-square maintenance: counter-form state is
+    # the exact per-half distribution / contingency table — publish
+    # rebuilds the batch outputs bit-for-bit, same oracles
+    sql["q_stream_psi_maintenance"] = sql["q_events_psi_drift"]
+    sql["q_stream_chi2_maintenance"] = sql["q_events_chi2"]
 
     return sql

@@ -180,6 +180,8 @@ HEADLINE = [
     "q_events_bootstrap_ci",
     "q_embedding_knn_outliers",
     "q_stream_itemsim_maintenance",
+    "q_stream_psi_maintenance",
+    "q_stream_chi2_maintenance",
 ]
 
 

@@ -380,3 +380,151 @@ def q_events_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev, F.col("event_type"), hour_index() % F.lit(24)
         )
     )
+
+
+def psi_value_counters(
+    df: DataFrame,
+    key_col: str = "event_type",
+    val_col: str = "value",
+    split_hour: int = PSI_SPLIT_HOUR,
+) -> DataFrame:
+    """PSI's mergeable state: exact (k, half, v, c) counters — one row
+    per (group, window-half, distinct value), closed under per-key
+    addition. Domain-bounded exactly like the histogram twin's
+    counter state (|keys| · 2 · |value domain|)."""
+    from bigdataminingproject_spark.operators.trends import hour_index
+
+    return (
+        df.select(
+            F.col(key_col).alias("k"),
+            hour_index().alias("h"),
+            F.col(val_col).cast("double").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & F.col("k").isNotNull())
+        .filter(F.col("h").isNotNull())
+        .select(
+            "k",
+            F.when(F.col("h") < split_hour, F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("half"),
+            "v",
+        )
+        .groupBy("k", "half", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fold_psi_counters(parts: DataFrame) -> DataFrame:
+    """LSM merge-operator: per-(k, half, v) integer addition."""
+    return parts.groupBy("k", "half", "v").agg(F.sum("c").alias("c"))
+
+
+def psi_from_counters(
+    counters: DataFrame, buckets: int = PSI_BUCKETS
+) -> DataFrame:
+    """Rebuild the exact PSI report from folded (k, half, v, c)
+    counters — bit-identical to ``psi_drift`` on the raw rows: the
+    reference deciles come from the SAME pinned rank rule over a
+    cumulative walk on the (bounded) pooled reference counters, the
+    bucket populations are the same Σ(v > boundary) flag expression
+    weighted by c, and the smoothing/fold arithmetic is shared."""
+    import math as _math
+    from functools import reduce
+
+    from pyspark.sql.window import Window as _W
+
+    spark = counters.sparkSession
+    ref_pool = (
+        counters.filter(F.col("half") == "ref")
+        .groupBy("v")
+        .agg(F.sum("c").alias("c"))
+    )
+    tot_row = ref_pool.agg(F.sum("c").alias("n")).collect()[0]
+    total = int(tot_row["n"] or 0)
+    if total == 0:
+        ktype = counters.schema["k"].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"event_type {ktype}, n_ref bigint, n_cur bigint, psi double",
+        )
+    cum = ref_pool.withColumn(
+        "cum",
+        F.sum("c").over(
+            _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+        ),
+    ).localCheckpoint(eager=True)
+    ranks = spark.createDataFrame(
+        [
+            (i, max(1, _math.ceil(i / buckets * total)))
+            for i in range(1, buckets)
+        ],
+        "i int, r bigint",
+    )
+    brows = (
+        F.broadcast(ranks)
+        .join(cum, F.col("cum") >= F.col("r"))
+        .groupBy("i")
+        .agg(F.min("v").alias("b"))
+        .collect()
+    )
+    bmap = {int(r["i"]): float(r["b"]) for r in brows}
+    bs = [bmap[i] for i in range(1, buckets)]
+    bucket = reduce(
+        lambda acc, b: acc
+        + F.when(F.col("v") > F.lit(b), F.lit(1)).otherwise(F.lit(0)),
+        bs,
+        F.lit(1),
+    )
+    cnt = (
+        counters.groupBy("k", "half", bucket.alias("bucket"))
+        .agg(F.sum("c").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rcnt = cnt.filter(F.col("half") == "ref").select(
+        "k", "bucket", F.col("n").alias("cr")
+    )
+    ccnt = cnt.filter(F.col("half") == "cur").select(
+        "k", "bucket", F.col("n").alias("cc")
+    )
+    keys = (
+        rcnt.select("k").unionByName(ccnt.select("k")).distinct()
+    )
+    grid = keys.crossJoin(
+        F.broadcast(
+            spark.range(1, buckets + 1).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    dense = (
+        grid.join(rcnt, ["k", "bucket"], "left")
+        .join(ccnt, ["k", "bucket"], "left")
+        .select(
+            "k",
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    tot = dense.groupBy("k").agg(
+        F.sum("cr").alias("nr"), F.sum("cc").alias("nc")
+    )
+    smooth = float(PSI_SMOOTH)
+    pad = smooth * buckets
+    j = dense.join(F.broadcast(tot), "k")
+    pr = (F.col("cr").cast("double") + F.lit(smooth)) / (
+        F.col("nr").cast("double") + F.lit(pad)
+    )
+    pc = (F.col("cc").cast("double") + F.lit(smooth)) / (
+        F.col("nc").cast("double") + F.lit(pad)
+    )
+    return (
+        j.groupBy("k")
+        .agg(
+            F.max("nr").alias("n_ref"),
+            F.max("nc").alias("n_cur"),
+            F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"),
+        )
+        .select(F.col("k").alias("event_type"), "n_ref", "n_cur", "psi")
+        .orderBy("event_type")
+    )

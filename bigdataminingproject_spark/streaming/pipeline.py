@@ -3072,3 +3072,141 @@ def q_stream_itemsim_maintenance(spark, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_psi_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live drift-monitor maintenance — PSI per event type stays
+    continuously current as events stream in.
+
+    State is the exact per-(group, window-half, value) counter
+    relation (``profiling.psi_value_counters``) — domain-bounded like
+    the histogram twin's state, closed under per-key addition
+    (``fold_psi_counters`` at LSM compaction). Publish rebuilds the
+    reference deciles from the pooled ref counters with the SAME
+    pinned rank rule (cumulative walk over bounded state), re-buckets
+    both halves by the weighted flag-sum, and runs the shared
+    smoothing/fold arithmetic — landing bit-for-bit on
+    ``q_events_psi_drift``'s oracle. This is how a feature store keeps
+    its drift dashboards fresh without re-scanning history.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.profiling import (
+        fold_psi_counters,
+        psi_from_counters,
+        psi_value_counters,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_psi_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_psi_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "psi",
+        merge_fanout=2,
+        merge_transform=fold_psi_counters,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(psi_value_counters(batch_df))
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "event_type string, n_ref bigint, n_cur bigint, "
+                "psi double",
+            )
+        return (
+            psi_from_counters(fold_psi_counters(state))
+            .orderBy("event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
+def q_stream_chi2_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live chi-square independence maintenance — shares the MI twin's
+    contingency-cell state discipline (|X|·|Y| additive counters in
+    the LSM store); publish runs the shared single-sum identity
+    (``profiling.chi_square``) over the folded live tail, landing on
+    ``q_events_chi2``'s oracle. One cell relation can serve every
+    information metric (MI, NMI, chi-square, Cramér's V) at once."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as _F
+
+    from bigdataminingproject_spark.operators.profiling import (
+        chi_square,
+        contingency_cells,
+        fold_contingency_cells,
+    )
+    from bigdataminingproject_spark.operators.trends import hour_index
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    staging = tempfile.mkdtemp(prefix="q_stream_chi2_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_chi2_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "chi2",
+        merge_fanout=2,
+        merge_transform=fold_contingency_cells,
+    )
+
+    def upsert(batch_df, batch_id):
+        store.append(
+            contingency_cells(
+                batch_df,
+                _F.col("event_type"),
+                hour_index() % _F.lit(24),
+            )
+        )
+
+    try:
+        stream = file_replay_source(
+            spark, ev, staging, chunks=4, order_col="event_id"
+        )
+        snapshot_sink(stream, upsert)
+        state = store.read()
+        if state is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "n_rows bigint, chi2 double, dof bigint, "
+                "cramers_v double",
+            )
+        return (
+            chi_square(fold_contingency_cells(state))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)

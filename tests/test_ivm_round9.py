@@ -179,3 +179,45 @@ def test_itemsim_delta_rule_matches_batch(spark):
         .collect()
     }
     assert via_delta == direct
+
+
+def test_psi_counters_rebuild_batch_exactly(spark):
+    """Counter-form PSI state must reproduce the batch drift report
+    EXACTLY from folded per-(key, half, value) counters, including
+    under arbitrary splits."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.profiling import (
+        fold_psi_counters,
+        psi_drift,
+        psi_from_counters,
+        psi_value_counters,
+    )
+
+    rnd = random.Random(47)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(1500):
+        k = rnd.choice(["a", "b", "c"])
+        h = rnd.choice([5, 100, 300, 400, 600])
+        lo, hi = (0, 60) if h < 360 else (20, 90)
+        rows.append(
+            (i, base + dt.timedelta(hours=h), k,
+             round(rnd.uniform(lo, hi), 2))
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    batch = psi_drift(df).collect()
+    parts = [
+        psi_value_counters(df.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    rebuilt = psi_from_counters(fold_psi_counters(stacked)).collect()
+    assert rebuilt == batch
