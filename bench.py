@@ -7,6 +7,19 @@ Each query is executed to completion (count of the result) — results are
 small aggregates/top-ks, so timing is dominated by the distributed work,
 not driver collection.
 
+DEADLINE (round 10): the headline list (99 queries x subprocess each)
+outgrew the driver's wall budget — BENCH_r09.json recorded rc 124 with
+no machine line (VERDICT r9 #1). The parent now enforces a global
+budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 2400 s): queries run in
+priority order (new/changed + watch-listed first, then
+least-recently-driver-timed first, derived from prior BENCH_r*.json
+records so the tail rotates across rounds), the parent stops launching
+children when the remaining budget won't cover a predicted child, each
+child gets a hard subprocess timeout bounded by the remaining budget,
+and the compact machine line is ALWAYS printed — with a "skipped"
+count for queries not launched — even when the budget truncates the
+run. A child failure no longer aborts the whole bench.
+
 ISOLATION (round 4): every headline query runs in its OWN subprocess
 with a fresh SparkSession/JVM. Round-3 measurements showed that late
 queries in a 20+-query same-JVM sequence inherit heap and codegen-cache
@@ -182,7 +195,64 @@ HEADLINE = [
     "q_stream_itemsim_maintenance",
     "q_stream_psi_maintenance",
     "q_stream_chi2_maintenance",
+    # round-10 additions: the IVF-shortlist kNN-outlier scale path
+    # (replaces the O(N^2) all-pairs baseline as the attested plan)
+    # and the sample-only AQP quantile (no exact-envelope leg)
+    "q_embedding_knn_outliers_ivf",
+    "q_lineitem_aqp_quantile_sample",
 ]
+
+# Queries timed FIRST this round, ahead of the rotation: new/changed
+# plans plus the verdict's re-adjudication watch list. Update per round.
+TIER0 = [
+    # new round-10 plans
+    "q_embedding_knn_outliers_ivf",
+    "q_lineitem_aqp_quantile_sample",
+    # changed round-10 plan (order-bucketed delta-probe state)
+    "q_stream_itemsim_maintenance",
+    # VERDICT r9 #4 watch list: raw-fragment regressions needing a
+    # clean driver adjudication
+    "q_stream_join_attribution",
+    "q_doc_bpe_train",
+]
+
+
+def _last_timed_round(here: str) -> dict[str, int]:
+    """Round number of each query's most recent successful driver
+    timing, from the BENCH_r*.json records (parsed machine lines carry
+    the heaviest-first capped map; a query absent from every record has
+    never had a driver timing and sorts first)."""
+    import re
+
+    seen: dict[str, int] = {}
+    for fname in sorted(os.listdir(here)):
+        m = re.match(r"BENCH_r(\d+)\.json$", fname)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fname)) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed")
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            rnd = int(m.group(1))
+            for q in parsed["queries"]:
+                seen[q] = max(seen.get(q, 0), rnd)
+    return seen
+
+
+def _priority_order(here: str) -> list[str]:
+    """Headline queries in run order: TIER0 first (new/changed plans
+    and the round's watch list), then everything else least-recently-
+    driver-timed first (never-timed queries lead), ties in HEADLINE
+    order. Under a budget truncation the stale tail is exactly what
+    gets re-timed next round, so coverage rotates instead of starving."""
+    seen = _last_timed_round(here)
+    tier0 = [q for q in TIER0 if q in HEADLINE]
+    rest = [q for q in HEADLINE if q not in tier0]
+    rest.sort(key=lambda q: (seen.get(q, 0), HEADLINE.index(q)))
+    return tier0 + rest
 
 
 def _run_cli_pipeline(spark) -> tuple[float, int]:
@@ -380,19 +450,51 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = -1.0
+    here = os.path.dirname(os.path.abspath(__file__))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "2400"))
+    t0 = time.perf_counter()
     timings: dict[str, float] = {}
     cals: list[float] = []
     overheads: dict[str, float] = {}
-    for name in HEADLINE:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True,
-            text=True,
-            env=os.environ,
-        )
+    child_walls: list[float] = []
+    skipped: list[str] = []
+    failed: list[str] = []
+    order = _priority_order(here)
+    for idx, name in enumerate(order):
+        elapsed = time.perf_counter() - t0
+        remaining = budget - elapsed
+        # predicted wall for the next child: the median of completed
+        # child walls (startup + warmup + calibration + timed runs),
+        # floored at 30 s until we have real samples
+        walls = sorted(child_walls)
+        predicted = walls[len(walls) // 2] if walls else 30.0
+        if remaining < max(predicted, 30.0):
+            skipped = order[idx:]
+            print(
+                f"# budget {budget:.0f}s reached after {elapsed:.0f}s; "
+                f"skipping {len(skipped)} queries",
+                file=sys.stderr,
+            )
+            break
+        child_t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True,
+                text=True,
+                env=os.environ,
+                timeout=max(remaining - 10.0, 30.0),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {name}: child timed out (budget)", file=sys.stderr)
+            failed.append(name)
+            continue
+        child_walls.append(time.perf_counter() - child_t0)
         if proc.returncode != 0:
             print(proc.stderr[-2000:], file=sys.stderr)
-            raise RuntimeError(f"bench child failed for {name}")
+            print(f"# {name}: child failed rc={proc.returncode}", file=sys.stderr)
+            failed.append(name)
+            continue
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         timings[name] = rec["sec"]
         if "cal" in rec:
@@ -414,7 +516,6 @@ def main() -> None:
         else None
     )
     prior_file, prior = None, None
-    here = os.path.dirname(os.path.abspath(__file__))
     benches = sorted(
         f
         for f in os.listdir(here)
@@ -484,6 +585,12 @@ def main() -> None:
         # availableNow foreachBatch cycle in the same child JVM); a
         # twin's distributed WORK is ~ total - n_batches * overhead
         "stream_fixed_overhead_sec": overheads or None,
+        # budget-truncation record: queries not launched (deadline) and
+        # children that errored/timed out; both re-run first next round
+        # via the least-recently-timed rotation
+        "budget_sec": budget,
+        "skipped_queries": skipped or None,
+        "failed_queries": failed or None,
     }
     # Full record: side file + stderr. The driver's tail capture is
     # 2000 chars of stdout (VERDICT r7 #1: the r7 line, which carried
@@ -496,7 +603,11 @@ def main() -> None:
     except OSError:
         pass
     print(json.dumps(full), file=sys.stderr)
-    print(_machine_line(total, sf, cal_median, timings))
+    print(
+        _machine_line(
+            total, sf, cal_median, timings, skipped=len(skipped) + len(failed)
+        )
+    )
 
 
 def _machine_line(
@@ -505,6 +616,7 @@ def _machine_line(
     cal_median: float | None,
     timings: dict[str, float],
     budget: int = 1900,
+    skipped: int = 0,
 ) -> str:
     """Compact single-line JSON for the driver's 2000-char tail window.
 
@@ -521,6 +633,7 @@ def _machine_line(
         "sf": sf,
         "cal": cal_median,
         "omitted": 0,
+        "skipped": skipped,
         "notes": "BENCH_NOTES.json",
         "queries": {},
     }
