@@ -6575,7 +6575,9 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(ts) - 1704067200000000) // 3600000000) % 24
                        AS y,
                    CAST(count(*) AS BIGINT) AS nxy
-            FROM events GROUP BY x, y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY x, y
         ),
         mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
                FROM cells GROUP BY x),
@@ -7049,7 +7051,9 @@ def oracle_sql() -> dict[str, str]:
                    ((epoch_us(ts) - 1704067200000000) // 3600000000) % 24
                        AS y,
                    CAST(count(*) AS BIGINT) AS nxy
-            FROM events GROUP BY x, y
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY x, y
         ),
         mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
                FROM cells GROUP BY x),

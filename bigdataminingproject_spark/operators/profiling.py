@@ -37,9 +37,17 @@ def contingency_cells(df: DataFrame, x: Column, y: Column) -> DataFrame:
     """Exact contingency counts (x, y, nxy) — the sufficient state for
     every information metric below. Closed under per-cell addition
     (the streaming twin folds exactly these counters), bounded by
-    |X|·|Y| regardless of corpus size."""
+    |X|·|Y| regardless of corpus size.
+
+    NULL-keyed rows are excluded HERE so that N, the margins, and the
+    joined cell sum all cover the same population — an inner join on
+    x/y can never match a NULL cell, so admitting NULL cells would
+    make the statistics internally inconsistent (they'd inflate N and
+    the margin entropies while silently dropping out of the MI/chi2
+    sums). The oracle SQL applies the same IS NOT NULL rule."""
     return (
         df.select(x.alias("x"), y.alias("y"))
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("nxy"))
     )
@@ -144,6 +152,13 @@ def fd_profile(
 
     g3 via two stacked aggregations: count per (det, dep), max per
     det, then N - Σ max."""
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [],
+            "determinant string, dependent string, n_rows bigint, "
+            "n_det bigint, n_pairs bigint, holds boolean, "
+            "g3_rows bigint, g3_err double",
+        )
     outs = []
     for det, dep in pairs:
         cnt = (
@@ -420,14 +435,20 @@ def fold_psi_counters(parts: DataFrame) -> DataFrame:
 
 
 def psi_from_counters(
-    counters: DataFrame, buckets: int = PSI_BUCKETS
+    counters: DataFrame,
+    buckets: int = PSI_BUCKETS,
+    key_col: str = "event_type",
 ) -> DataFrame:
     """Rebuild the exact PSI report from folded (k, half, v, c)
     counters — bit-identical to ``psi_drift`` on the raw rows: the
     reference deciles come from the SAME pinned rank rule over a
     cumulative walk on the (bounded) pooled reference counters, the
     bucket populations are the same Σ(v > boundary) flag expression
-    weighted by c, and the smoothing/fold arithmetic is shared."""
+    weighted by c, and the smoothing/fold arithmetic is shared.
+
+    ``key_col`` names the report's key column (matching whatever
+    ``psi_value_counters`` was grouped by — its producer is
+    parameterized the same way)."""
     import math as _math
     from functools import reduce
 
@@ -445,7 +466,7 @@ def psi_from_counters(
         ktype = counters.schema["k"].dataType.simpleString()
         return spark.createDataFrame(
             [],
-            f"event_type {ktype}, n_ref bigint, n_cur bigint, psi double",
+            f"{key_col} {ktype}, n_ref bigint, n_cur bigint, psi double",
         )
     cum = ref_pool.withColumn(
         "cum",
@@ -525,6 +546,6 @@ def psi_from_counters(
             F.max("nc").alias("n_cur"),
             F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"),
         )
-        .select(F.col("k").alias("event_type"), "n_ref", "n_cur", "psi")
-        .orderBy("event_type")
+        .select(F.col("k").alias(key_col), "n_ref", "n_cur", "psi")
+        .orderBy(key_col)
     )
