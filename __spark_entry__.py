@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: kth-NN-distance outlier scoring (Ramaswamy et al.)
         # — exact all-pairs baseline for the IVF-shortlist path
         "q_embedding_knn_outliers": similarity.q_embedding_knn_outliers,
+        "q_embedding_knn_outliers_ivf": (
+            similarity.q_embedding_knn_outliers_ivf
+        ),
         # round 9: PSI distribution drift per group (exact reference
         # deciles via the selection descent, Laplace-smoothed fold)
         "q_events_psi_drift": profiling.q_events_psi_drift,
@@ -6561,6 +6564,88 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 10
         )
         SELECT id AS vec_id, cos AS knn_cos,
+               round(1 - cos, 6) AS outlier_score
+        FROM kth
+        ORDER BY outlier_score DESC, vec_id
+        LIMIT 20
+    """
+
+    # q_embedding_knn_outliers_ivf: the SCALE path (VERDICT r9 #2) —
+    # DuckDB recomputes the deterministic IVF shortlist exactly like
+    # the q_knn_ivf_det oracle (count-derived p, same inlined ±1
+    # planes), but the probe radius follows the CANDIDATE-COUNT rule
+    # (similarity.outlier_probe_radius: smallest ball expected to hold
+    # >= 4·k candidates — same integer arithmetic), then ranks every
+    # point's probed candidates and scores the min(k, #candidates)-th
+    # — the same truncation rule as the Spark side, so the
+    # approximation is pinned bit-for-bit.
+    sql["q_embedding_knn_outliers_ivf"] = f"""
+        WITH prm AS (
+            SELECT CASE
+                       WHEN ceil(log2(greatest(count(*), 2) / 32.0)) > 16
+                       THEN CAST(error(
+                           'q_embedding_knn_outliers_ivf oracle: derived '
+                           'cell planes > 16 exceed the inlined plane '
+                           'budget (corpus > ~2M vectors); grow the '
+                           'inline count alongside SEM_CELL_MAX_PLANES'
+                       ) AS INT)
+                       ELSE CAST(greatest(6.0,
+                           ceil(log2(greatest(count(*), 2) / 32.0)))
+                           AS INT)
+                   END AS p,
+                   count(*) AS n
+            FROM embeddings
+        ),
+        v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+        ),
+        cells AS MATERIALIZED (
+            SELECT vec_id, vec,
+                   ({_cell16_terms}) % (1 << prm.p) AS cell
+            FROM v CROSS JOIN prm
+        ),
+        masks AS (
+            SELECT CAST(m AS INT) AS off, bit_count(CAST(m AS BIGINT)) AS pc
+            FROM prm, range(0, 65536) t(m)
+            WHERE m < (1 << prm.p)
+        ),
+        rad AS (
+            -- coalesce: n < min_cand never satisfies the rule; the
+            -- Python side then probes the full ball (radius = p)
+            SELECT coalesce(min(pc), (SELECT p FROM prm)) AS r FROM (
+                SELECT pc, SUM(COUNT(*)) OVER (ORDER BY pc) AS csum
+                FROM masks GROUP BY pc
+            ), prm
+            WHERE csum * greatest(prm.n, 1) >= 40 * (1 << prm.p)
+        ),
+        offs AS (
+            SELECT off FROM masks, rad WHERE masks.pc <= rad.r
+        ),
+        probes AS (
+            SELECT c.vec_id AS query_id, c.vec AS q_vec,
+                   xor(c.cell, o.off) AS cell
+            FROM cells c, offs o
+        ),
+        scored AS (
+            SELECT p.query_id, n.vec_id AS nid,
+                   round(list_dot_product(p.q_vec, n.vec) /
+                         (sqrt(list_dot_product(p.q_vec, p.q_vec)) *
+                          sqrt(list_dot_product(n.vec, n.vec))), 6)
+                       AS cos
+            FROM probes p
+            JOIN cells n ON n.cell = p.cell AND n.vec_id <> p.query_id
+        ),
+        kth AS (
+            SELECT query_id, cos FROM (
+                SELECT query_id, cos,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cos DESC, nid
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY query_id) AS cnt
+                FROM scored
+            ) WHERE rn = least(10, cnt)
+        )
+        SELECT query_id AS vec_id, cos AS knn_cos,
                round(1 - cos, 6) AS outlier_score
         FROM kth
         ORDER BY outlier_score DESC, vec_id

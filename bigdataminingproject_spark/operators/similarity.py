@@ -1712,3 +1712,126 @@ def q_embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     10th-NN cosine distance (exact baseline)."""
     vecs = load_table(spark, sf_dir, "embeddings")
     return knn_distance_outliers(vecs, k=10, top_n=20)
+
+
+def outlier_probe_radius(n_bits: int, n: int, min_cand: int) -> int:
+    """Probe radius for the kNN-outlier shortlist: the smallest r whose
+    Hamming ball is EXPECTED to hold >= ``min_cand`` candidates —
+    integer-only (ball_cells · n >= min_cand · 2^p), mirrored by the
+    oracle's popcount CTE.
+
+    This is deliberately NOT ``auto_probe_radius``'s held 7/64 scan
+    fraction: a fraction-holding ball keeps per-query cost at ~11% of
+    the corpus, so scoring all N points stays O(N²) — quadratic, the
+    exact failure the shortlist exists to avoid. A kth-NN distance only
+    needs a few·k candidates, and with per-cell occupancy held at ~32
+    by the count-derived layout the candidate-count rule resolves to
+    radius 1 at every layout (ball of 1+p cells, ~32·(1+p) candidates),
+    making the whole operator ~O(N·p·occupancy) — linear-ish in N."""
+    from math import comb
+
+    cells = 1 << n_bits
+    cum = 0
+    for r in range(n_bits + 1):
+        cum += comb(n_bits, r)
+        if cum * max(n, 1) >= min_cand * cells:
+            return r
+    return n_bits
+
+
+def knn_distance_outliers_ivf(
+    vectors: DataFrame,
+    k: int = 10,
+    top_n: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kth-NN-distance outliers through the deterministic IVF index —
+    the SCALE path (VERDICT r9 #2): instead of the exact baseline's
+    O(N²) all-pairs self-join (``knn_distance_outliers``), every point
+    scores only the candidates inside its count-aware Hamming probe
+    ball, the same two-stage shortlist shape as ``q_knn_ivfpq_rerank``
+    with all N points as the query panel.
+
+    Plan: assign each vector to its count-derived sign-bit cell once
+    (``semantic_cell_planes``: ~32 vectors/cell held constant), expand
+    each point into its Hamming ball at the CANDIDATE-COUNT radius
+    (``outlier_probe_radius``: smallest ball expected to hold >= 4·k
+    candidates — radius 1 at every count-derived layout, NOT the kNN
+    panel's held 7/64 scan fraction, which would keep this O(N²)),
+    then a plain shuffle equi-join on ``cell`` replaces the baseline's
+    cross join — per-point work is ~32·(1+p) candidates, so the whole
+    operator is ~O(N·p·occupancy), and NOTHING is broadcast (the probe
+    side is N·|ball| rows, so the baseline's full-table broadcast
+    would be exactly the wrong move at corpus scale; AQE picks
+    broadcast on its own at attested SFs where probes are tiny).
+
+    Score = 1 - cosine to the min(k, #candidates)-th probed neighbor:
+    a point whose ball holds fewer than k candidates is scored against
+    its farthest available one (sparse neighborhoods are the outliers
+    this operator exists to surface, so truncating beats dropping).
+    The kth distance is an UPPER bound of the exact baseline's (the
+    shortlist can miss true neighbors), which biases scores toward
+    recall on the outlier side; the DuckDB oracle recomputes the same
+    cells/ball/rank from the same inlined plane constants, so the
+    approximation is pinned bit-for-bit cross-engine."""
+    n = vectors.count()
+    n_planes = semantic_cell_planes(n)
+    radius = outlier_probe_radius(n_planes, n, 4 * k)
+    planes = det_planes(64, n_planes)
+    v = vectors.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    assigned = v.withColumn("cell", cell_id(F.col("vec"), planes))
+    offsets = hamming_offsets(n_planes, radius)
+    probes = (
+        assigned.select(
+            F.col("nid").alias("query_id"),
+            F.col("vec").alias("q_vec"),
+            F.col("cell").alias("q_cell"),
+        )
+        .withColumn(
+            "off", F.explode(F.array(*[F.lit(o) for o in offsets]))
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            F.col("q_cell").bitwiseXOR(F.col("off")).cast("int").alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("nid") != F.col("query_id"))
+        .withColumn(
+            "cos", F.round(cosine(F.col("q_vec"), F.col("vec")), 6)
+        )
+        .select("query_id", "nid", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nid"))
+    wall = Window.partitionBy("query_id")
+    kth = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") == F.least(F.lit(k), F.col("cnt")))
+    )
+    return (
+        kth.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("cos").alias("knn_cos"),
+            F.round(F.lit(1.0) - F.col("cos"), 6).alias("outlier_score"),
+        )
+        .orderBy(F.desc("outlier_score"), F.asc("vec_id"))
+        .limit(top_n)
+    )
+
+
+def q_embedding_knn_outliers_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which embeddings sit farthest from everything — at corpus
+    scale? Top-20 by 10th-NN cosine distance through the IVF
+    shortlist (the attested scale path; the exact all-pairs form
+    stays as the small-SF baseline)."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    return knn_distance_outliers_ivf(vecs, k=10, top_n=20)
