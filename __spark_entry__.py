@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distribution-free binomial order-statistic bounds; every
         # quantile involved is an exact selection on both engines
         "q_lineitem_aqp_quantile": aqp.q_lineitem_aqp_quantile,
+        "q_lineitem_aqp_quantile_sample": (
+            aqp.q_lineitem_aqp_quantile_sample
+        ),
         # round 9: equi-depth histogram (exact boundaries via the
         # shared selection descent) + the histogram-interpolation
         # selectivity estimator — the classic optimizer statistic
@@ -4935,6 +4938,43 @@ def oracle_sql() -> dict[str, str]:
                    / 10000.0 AS rel_err_pct,
                ci_lo, ci_hi
         FROM picks
+    """
+
+    # q_lineitem_aqp_quantile_sample: the production (sample-only)
+    # form — same sample CTE, pinned rank rule, and binomial bound
+    # arithmetic, with the exact-envelope legs dropped.
+    sql["q_lineitem_aqp_quantile_sample"] = """
+        WITH s AS (
+            SELECT l_extendedprice AS v
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                       || '-' || CAST(l_linenumber AS VARCHAR)), 1, 12)
+                       AS BIGINT) % 100 = 0
+        ),
+        m AS (SELECT count(*) AS m FROM s),
+        ranks AS (
+            SELECT m,
+                   greatest(1, CAST(ceil(0.5 * m) AS BIGINT)) AS r_mid,
+                   greatest(1, CAST(ceil(0.5 * m
+                       - 1.96 * sqrt(m * 0.5 * (1.0 - 0.5)))
+                       AS BIGINT)) AS r_lo,
+                   least(m, CAST(ceil(0.5 * m
+                       + 1.96 * sqrt(m * 0.5 * (1.0 - 0.5)))
+                       AS BIGINT)) AS r_hi
+            FROM m
+        ),
+        rs AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s
+        )
+        SELECT ranks.m AS n_sampled,
+               (SELECT v FROM rs WHERE rn =
+                    greatest(1, least(ranks.m, ranks.r_mid))) AS est,
+               (SELECT v FROM rs WHERE rn =
+                    greatest(1, least(ranks.m, ranks.r_lo))) AS ci_lo,
+               (SELECT v FROM rs WHERE rn =
+                    greatest(1, least(ranks.m, ranks.r_hi))) AS ci_hi
+        FROM ranks
     """
 
     # q_events_equidepth_hist: boundaries are exact i/8 order

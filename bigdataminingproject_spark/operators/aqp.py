@@ -264,6 +264,85 @@ def aqp_quantile_estimate(
     )
 
 
+def aqp_quantile_sample_only(
+    df: DataFrame,
+    key_col: F.Column,
+    value_col: str,
+    q: float = 0.5,
+    rate_inv: int = AQP_RATE_INV,
+) -> DataFrame:
+    """The PRODUCTION form of the AQP quantile (VERDICT r9 #6): the
+    sample quantile with its distribution-free binomial rank bounds
+    and NO exact-envelope leg — ``aqp_quantile_estimate``'s exact
+    full-column descent exists only to attest the error envelope, and
+    an AQP operator whose every run costs more than the exact answer
+    defeats the family's point.
+
+    Cost shape: the full column is touched exactly ONCE, by the cheap
+    hash-sample predicate scan (which a bucketed layout prunes at the
+    scan); the selection descent, rank arithmetic, and both CI bounds
+    run only over the 1-in-``rate_inv`` sample, so the operator's
+    aggregate work is proportional to the SAMPLE size. Returns
+    (n_sampled, est, ci_lo, ci_hi); determinism discipline identical
+    to the envelope form (pure hash sample, shared pinned rank rule),
+    so DuckDB replays it bit-for-bit."""
+    import math
+
+    from bigdataminingproject_spark.operators.selection import (
+        exact_ranks,
+    )
+
+    spark = df.sparkSession
+    out_schema = "n_sampled bigint, est double, ci_lo double, ci_hi double"
+    sample = df.filter(F.col(value_col).isNotNull()).filter(
+        _hash48(key_col) % rate_inv == 0
+    )
+    st = sample.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min(F.col(value_col).cast("double")).alias("slo"),
+        F.max(F.col(value_col).cast("double")).alias("shi"),
+    ).collect()[0]
+    m = int(st["m"] or 0)
+    if m == 0:
+        return spark.createDataFrame([(0, None, None, None)], out_schema)
+    r_mid = max(1, math.ceil(q * float(m)))
+    half = 1.96 * math.sqrt(float(m) * q * (1.0 - q))
+    r_lo = max(1, math.ceil(q * float(m) - half))
+    r_hi = min(m, math.ceil(q * float(m) + half))
+    sv = exact_ranks(
+        sample,
+        value_col,
+        (r_mid, r_lo, r_hi),
+        stats=(m, st["slo"], st["shi"]),
+    )
+    return spark.createDataFrame(
+        [
+            (
+                m,
+                sv[max(1, min(m, r_mid))],
+                sv[max(1, min(m, r_lo))],
+                sv[max(1, min(m, r_hi))],
+            )
+        ],
+        out_schema,
+    )
+
+
+def q_lineitem_aqp_quantile_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """1% hash-sample median of l_extendedprice with binomial rank
+    bounds — the sample-only production form (the exact-envelope twin
+    q_lineitem_aqp_quantile stays registered at driver SFs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return aqp_quantile_sample_only(li, key, "l_extendedprice", q=0.5)
+
+
 def q_lineitem_aqp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1% hash-sample median of l_extendedprice with binomial
     order-statistic 95% bounds and the exact-median envelope — the
