@@ -74,6 +74,27 @@ class AppendOnlyPartsStore:
         apply the SAME fold over :meth:`read` (the live tail —
         protected parts plus not-yet-merged level-0 parts — is still
         unfolded).
+    count_rows:
+        When False, skip the post-write parquet count used for row
+        telemetry (``parts`` records -1 and ``rows_rewritten`` stops
+        accumulating). The count is a metadata-only job, but it still
+        lists the part and reads every footer — measurable per-batch
+        overhead for partitioned parts with directory fan-out. Probe
+        tooling keeps the default True; hot maintenance loops pass
+        False.
+    partition_col:
+        Optional column every part is directory-partitioned by
+        (``write.partitionBy``). Join state that a delta rule PROBES
+        per batch (rather than folds at publish) should be partitioned
+        by a key-derived bucket: a consumer filtering :meth:`read` on
+        the partition column gets parquet partition-directory pruning,
+        so each probe's I/O tracks the delta's bucket footprint
+        instead of the full state size (VERDICT r9 #5 — the itemsim
+        twin's 4 per-batch probes were scanning the whole (order,
+        item) relation). The column must be low-cardinality per part
+        (a bucket, not a raw key) and is restored on read from the
+        directory names; use an INT bucket so the round-trip type is
+        stable.
     """
 
     def __init__(
@@ -83,6 +104,8 @@ class AppendOnlyPartsStore:
         name: str,
         merge_fanout: int = 4,
         merge_transform=None,
+        partition_col: str | None = None,
+        count_rows: bool = True,
     ) -> None:
         if merge_fanout < 2:
             raise ValueError("merge_fanout must be >= 2")
@@ -91,6 +114,8 @@ class AppendOnlyPartsStore:
         self.name = name
         self.fanout = merge_fanout
         self.merge_transform = merge_transform
+        self.partition_col = partition_col
+        self.count_rows = count_rows
         # (path, level, n_rows) newest-last; disjoint unions of the state
         self.parts: list[tuple[str, int, int]] = []
         # caller-owned read-only dirs (e.g. the shared content-hashed
@@ -106,8 +131,28 @@ class AppendOnlyPartsStore:
             self.root, f"{self.name}_{uuid.uuid4().hex[:12]}"
         )
 
+    def _read_paths(self, paths: list[str]) -> DataFrame:
+        """Union of part directories. Partitioned parts must be read
+        one root at a time (Spark rejects multi-path reads over
+        partitioned directory layouts — CONFLICTING_DIRECTORY_STRUCTURES)
+        and unioned; filters on the partition column still prune
+        directories inside every branch of the union."""
+        if self.partition_col is None:
+            return self.spark.read.parquet(*paths)
+        from functools import reduce
+
+        return reduce(
+            lambda a, b: a.unionByName(b),
+            (self.spark.read.parquet(p) for p in paths),
+        )
+
     def _write(self, df: DataFrame, path: str) -> int:
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if self.partition_col is not None:
+            writer = writer.partitionBy(self.partition_col)
+        writer.parquet(path)
+        if not self.count_rows:
+            return -1
         # parquet footer metadata makes this a metadata-only job
         return self.spark.read.parquet(path).count()
 
@@ -126,7 +171,7 @@ class AppendOnlyPartsStore:
                 return
             group = [t for t in self.parts if t[1] == lvl][: self.fanout]
             merged_dir = self._new_dir()
-            merged = self.spark.read.parquet(*[p for p, _l, _n in group])
+            merged = self._read_paths([p for p, _l, _n in group])
             if self.merge_transform is not None:
                 merged = self.merge_transform(merged)
             n = self._write(merged, merged_dir)
@@ -171,7 +216,7 @@ class AppendOnlyPartsStore:
         paths = self.protected + [p for p, _l, _n in self.parts]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self._read_paths(paths)
 
     @property
     def n_parts(self) -> int:
