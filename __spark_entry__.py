@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — one heavy scan to an O(hours) series, lag work on the tiny
         # relation only
         "q_events_autocorr": trends.q_events_autocorr,
+        "q_events_xcorr": trends.q_events_xcorr,
+        "q_events_seasonal_anomaly": trends.q_events_seasonal_anomaly,
         # round 9: CUSUM mean-shift changepoint per event type over
         # the dense hourly series (left-to-right window walk, engine-
         # identical doubles)
@@ -294,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 9: functional-dependency discovery metrics (g3
         # violation counts) for four canonical candidate FDs on orders
         "q_orders_fd_profile": profiling.q_orders_fd_profile,
+        "q_orders_dependence_profile": (
+            profiling.q_orders_dependence_profile
+        ),
         # round 9: Poisson-bootstrap per-group mean with order-
         # statistic error bars — the distribution-free AQP sibling
         "q_events_bootstrap_ci": aqp.q_events_bootstrap_ci,
@@ -496,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_active_users": events.q_events_active_users,
         "q_media_frames": multimodal.q_media_frames,
         "q12_priority_by_returnflag": tpch.q12_priority_by_returnflag,
+        "q4_order_priority": tpch.q4_order_priority,
         "q_media_features": multimodal.q_media_features,
     }
     # Round-8 rotation (VERDICT r7 #2): driver consumes ~50 rows in
@@ -7217,5 +7223,182 @@ def oracle_sql() -> dict[str, str]:
     # rebuilds the batch outputs bit-for-bit, same oracles
     sql["q_stream_psi_maintenance"] = sql["q_events_psi_drift"]
     sql["q_stream_chi2_maintenance"] = sql["q_events_chi2"]
+
+    # q4_order_priority: the textbook Q4 EXISTS — DuckDB keeps the
+    # correlated form; Spark plans the equivalent left-semi join.
+    # "Late" is q21's rule (shipped > order date + 90 days; no
+    # commit/receipt dates in this schema).
+    sql["q4_order_priority"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    # q_events_xcorr: CCF between the click and purchase dense hourly
+    # series at lags -6..6 — same exact-integer-sums + one pinned
+    # Pearson expression as the ACF oracle; the series range [0, max_h]
+    # is derived from the TWO filtered types only, mirroring the Spark
+    # side's filtered hourly_series call.
+    sql["q_events_xcorr"] = """
+        WITH hrs AS (
+            SELECT event_type AS k,
+                   (epoch_us(ts) - 1704067200000000) // 3600000000 AS h
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        cnt AS (
+            SELECT k, h, CAST(count(*) AS BIGINT) AS c
+            FROM hrs GROUP BY k, h
+        ),
+        grid AS (
+            SELECT keys.k, g.h
+            FROM (SELECT DISTINCT k FROM cnt) keys
+            CROSS JOIN (
+                SELECT unnest(generate_series(
+                    0, (SELECT max(h) FROM cnt))) AS h
+            ) g
+        ),
+        series AS (
+            SELECT grid.k, grid.h, coalesce(cnt.c, 0) AS c
+            FROM grid LEFT JOIN cnt ON cnt.k = grid.k AND cnt.h = grid.h
+        ),
+        lags AS (SELECT unnest(generate_series(-6, 6)) AS lag),
+        pairs AS (
+            SELECT lags.lag, a.c AS ca, b.c AS cb
+            FROM (SELECT h, c FROM series WHERE k = 'click') a
+            CROSS JOIN lags
+            JOIN (SELECT h, c FROM series WHERE k = 'purchase') b
+              ON b.h = a.h + lags.lag
+        ),
+        s AS (
+            SELECT lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(ca) AS BIGINT) AS sa,
+                   CAST(sum(cb) AS BIGINT) AS sb,
+                   CAST(sum(ca * ca) AS BIGINT) AS saa,
+                   CAST(sum(ca * cb) AS BIGINT) AS sab,
+                   CAST(sum(cb * cb) AS BIGINT) AS sbb
+            FROM pairs GROUP BY lag
+        )
+        SELECT lag, n AS n_pairs,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0
+                         AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                              - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0
+                    THEN round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                               / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                                       - CAST(sa AS DOUBLE)
+                                         * CAST(sa AS DOUBLE))
+                                      * (CAST(n AS DOUBLE)
+                                         * CAST(sbb AS DOUBLE)
+                                         - CAST(sb AS DOUBLE)
+                                           * CAST(sb AS DOUBLE))), 6)
+               END AS ccf
+        FROM s ORDER BY lag
+    """
+
+    # q_events_seasonal_anomaly: per-(type, hour-of-day) baseline over
+    # the dense series (zero-filled — quiet hours are anomalies too);
+    # z = (n·c − s)/sqrt(n·ss − s²) is the single pinned double
+    # expression; top-20 by |z| with (k, h) tie-break.
+    sql["q_events_seasonal_anomaly"] = f"""
+        WITH {_HOURLY_K},
+        cells AS (
+            SELECT k, h % 24 AS hod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s,
+                   CAST(sum(c * c) AS BIGINT) AS ss
+            FROM series GROUP BY k, hod
+        ),
+        scored AS (
+            SELECT series.k AS event_type, series.h, series.c,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                       AS expected,
+                   round((CAST(n AS DOUBLE) * CAST(series.c AS DOUBLE)
+                          - CAST(s AS DOUBLE))
+                         / sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)),
+                         6) AS z
+            FROM series
+            JOIN cells ON cells.k = series.k
+                      AND cells.hod = series.h % 24
+            WHERE n * ss - s * s > 0
+        )
+        SELECT event_type, h, c, expected, z
+        FROM scored
+        ORDER BY abs(z) DESC, event_type, h
+        LIMIT 20
+    """
+
+    # q_orders_dependence_profile: the MI fold (same identities as
+    # q_events_mi) per candidate pair, UNION ALL with pair labels;
+    # emitted order pinned on the labels.
+    _dep_exprs = {
+        "o_orderstatus": "o_orderstatus",
+        "o_orderpriority": "o_orderpriority",
+        "order_year": "year(o_orderdate)",
+        "order_month": "month(o_orderdate)",
+    }
+    _dep_branches = []
+    for _nx, _ny in profiling.ORDERS_DEPENDENCE_CANDIDATES:
+        _dep_branches.append(f"""
+        SELECT '{_nx}' AS col_x, '{_ny}' AS col_y,
+               n_rows, h_x, h_y, mi_nats, nmi
+        FROM (
+            WITH cells AS (
+                SELECT {_dep_exprs[_nx]} AS x, {_dep_exprs[_ny]} AS y,
+                       CAST(count(*) AS BIGINT) AS nxy
+                FROM orders
+                WHERE {_dep_exprs[_nx]} IS NOT NULL
+                  AND {_dep_exprs[_ny]} IS NOT NULL
+                GROUP BY x, y
+            ),
+            mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx
+                   FROM cells GROUP BY x),
+            my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny
+                   FROM cells GROUP BY y),
+            tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+            hx AS (
+                SELECT ln(CAST(n AS DOUBLE))
+                       - sum(CAST(nx AS DOUBLE) * ln(CAST(nx AS DOUBLE)))
+                         / CAST(n AS DOUBLE) AS h
+                FROM mx, tot GROUP BY n
+            ),
+            hy AS (
+                SELECT ln(CAST(n AS DOUBLE))
+                       - sum(CAST(ny AS DOUBLE) * ln(CAST(ny AS DOUBLE)))
+                         / CAST(n AS DOUBLE) AS h
+                FROM my, tot GROUP BY n
+            ),
+            mi AS (
+                SELECT sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE)
+                                / (CAST(nx AS DOUBLE)
+                                   * CAST(ny AS DOUBLE)))) AS v
+                FROM cells JOIN mx USING (x) JOIN my USING (y), tot
+                GROUP BY n
+            )
+            SELECT tot.n AS n_rows,
+                   round(hx.h, 6) AS h_x,
+                   round(hy.h, 6) AS h_y,
+                   round(mi.v, 6) AS mi_nats,
+                   CASE WHEN hx.h * hy.h > 0
+                        THEN round(mi.v / sqrt(hx.h * hy.h), 6)
+                   END AS nmi
+            FROM tot, hx, hy, mi
+        )""")
+    sql["q_orders_dependence_profile"] = (
+        " UNION ALL ".join(_dep_branches)
+        + " ORDER BY col_x, col_y"
+    )
 
     return sql

@@ -549,3 +549,76 @@ def psi_from_counters(
         .select(F.col("k").alias(key_col), "n_ref", "n_cur", "psi")
         .orderBy(key_col)
     )
+
+
+def dependence_profile(
+    df: DataFrame, pairs: list[tuple[str, str, Column, Column]]
+) -> DataFrame:
+    """MI/NMI ranked over candidate column pairs — the data-catalog
+    "which columns move together" report (generalizes the single-pair
+    ``mutual_information`` the way ``fd_profile`` generalizes a single
+    FD check). Each candidate costs one column-pruned scan to its
+    bounded contingency cells; the information folds all happen on
+    those tiny relations.
+
+    ``pairs`` entries are (label_x, label_y, col_x, col_y); output one
+    row per pair (col_x, col_y, n_rows, h_x, h_y, mi_nats, nmi),
+    ordered by (col_x, col_y) — NMI is the ranking signal but the
+    emitted order is pinned on the labels so engines can't disagree on
+    float ties."""
+    if not pairs:
+        return df.sparkSession.createDataFrame(
+            [],
+            "col_x string, col_y string, n_rows bigint, h_x double, "
+            "h_y double, mi_nats double, nmi double",
+        )
+    outs = []
+    for nx, ny, cx, cy in pairs:
+        mi = mi_from_cells(contingency_cells(df, cx, cy))
+        outs.append(
+            mi.select(
+                F.lit(nx).alias("col_x"),
+                F.lit(ny).alias("col_y"),
+                "n_rows",
+                "h_x",
+                "h_y",
+                "mi_nats",
+                "nmi",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("col_x", "col_y")
+
+
+ORDERS_DEPENDENCE_CANDIDATES = [
+    ("o_orderpriority", "order_month"),
+    ("o_orderstatus", "o_orderpriority"),
+    ("o_orderstatus", "order_year"),
+    ("order_year", "order_month"),
+]
+
+
+def _orders_dependence_col(name: str) -> Column:
+    if name == "order_year":
+        return F.year("o_orderdate")
+    if name == "order_month":
+        return F.month("o_orderdate")
+    return F.col(name)
+
+
+def q_orders_dependence_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which orders columns carry information about each other?
+    MI/NMI for four canonical candidate pairs (status, priority, and
+    the order date's year/month grains)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return dependence_profile(
+        orders,
+        [
+            (nx, ny, _orders_dependence_col(nx), _orders_dependence_col(ny))
+            for nx, ny in ORDERS_DEPENDENCE_CANDIDATES
+        ],
+    )

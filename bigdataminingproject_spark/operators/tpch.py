@@ -621,3 +621,37 @@ def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type", "partkey")
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted: order-priority checking — orders placed in
+    one quarter with at least one LATE line, counted per priority
+    (completes the engine's TPC-H 1-22 suite). No commit/receipt
+    dates in this schema, so "late" is q21's rule: shipped more than
+    90 days after the order date.
+
+    The correlated EXISTS is the textbook left-semi join: the date
+    window is pushed into the orders scan, and the semi join on the
+    order key (with the lateness condition correlated on the outer's
+    order date) never materializes more than one match per order —
+    the exact plan a 100-TB engine wants (no distinct, no count > 0
+    subquery)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01"))
+        & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (
+                li.l_shipdate
+                > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

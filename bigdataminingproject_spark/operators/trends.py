@@ -286,3 +286,127 @@ def q_events_cusum_changepoint(
     type over the dense hourly series."""
     ev = load_table(spark, sf_dir, "events")
     return cusum_changepoints(ev)
+
+
+def hourly_crosscorr(
+    df: DataFrame,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 6,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Cross-correlation function between two groups' hourly count
+    series at lags -max_lag..max_lag: Pearson r of (a_h, b_{h+lag}) —
+    a positive-lag peak means ``key_a`` LEADS ``key_b`` (the
+    lead/attribution question q_events_autocorr's single-series ACF
+    can't answer).
+
+    Same 100-TB shape as the ACF: one heavy scan collapses the corpus
+    to the two dense O(hours) series; every lag is then a broadcast
+    join on that tiny relation. All sums are exact integers; Pearson r
+    is one final pinned double expression, rounded."""
+    spark = df.sparkSession
+    series = hourly_series(
+        df.filter(F.col(key_col).isin(key_a, key_b)), key_col
+    ).localCheckpoint(eager=True)
+    a = series.filter(F.col("k") == key_a).select(
+        F.col("h").alias("ha"), F.col("c").alias("ca")
+    )
+    b = series.filter(F.col("k") == key_b).select(
+        F.col("h").alias("hb"), F.col("c").alias("cb")
+    )
+    lags = spark.range(-max_lag, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    pairs = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("hb") == F.col("ha") + F.col("lag")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+        F.sum(F.col("ca") * F.col("ca")).alias("saa"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sab"),
+        F.sum(F.col("cb") * F.col("cb")).alias("sbb"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    cov_n = d("n") * d("sab") - d("sa") * d("sb")
+    var_an = d("n") * d("saa") - d("sa") * d("sa")
+    var_bn = d("n") * d("sbb") - d("sb") * d("sb")
+    return s.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (var_an > 0) & (var_bn > 0),
+            F.round(cov_n / F.sqrt(var_an * var_bn), 6),
+        ).alias("ccf"),
+    ).orderBy("lag")
+
+
+def q_events_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do clicks lead purchases? CCF between the click and purchase
+    hourly series at lags -6..6."""
+    ev = load_table(spark, sf_dir, "events")
+    return hourly_crosscorr(ev, "click", "purchase", max_lag=6)
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str = "event_type",
+    period: int = 24,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` seasonal anomalies: hours whose count deviates
+    most from the group's hour-of-day baseline, by |z| against the
+    (group, h mod period) cell's own mean/std over the dense series.
+
+    The 100-TB shape: one scan to the dense per-group hourly series
+    (zero-filled, so quiet hours are anomalies too), baseline stats as
+    a groupBy over that O(groups·hours) relation, z-scores as a
+    broadcast join back — no window over raw rows, no second scan.
+
+    Determinism: per-cell (n, Σc, Σc²) are exact integers;
+    z = (n·c − s) / sqrt(n·ss − s²) is one pinned double expression
+    (the population-σ form scaled by n — identical ranking to the
+    classic z, with no mean/std intermediates to diverge); ties break
+    (k, h). Cells with zero variance are excluded (a constant cell has
+    no anomaly scale)."""
+    series = hourly_series(df, key_col).localCheckpoint(eager=True)
+    cells = series.groupBy(
+        "k", (F.col("h") % period).alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    scored = (
+        series.withColumn("hod", F.col("h") % period)
+        .join(F.broadcast(cells), ["k", "hod"])
+        .filter(
+            F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0
+        )
+        .select(
+            F.col("k").alias(key_col),
+            "h",
+            "c",
+            F.round(d("s") / d("n"), 6).alias("expected"),
+            F.round(
+                (d("n") * d("c") - d("s"))
+                / F.sqrt(d("n") * d("ss") - d("s") * d("s")),
+                6,
+            ).alias("z"),
+        )
+    )
+    return scored.orderBy(
+        F.abs(F.col("z")).desc(), key_col, "h"
+    ).limit(top_n)
+
+
+def q_events_seasonal_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which hours broke their type's daily rhythm? Top-20 hourly
+    counts by |z| against the (type, hour-of-day) baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    return seasonal_anomalies(ev)

@@ -233,3 +233,71 @@ def test_chi2_independent_layout_is_zero(spark):
         contingency_cells(df, F.col("x"), F.col("y"))
     ).collect()[0]
     assert out["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_dependence_profile_labels_and_perfect_dependence(spark):
+    from bigdataminingproject_spark.operators.profiling import (
+        dependence_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i % 3) * 10, i % 2) for i in range(60)],
+        "id long, a int, b int, c int",
+    )
+    out = dependence_profile(
+        df,
+        [
+            ("a", "b", F.col("a"), F.col("b")),  # b = f(a): NMI = 1
+            ("a", "c", F.col("a"), F.col("c")),  # independent: MI ~ 0
+        ],
+    ).collect()
+    rows = {(r["col_x"], r["col_y"]): r for r in out}
+    assert rows[("a", "b")]["nmi"] == pytest.approx(1.0, abs=1e-6)
+    assert abs(rows[("a", "c")]["mi_nats"]) < 1e-6
+    # pinned emit order: (col_x, col_y)
+    assert [(r["col_x"], r["col_y"]) for r in out] == [
+        ("a", "b"),
+        ("a", "c"),
+    ]
+
+
+def test_dependence_profile_empty_candidates(spark):
+    from bigdataminingproject_spark.operators.profiling import (
+        dependence_profile,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = dependence_profile(df, [])
+    assert out.count() == 0
+    assert out.columns == [
+        "col_x", "col_y", "n_rows", "h_x", "h_y", "mi_nats", "nmi",
+    ]
+
+
+def test_fd_profile_empty_candidates(spark):
+    from bigdataminingproject_spark.operators.profiling import (
+        fd_profile,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = fd_profile(df, [])
+    assert out.count() == 0
+    assert out.columns[:2] == ["determinant", "dependent"]
+
+
+def test_contingency_cells_drop_null_keys(spark):
+    """NULL x/y rows are excluded so N, margins, and the cell sum
+    cover the same population (ADVICE r9)."""
+    from bigdataminingproject_spark.operators.profiling import (
+        contingency_cells,
+        mi_from_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 2), (None, 1), (2, None)],
+        "x int, y int",
+    )
+    cells = contingency_cells(df, F.col("x"), F.col("y"))
+    assert cells.agg(F.sum("nxy")).collect()[0][0] == 3
+    out = mi_from_cells(cells).collect()[0]
+    assert out["n_rows"] == 3

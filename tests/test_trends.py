@@ -164,3 +164,94 @@ def test_regression_base_epoch_is_pinned():
     assert REG_BASE_US == int(
         dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e6
     )
+
+
+def test_xcorr_detects_known_lead(spark):
+    """b = a shifted right by 2 hours (a leads b by 2) over a noisy
+    base: the CCF peak sits at lag +2 with r ~ 1."""
+    rng = random.Random(7)
+    base = [rng.randint(0, 50) for _ in range(120)]
+    rows = []
+    for h, c in enumerate(base):
+        rows += [("a", h, 1.0)] * c
+    for h, c in enumerate(base):
+        rows += [("b", h + 2, 1.0)] * c
+    from bigdataminingproject_spark.operators.trends import (
+        hourly_crosscorr,
+    )
+
+    out = {
+        r["lag"]: r["ccf"]
+        for r in hourly_crosscorr(
+            _mk_events(spark, rows), "a", "b", max_lag=4
+        ).collect()
+    }
+    assert out[2] == pytest.approx(1.0, abs=1e-4)
+    assert all(
+        out[lag] is None or out[lag] < 0.9
+        for lag in out
+        if lag != 2
+    )
+
+
+def test_xcorr_symmetry_with_swapped_keys(spark):
+    """ccf_ab(lag) == ccf_ba(-lag) — the lead/lag sign convention."""
+    rng = random.Random(11)
+    rows = []
+    for h in range(60):
+        rows += [("a", h, 1.0)] * rng.randint(0, 8)
+        rows += [("b", h, 1.0)] * rng.randint(0, 8)
+    from bigdataminingproject_spark.operators.trends import (
+        hourly_crosscorr,
+    )
+
+    ev = _mk_events(spark, rows)
+    ab = {
+        r["lag"]: r["ccf"]
+        for r in hourly_crosscorr(ev, "a", "b", max_lag=3).collect()
+    }
+    ba = {
+        r["lag"]: r["ccf"]
+        for r in hourly_crosscorr(ev, "b", "a", max_lag=3).collect()
+    }
+    for lag in ab:
+        assert ab[lag] == pytest.approx(ba[-lag], abs=1e-6)
+
+
+def test_seasonal_anomaly_flags_injected_spike(spark):
+    """A flat 24h-periodic series with one spiked hour: the spike is
+    the top anomaly, with a positive z and the cell-mean baseline."""
+    rows = []
+    for day in range(6):
+        for hod in range(24):
+            rows += [("a", day * 24 + hod, 1.0)] * (5 + hod % 3)
+    rows += [("a", 3 * 24 + 7, 1.0)] * 40  # spike at day 3, hod 7
+    from bigdataminingproject_spark.operators.trends import (
+        seasonal_anomalies,
+    )
+
+    top = seasonal_anomalies(
+        _mk_events(spark, rows), top_n=3
+    ).collect()
+    assert top[0]["h"] == 3 * 24 + 7
+    assert top[0]["z"] > 0
+    # baseline for hod 7 = mean over the 6 days (5 spiked days at 6,
+    # one at 46)
+    assert top[0]["expected"] == pytest.approx((5 * 6 + 46) / 6, abs=1e-6)
+
+
+def test_seasonal_anomaly_constant_cells_excluded(spark):
+    """A perfectly periodic series has zero variance in every
+    (type, hod) cell — no anomalies to report."""
+    rows = []
+    for day in range(4):
+        for hod in range(24):
+            rows += [("a", day * 24 + hod, 1.0)] * (1 + hod % 2)
+    from bigdataminingproject_spark.operators.trends import (
+        seasonal_anomalies,
+    )
+
+    assert (
+        seasonal_anomalies(_mk_events(spark, rows), top_n=10).count()
+        == 0
+    )
