@@ -822,9 +822,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_late_sole_shippers",
         "q22_idle_customers",
     ]
-    # r7/r8 layouts kept above for the audit trail
+    # Round-10 rotation (standing policy above; VERDICT r9 #3): the
+    # driver consumes ~50 rows in dict order, so the round-10 window is
+    #   (1) tier-0: the six NEW round-10 queries plus the re-
+    #       architected itemsim twin (output pinned identical, plan
+    #       rebuilt — it owes a driver row on the new code),
+    #   (2) the ENTIRE remaining r5-latest backlog — the 38 rows the
+    #       round-9 window did not reach (backlog_r5 minus its first
+    #       nine, which r9 attested) — burning the r5 backlog to zero,
+    #   (3) the five round-10 code-touched queries whose outputs are
+    #       bit-identical (profiling NULL-population fix; fd empty
+    #       guard; PSI key_col parameterization at its default) —
+    #       cheap re-attestations if the window reaches them.
+    new_r10 = [
+        "q_embedding_knn_outliers_ivf",
+        "q_lineitem_aqp_quantile_sample",
+        "q4_order_priority",
+        "q_events_xcorr",
+        "q_events_seasonal_anomaly",
+        "q_orders_dependence_profile",
+        "q_stream_itemsim_maintenance",
+    ]
+    touched_r10 = [
+        "q_events_mi",
+        "q_events_chi2",
+        "q_stream_mi_maintenance",
+        "q_stream_chi2_maintenance",
+        "q_orders_fd_profile",
+    ]
+    backlog_r10 = backlog_r5[9:]  # r9 attested the first nine
+    # r7/r8/r9 layouts kept above for the audit trail
     del tier0, backlog_r3, tier0_r8, backlog_r4
-    head = deferred_r9_tier0 + never_attested + new_r9 + backlog_r5
+    del deferred_r9_tier0, never_attested, new_r9
+    head = new_r10 + backlog_r10 + touched_r10
     ordered = {k: reg[k] for k in head if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered

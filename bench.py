@@ -196,10 +196,15 @@ HEADLINE = [
     "q_stream_psi_maintenance",
     "q_stream_chi2_maintenance",
     # round-10 additions: the IVF-shortlist kNN-outlier scale path
-    # (replaces the O(N^2) all-pairs baseline as the attested plan)
-    # and the sample-only AQP quantile (no exact-envelope leg)
+    # (replaces the O(N^2) all-pairs baseline as the attested plan),
+    # the sample-only AQP quantile (no exact-envelope leg), TPC-H Q4,
+    # and the temporal/dependence analytics
     "q_embedding_knn_outliers_ivf",
     "q_lineitem_aqp_quantile_sample",
+    "q4_order_priority",
+    "q_events_xcorr",
+    "q_events_seasonal_anomaly",
+    "q_orders_dependence_profile",
 ]
 
 # Queries timed FIRST this round, ahead of the rotation: new/changed
@@ -208,7 +213,11 @@ TIER0 = [
     # new round-10 plans
     "q_embedding_knn_outliers_ivf",
     "q_lineitem_aqp_quantile_sample",
-    # changed round-10 plan (order-bucketed delta-probe state)
+    "q4_order_priority",
+    "q_events_xcorr",
+    "q_events_seasonal_anomaly",
+    "q_orders_dependence_profile",
+    # changed round-10 plan (bucket-partitioned per-order array state)
     "q_stream_itemsim_maintenance",
     # VERDICT r9 #4 watch list: raw-fragment regressions needing a
     # clean driver adjudication

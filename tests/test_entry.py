@@ -44,46 +44,54 @@ def test_oracle_sql_is_valid_duckdb(sf_dir):
         con.execute(q).fetchall()
 
 
-def test_round9_rotation_head_is_pinned():
+def test_round10_rotation_head_is_pinned():
     """The driver consumes ~50 CORRECTNESS rows in dict order, so the
-    registry's head section IS the round-9 rotation contract
-    (COVERAGE round-8b queue #1): the five round-8-deferred
-    re-attestations first, then EVERY never-driver-attested row (the
-    13 round-8b additions, q_stream_rollup_maintenance, and the
-    round-9 additions), then the 47-row r5-latest backlog in registry
-    order (spillover past the ~50-row cap rolls to round 10). An
-    accidental reorder (e.g. a new query inserted at the literal top)
-    would silently displace a re-attestation — pin it."""
-    keys = list(entrymod.queries().keys())
-    assert keys[:5] == [
-        "q_knn_pq_rerank",
-        "q_knn_ivfpq",
-        "q_knn_ivfpq_rerank",
-        "q_stream_kcore_maintenance",
-        "q_stream_dedup",
-    ]
+    registry's head section IS the round-10 rotation contract
+    (VERDICT r9 #3): the seven tier-0 rows first (six new round-10
+    queries + the re-architected itemsim twin), then the ENTIRE
+    remaining r5-latest backlog (every registry row whose newest
+    driver attestation across CORRECTNESS_r01..r09 is round 5 —
+    burning the r5 backlog to zero), then the round-10 code-touched
+    re-attestations. An accidental reorder (e.g. a new query inserted
+    at the literal top) would silently displace a backlog burn — pin
+    the structure against the attestation JSONs themselves."""
     import json
     import os
 
+    keys = list(entrymod.queries().keys())
+    tier0 = [
+        "q_embedding_knn_outliers_ivf",
+        "q_lineitem_aqp_quantile_sample",
+        "q4_order_priority",
+        "q_events_xcorr",
+        "q_events_seasonal_anomaly",
+        "q_orders_dependence_profile",
+        "q_stream_itemsim_maintenance",
+    ]
+    assert keys[: len(tier0)] == tier0
     latest = {}
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for r in (1, 2, 3, 4, 5, 6, 7, 8):
+    for r in range(1, 10):
         path = os.path.join(here, f"CORRECTNESS_r0{r}.json")
         if os.path.exists(path):
             for q in json.load(open(path)):
                 latest[q] = r
-    # after the deferred five, every never-driver-attested row sits
-    # above the backlog; the tail of that block is the (growing)
-    # round-9 additions list
-    n_never = sum(1 for k in keys if k not in latest)
-    never_block = keys[5 : 5 + n_never]
-    assert all(k not in latest for k in never_block), [
-        k for k in never_block if k in latest
+    # the backlog block: every in-registry row still at r5-latest,
+    # contiguous right after tier-0 and covering ALL of them
+    r5_rows = {k for k in keys if latest.get(k) == 5}
+    block = keys[len(tier0) : len(tier0) + len(r5_rows)]
+    assert set(block) == r5_rows, (
+        sorted(r5_rows - set(block)),
+        [k for k in block if k not in r5_rows],
+    )
+    # the code-touched re-attestations follow immediately
+    touched = keys[
+        len(tier0) + len(r5_rows) : len(tier0) + len(r5_rows) + 5
     ]
-    assert "q_stream_rollup_maintenance" in never_block
-    # the backlog burn starts right after: r5-latest rows, oldest
-    # staleness in the registry
-    backlog_head = keys[5 + n_never : 5 + n_never + 10]
-    assert all(latest.get(k) == 5 for k in backlog_head), [
-        (k, latest.get(k)) for k in backlog_head if latest.get(k) != 5
+    assert touched == [
+        "q_events_mi",
+        "q_events_chi2",
+        "q_stream_mi_maintenance",
+        "q_stream_chi2_maintenance",
+        "q_orders_fd_profile",
     ]
