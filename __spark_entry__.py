@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_autocorr": trends.q_events_autocorr,
         "q_events_xcorr": trends.q_events_xcorr,
         "q_events_seasonal_anomaly": trends.q_events_seasonal_anomaly,
+        "q_events_theil_sen": trends.q_events_theil_sen,
         # round 9: CUSUM mean-shift changepoint per event type over
         # the dense hourly series (left-to-right window walk, engine-
         # identical doubles)
@@ -299,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_dependence_profile": (
             profiling.q_orders_dependence_profile
         ),
+        "q_orders_benford": profiling.q_orders_benford,
         # round 9: Poisson-bootstrap per-group mean with order-
         # statistic error bars — the distribution-free AQP sibling
         "q_events_bootstrap_ci": aqp.q_events_bootstrap_ci,
@@ -841,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_xcorr",
         "q_events_seasonal_anomaly",
         "q_orders_dependence_profile",
+        "q_events_theil_sen",
+        "q_orders_benford",
         "q_stream_itemsim_maintenance",
     ]
     touched_r10 = [
@@ -7430,5 +7434,67 @@ def oracle_sql() -> dict[str, str]:
         " UNION ALL ".join(_dep_branches)
         + " ORDER BY col_x, col_y"
     )
+
+    # q_events_theil_sen: pairwise slopes over the dense per-group
+    # hourly series (exact integer differences, one IEEE division),
+    # median by the pinned rank rule — value-at-rank is tie-stable.
+    sql["q_events_theil_sen"] = f"""
+        WITH {_HOURLY_K},
+        slopes AS (
+            SELECT a.k,
+                   CAST(b.c - a.c AS DOUBLE)
+                   / CAST(b.h - a.h AS DOUBLE) AS slope
+            FROM series a
+            JOIN series b ON b.k = a.k AND b.h > a.h
+        ),
+        ranked AS (
+            SELECT k, slope,
+                   row_number() OVER (
+                       PARTITION BY k ORDER BY slope
+                   ) AS rn,
+                   count(*) OVER (PARTITION BY k) AS n
+            FROM slopes
+        )
+        SELECT k AS event_type, n AS n_pairs,
+               round(slope, 6) AS sen_slope_per_hour
+        FROM ranked
+        WHERE rn = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+        ORDER BY event_type
+    """
+
+    # q_orders_benford: first digit from the exact cents integer's
+    # decimal string (identical bucketing on both engines); the
+    # Benford expectation is the single pinned ln expression.
+    sql["q_orders_benford"] = """
+        WITH up AS (
+            SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS u
+            FROM orders
+            WHERE floor(o_totalprice * 100 + 0.5) > 0
+        ),
+        obs AS (
+            SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1) AS INT)
+                       AS digit,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM up GROUP BY digit
+        ),
+        tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+        dense AS (
+            SELECT d.digit, coalesce(obs.n_obs, 0) AS n_obs
+            FROM (
+                SELECT CAST(unnest(generate_series(1, 9)) AS INT)
+                           AS digit
+            ) d
+            LEFT JOIN obs ON obs.digit = d.digit
+        )
+        SELECT digit, n_obs,
+               round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS obs_p,
+               round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0),
+                     6) AS benford_p,
+               round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                     - ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                       / ln(10.0), 6) AS dev
+        FROM dense, tot WHERE n > 0 ORDER BY digit
+    """
 
     return sql

@@ -205,6 +205,8 @@ HEADLINE = [
     "q_events_xcorr",
     "q_events_seasonal_anomaly",
     "q_orders_dependence_profile",
+    "q_events_theil_sen",
+    "q_orders_benford",
 ]
 
 # Queries timed FIRST this round, ahead of the rotation: new/changed
@@ -217,6 +219,8 @@ TIER0 = [
     "q_events_xcorr",
     "q_events_seasonal_anomaly",
     "q_orders_dependence_profile",
+    "q_events_theil_sen",
+    "q_orders_benford",
     # changed round-10 plan (bucket-partitioned per-order array state)
     "q_stream_itemsim_maintenance",
     # VERDICT r9 #4 watch list: raw-fragment regressions needing a

@@ -622,3 +622,63 @@ def q_orders_dependence_profile(
             for nx, ny in ORDERS_DEPENDENCE_CANDIDATES
         ],
     )
+
+
+def benford_profile(
+    df: DataFrame, col: str, scale: int = 100
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud/data-quality screen. Values are integerized on the
+    repo's exact grid (floor(x·scale + 0.5)); the first digit is the
+    leading character of the positive integer's decimal string —
+    pure integer/string ops, so both engines bucket identically, and
+    ln(1 + 1/d)/ln(10) is the one pinned double expression.
+
+    Output: (digit, n_obs, obs_p, benford_p, dev) for digits 1-9,
+    dev = obs_p − benford_p; aggregation-only, one column-pruned
+    scan at any corpus size."""
+    units = df.select(
+        F.floor(F.col(col) * scale + F.lit(0.5))
+        .cast("long")
+        .alias("u")
+    ).filter(F.col("u") > 0)
+    obs = (
+        units.select(
+            F.substring(F.col("u").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    digits = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    dense = (
+        digits.join(F.broadcast(obs), "digit", "left")
+        .select(
+            "digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs")
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > 0)
+    )
+    obs_p = F.col("n_obs").cast("double") / F.col("n").cast("double")
+    ben_p = F.log(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    ) / F.log(F.lit(10.0))
+    return dense.select(
+        "digit",
+        "n_obs",
+        F.round(obs_p, 6).alias("obs_p"),
+        F.round(ben_p, 6).alias("benford_p"),
+        F.round(obs_p - ben_p, 6).alias("dev"),
+    ).orderBy("digit")
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do order totals follow Benford's law? First-digit distribution
+    of o_totalprice vs the ln(1+1/d) expectation."""
+    orders = load_table(spark, sf_dir, "orders")
+    return benford_profile(orders, "o_totalprice")

@@ -410,3 +410,64 @@ def q_events_seasonal_anomaly(
     counts by |z| against the (type, hour-of-day) baseline."""
     ev = load_table(spark, sf_dir, "events")
     return seasonal_anomalies(ev)
+
+
+def theil_sen_trend(
+    df: DataFrame, key_col: str = "event_type"
+) -> DataFrame:
+    """Theil-Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (c_j - c_i)/(h_j - h_i) over the dense hourly count series
+    — the estimator that shrugs off the outlier hours that drag OLS
+    (``group_linear_trend``) around; 29.3% breakdown point.
+
+    100-TB shape: the corpus collapses to the O(hours) series in one
+    scan; the pairwise self-join is O(hours²) per group on that TINY
+    relation — independent of corpus row count, so the operator is as
+    flat as the ACF. The median is the pinned rank rule (max(1,
+    ceil(n/2)) over the slope-ordered pairs) — the value at that rank
+    is deterministic under ties regardless of engine sort order.
+    Slopes are single IEEE divisions of exact integer differences, so
+    both engines rank identical doubles."""
+    series = hourly_series(df, key_col).localCheckpoint(eager=True)
+    a = series.select(
+        "k", F.col("h").alias("ha"), F.col("c").alias("ca")
+    )
+    b = series.select(
+        "k", F.col("h").alias("hb"), F.col("c").alias("cb")
+    )
+    slopes = (
+        a.join(b, "k")
+        .filter(F.col("hb") > F.col("ha"))
+        .select(
+            "k",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / (F.col("hb") - F.col("ha")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("k").orderBy("slope")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+    return (
+        ranked.filter(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1), F.ceil(F.col("n") * 0.5).cast("int")
+            )
+        )
+        .select(
+            F.col("k").alias(key_col),
+            F.col("n").alias("n_pairs"),
+            F.round(F.col("slope"), 6).alias("sen_slope_per_hour"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hourly-rate trend per event type — the median-of-slopes
+    answer to the same question q_events_linear_trend asks with OLS."""
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_trend(ev)

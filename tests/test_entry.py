@@ -66,6 +66,8 @@ def test_round10_rotation_head_is_pinned():
         "q_events_xcorr",
         "q_events_seasonal_anomaly",
         "q_orders_dependence_profile",
+        "q_events_theil_sen",
+        "q_orders_benford",
         "q_stream_itemsim_maintenance",
     ]
     assert keys[: len(tier0)] == tier0

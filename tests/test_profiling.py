@@ -301,3 +301,34 @@ def test_contingency_cells_drop_null_keys(spark):
     assert cells.agg(F.sum("nxy")).collect()[0][0] == 3
     out = mi_from_cells(cells).collect()[0]
     assert out["n_rows"] == 3
+
+
+def test_benford_profile_exact_small_case(spark):
+    from bigdataminingproject_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    # cents: 123, 19999, 100, 950, 950 -> first digits 1,1,1,9,9
+    df = spark.createDataFrame(
+        [(1.23,), (199.99,), (1.00,), (9.50,), (9.50,), (0.0,), (-5.0,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_profile(df, "v").collect()}
+    assert len(rows) == 9
+    assert rows[1]["n_obs"] == 3 and rows[9]["n_obs"] == 2
+    assert rows[2]["n_obs"] == 0
+    assert rows[1]["obs_p"] == pytest.approx(0.6, abs=1e-9)
+    import math
+
+    assert rows[1]["benford_p"] == pytest.approx(
+        math.log10(2), abs=1e-6
+    )
+
+
+def test_benford_profile_empty_positive_set(spark):
+    from bigdataminingproject_spark.operators.profiling import (
+        benford_profile,
+    )
+
+    df = spark.createDataFrame([(0.0,), (-1.0,)], "v double")
+    assert benford_profile(df, "v").count() == 0

@@ -255,3 +255,31 @@ def test_seasonal_anomaly_constant_cells_excluded(spark):
         seasonal_anomalies(_mk_events(spark, rows), top_n=10).count()
         == 0
     )
+
+
+def test_theil_sen_ignores_outlier_hour(spark):
+    """A clean slope-2 series with one wild spike: OLS moves, the
+    Theil-Sen median slope stays at 2."""
+    rows = []
+    for h in range(48):
+        rows += [("a", h, 1.0)] * (2 * h + 1)
+    rows += [("a", 20, 1.0)] * 500  # outlier spike
+    from bigdataminingproject_spark.operators.trends import (
+        theil_sen_trend,
+    )
+
+    out = theil_sen_trend(_mk_events(spark, rows)).collect()[0]
+    assert out["sen_slope_per_hour"] == pytest.approx(2.0, abs=0.1)
+    assert out["n_pairs"] == 48 * 47 // 2
+
+
+def test_theil_sen_exact_on_linear_series(spark):
+    rows = []
+    for h in range(24):
+        rows += [("a", h, 1.0)] * (3 * h + 5)
+    from bigdataminingproject_spark.operators.trends import (
+        theil_sen_trend,
+    )
+
+    out = theil_sen_trend(_mk_events(spark, rows)).collect()[0]
+    assert out["sen_slope_per_hour"] == pytest.approx(3.0, abs=1e-9)
