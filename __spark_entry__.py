@@ -310,6 +310,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_knn_outliers_ivf": (
             similarity.q_embedding_knn_outliers_ivf
         ),
+        # round 10b: multi-source BFS hop distances on the co-purchase
+        # graph (frontier expansion; recursive-CTE oracle) — the
+        # graph-traversal member of the graph family
+        "q_part_hop_distance": graph.q_part_hop_distance,
+        # round 10b: its IVM twin — insert-only graphs make hop
+        # distance a monotone view, maintained by delta relaxation;
+        # publish is a pure state read (no recompute at all)
+        "q_stream_bfs_maintenance": (
+            streaming_pipeline.q_stream_bfs_maintenance
+        ),
         # round 9: PSI distribution drift per group (exact reference
         # deciles via the selection descent, Laplace-smoothed fold)
         "q_events_psi_drift": profiling.q_events_psi_drift,
@@ -855,10 +865,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_orders_fd_profile",
     ]
     backlog_r10 = backlog_r5[9:]  # r9 attested the first nine
+    # Round-10b additions (built after the r10 rotation head was
+    # frozen): deliberately ordered BELOW the backlog + touched block
+    # so they cannot evict an r5-backlog re-attestation slot from the
+    # driver's ~50-row window (the q_segment_rfm_skyline precedent,
+    # round 5) — next round they rank as never-attested tier-1.
+    # Locally gated at sf0.001/0.01/10x/100x this round.
+    new_r10b = [
+        "q_part_hop_distance",
+        "q_stream_bfs_maintenance",
+    ]
     # r7/r8/r9 layouts kept above for the audit trail
     del tier0, backlog_r3, tier0_r8, backlog_r4
     del deferred_r9_tier0, never_attested, new_r9
-    head = new_r10 + backlog_r10 + touched_r10
+    head = new_r10 + backlog_r10 + touched_r10 + new_r10b
     ordered = {k: reg[k] for k in head if k in reg}
     ordered.update({k: v for k, v in reg.items() if k not in ordered})
     return ordered
@@ -7496,5 +7516,12 @@ def oracle_sql() -> dict[str, str]:
                        / ln(10.0), 6) AS dev
         FROM dense, tot WHERE n > 0 ORDER BY digit
     """
+
+    # q_part_hop_distance + its streaming twin: the BFS frontier walk
+    # replayed as a depth-capped recursive CTE (generator beside the
+    # operator, graph.bfs_oracle_sql) — UNION-deduped (v, hops) rows,
+    # MIN per vertex = the BFS level.
+    sql["q_part_hop_distance"] = graph.bfs_oracle_sql()
+    sql["q_stream_bfs_maintenance"] = sql["q_part_hop_distance"]
 
     return sql

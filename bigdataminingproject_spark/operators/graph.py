@@ -220,6 +220,213 @@ def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_MAX_HOPS = 4  # hop cap, mirrored by the oracle's recursion guard
+BFS_SEED_MOD = 50  # seeds = parts with p_partkey % BFS_SEED_MOD == 0
+
+
+def seed_parts(part: DataFrame) -> DataFrame:
+    """Deterministic, scale-proportional BFS seed set: every part whose
+    key is a multiple of ``BFS_SEED_MOD`` (column ``v``). A key-modulus
+    predicate (not a brand/name filter) so the seed fraction is stable
+    across scale factors and synthetic replicas."""
+    return part.filter(
+        F.col("p_partkey") % BFS_SEED_MOD == 0
+    ).select(F.col("p_partkey").alias("v"))
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = BFS_MAX_HOPS
+) -> DataFrame:
+    """Multi-source BFS hop distances over a distinct undirected edge
+    relation (columns ``a < b``): every vertex reachable from ``seeds``
+    (column ``v``) within ``max_hops`` hops, as (v, hops) with hops =
+    exact shortest unweighted distance (seeds at 0; unreachable /
+    beyond-cap vertices absent; isolated seeds still emitted at 0).
+
+    Plan: textbook frontier expansion (Pregel's BFS without Pregel) —
+    per level ONE vertex-key equi-join of the frontier against the
+    symmetrized edge list, a distinct, and an anti-join against the
+    settled set; lineage cut per level, driver state = one boolean
+    (``isEmpty`` early exit) — never rows. Each level's shuffle is
+    bounded by the frontier's adjacency, and the settled relation is
+    vertex-bounded, so the whole walk is graph-sized no matter the
+    corpus SF behind the edge build. At cluster scale the symmetrized
+    edge relation would be hash-partitioned on ``u`` once and every
+    level's join co-locates with it.
+
+    No reference counterpart (the reference has no graph surface,
+    SURVEY.md §2) — graph-traversal member of the corpus-analytics
+    family alongside triangles/LPA/coreness on the same substrate.
+    """
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select("v", F.lit(0).alias("hops"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.select(F.col("v").alias("u"))
+            .join(sym, "u")
+            .select("v")
+            .distinct()
+            .join(dist, "v", "left_anti")
+            .select("v", F.lit(h).alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
+def _bfs_improvements(dist: DataFrame, cand: DataFrame) -> DataFrame:
+    """Candidate (v, cand) rows that beat the settled distance in
+    ``dist`` (v, hops) — min per vertex, then the strict-improvement
+    filter (unreached counts as improved)."""
+    return (
+        cand.groupBy("v")
+        .agg(F.min("cand").alias("cand"))
+        .join(dist, "v", "left")
+        .filter(F.col("hops").isNull() | (F.col("cand") < F.col("hops")))
+        .select("v", F.col("cand").alias("hops"))
+    )
+
+
+def bfs_relax_inserts(
+    dist: DataFrame,
+    new_edges: DataFrame,
+    edges: DataFrame,
+    max_hops: int = BFS_MAX_HOPS,
+) -> DataFrame:
+    """Incremental BFS under edge INSERTS (insert-only Bellman-Ford):
+    fold a batch of newly-appeared undirected edges (``a < b``) into a
+    settled hop-distance relation ``dist`` (v, hops), returning the
+    exact capped shortest distances over ``edges`` (the FULL current
+    edge set, which must contain ``new_edges``).
+
+    Rule: (a) relax across the new edges from settled endpoints, then
+    (b) propagate improvements through the full edge relation until
+    quiescent. ≤ ``max_hops`` propagation rounds is a theorem — the
+    first changed vertex on any shortest path is adjacent to an
+    UNCHANGED vertex via a NEW edge (an old-edge improvement from an
+    unchanged neighbor would contradict the previous fixpoint), so it
+    settles in step (a); hop values strictly increase along
+    improvement chains and are capped — asserted, not assumed.
+
+    Cost per batch tracks the delta's blast radius (newly-crossed
+    edges + the vertices they improve), never state size: every round
+    is a frontier-sized equi-join + vertex-bounded anti/left joins.
+    """
+    sym = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    nsym = new_edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(
+        new_edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    du = dist.select(F.col("v").alias("u"), F.col("hops").alias("hu"))
+    frontier = _bfs_improvements(
+        dist,
+        nsym.join(du, "u")
+        .filter(F.col("hu") < max_hops)
+        .select("v", (F.col("hu") + 1).alias("cand")),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_hops):
+        if frontier.isEmpty():
+            break
+        dist = (
+            dist.join(frontier.select("v"), "v", "left_anti")
+            .unionAll(frontier)
+            .localCheckpoint(eager=True)
+        )
+        fu = frontier.select(
+            F.col("v").alias("u"), F.col("hops").alias("hu")
+        )
+        frontier = _bfs_improvements(
+            dist,
+            sym.join(fu, "u")
+            .filter(F.col("hu") < max_hops)
+            .select("v", (F.col("hu") + 1).alias("cand")),
+        ).localCheckpoint(eager=True)
+    if not frontier.isEmpty():
+        raise RuntimeError(
+            "BFS delta relaxation failed to quiesce within "
+            f"{max_hops} rounds"
+        )
+    return dist
+
+
+def q_part_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop distance of every part from the seed catalog slice
+    (p_partkey % 50 == 0) in the co-purchase graph, capped at 4 hops —
+    the graph-traversal complement of coreness/clustering/LPA on the
+    same substrate: how many basket-affinity steps separate the
+    catalog from a seed assortment (assortment-coverage analysis)."""
+    from bigdataminingproject_spark.operators.kcore import (
+        copurchase_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dist = bfs_hops(copurchase_edges(li), seed_parts(part))
+    return dist.select(
+        F.col("v").alias("part_key"),
+        F.col("hops").cast("int").alias("hops"),
+    ).orderBy("hops", "part_key")
+
+
+def bfs_oracle_sql(
+    max_hops: int = BFS_MAX_HOPS, seed_mod: int = BFS_SEED_MOD
+) -> str:
+    """DuckDB mirror of ``q_part_hop_distance``: identical edge build
+    (the coreness oracle's CTE), seeds by the same key modulus, and a
+    depth-capped recursive walk whose UNION dedupes (v, hops) rows —
+    MIN(hops) per vertex afterwards is exactly the BFS level, because
+    every path the frontier expansion explores appears in the walk
+    relation at its own length. Generator-beside-the-operator pattern
+    (kcore.coreness_oracle_sql)."""
+    from bigdataminingproject_spark.operators.kcore import MIN_CO_ORDERS
+
+    return f"""
+WITH RECURSIVE li AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+    SELECT a.p AS a, b.p AS b
+    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_CO_ORDERS}
+),
+sym AS MATERIALIZED (
+    SELECT a AS u, b AS v FROM e
+    UNION ALL
+    SELECT b AS u, a AS v FROM e
+),
+seeds AS (
+    SELECT p_partkey AS v FROM part WHERE p_partkey % {seed_mod} = 0
+),
+walk(v, hops) AS (
+    SELECT v, 0 FROM seeds
+    UNION
+    SELECT s.v, w.hops + 1
+    FROM walk w JOIN sym s ON s.u = w.v
+    WHERE w.hops < {max_hops}
+)
+SELECT v AS part_key, CAST(MIN(hops) AS INT) AS hops
+FROM walk GROUP BY v
+ORDER BY hops, part_key"""
+
+
 def q_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient of every part in the co-purchase
     graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how interconnected

@@ -2718,6 +2718,123 @@ def q_stream_kcore_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_bfs_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live BFS hop-distance maintenance — the first twin in the repo
+    whose PUBLISH is a pure state read: nothing is recomputed at the
+    end because the view itself (not its inputs) is what each batch
+    maintains.
+
+    The co-purchase graph under streaming lineitem is INSERT-ONLY —
+    pair co-counts only grow, so an edge that crosses the
+    MIN_CO_ORDERS floor stays crossed — which makes multi-source hop
+    distance a *monotone* view: new edges can only shorten distances.
+    That admits the classic delta-relaxation rule (incremental BFS /
+    insert-only Bellman-Ford) instead of recompute:
+
+      1. append the batch's delta pair counts to the LSM store (the
+         kcore twin's mergeable state, summed at compaction);
+      2. fold → current edge set; anti-join against the previous
+         batch's edge set → the edges that newly crossed the floor;
+      3. seed a relaxation frontier from those edges' settled
+         endpoints, then propagate improvements through the FULL edge
+         relation until quiescent — provably ≤ max_hops rounds,
+         because every improvement chain's hop values strictly
+         increase along it and are capped at BFS_MAX_HOPS.
+
+    Per-batch cost tracks the DELTA's blast radius (newly-crossed
+    edges + the vertices they improve), not corpus or state size; the
+    settled relation is vertex-bounded. Convergence to the exact batch
+    BFS is the insert-only shortest-path invariant: relaxation to
+    fixpoint after every insert leaves dist = capped shortest distance
+    on the edges so far, so after the last batch the state IS
+    ``q_part_hop_distance``'s answer. Output and oracle are its.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.graph import (
+        bfs_relax_inserts,
+        seed_parts,
+    )
+    from bigdataminingproject_spark.operators.kcore import MIN_CO_ORDERS
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    part = load_table(spark, sf_dir, "part")
+    staging = tempfile.mkdtemp(prefix="q_stream_bfs_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_bfs_state_")
+    store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "paircounts",
+        merge_fanout=2,
+        merge_transform=lambda parts: parts.groupBy("a", "b").agg(
+            F.sum("c").alias("c")
+        ),
+    )
+    # maintained view state (vertex-bounded), seeded before any batch:
+    # all seed parts at hop 0 — exactly bfs_hops' initialization
+    view = {
+        "dist": seed_parts(part)
+        .select("v", F.lit(0).alias("hops"))
+        .distinct()
+        .localCheckpoint(eager=True),
+        "edges": None,  # previous batch's floor-crossed edge set
+    }
+
+    def upsert(batch_df, batch_id):
+        b = batch_df.select("o", "p").distinct()
+        pairs = (
+            b.select("o", F.col("p").alias("a"))
+            .join(b.select("o", F.col("p").alias("b")), "o")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        store.append(pairs)
+        state = store.read()
+        edges = (
+            state.groupBy("a", "b")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") >= MIN_CO_ORDERS)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        prev = view["edges"]
+        new_edges = (
+            edges if prev is None else edges.join(prev, ["a", "b"], "left_anti")
+        )
+        view["edges"] = edges
+        view["dist"] = bfs_relax_inserts(view["dist"], new_edges, edges)
+
+    try:
+        stream = file_replay_source(
+            spark, li, staging, chunks=4, order_col="o"
+        )
+        snapshot_sink(stream, upsert)
+        # publish = the maintained view itself — no recompute
+        return (
+            view["dist"]
+            .select(
+                F.col("v").alias("part_key"),
+                F.col("hops").cast("int").alias("hops"),
+            )
+            .orderBy("hops", "part_key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_regression_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live per-group OLS trend maintenance — the regression member of
     the incremental-view-maintenance family: each event type's
