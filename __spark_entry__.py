@@ -18,6 +18,7 @@ from bigdataminingproject_spark.functions.text import (
     ENGLISH_STOPWORDS,
     SKIPWORDS,
 )
+from bigdataminingproject_spark.operators import anomaly
 from bigdataminingproject_spark.operators import aqp, association
 from bigdataminingproject_spark.operators import bpe
 from bigdataminingproject_spark.operators import coreset
@@ -314,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph (frontier expansion; recursive-CTE oracle) — the
         # graph-traversal member of the graph family
         "q_part_hop_distance": graph.q_part_hop_distance,
+        # round 10b: HBOS density anomaly scoring (Goldstein & Dengel
+        # 2012) — O(buckets+categories) global state, two scans
+        "q_events_hbos": anomaly.q_events_hbos,
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -873,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Locally gated at sf0.001/0.01/10x/100x this round.
     new_r10b = [
         "q_part_hop_distance",
+        "q_events_hbos",
         "q_stream_bfs_maintenance",
     ]
     # r7/r8/r9 layouts kept above for the audit trail
@@ -7523,5 +7528,9 @@ def oracle_sql() -> dict[str, str]:
     # MIN per vertex = the BFS level.
     sql["q_part_hop_distance"] = graph.bfs_oracle_sql()
     sql["q_stream_bfs_maintenance"] = sql["q_part_hop_distance"]
+
+    # q_events_hbos: identical bucket expression + exact marginals on
+    # both engines; only floats are the two final 6-dp-quantized ln().
+    sql["q_events_hbos"] = anomaly.hbos_oracle_sql()
 
     return sql
