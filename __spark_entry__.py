@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10b: HBOS density anomaly scoring (Goldstein & Dengel
         # 2012) — O(buckets+categories) global state, two scans
         "q_events_hbos": anomaly.q_events_hbos,
+        # round 10b: bloom-semi-join shuffle reduction (the runtime-
+        # filter pattern as a composable operator; plain-join oracle)
+        "q_bloom_join_revenue": sketches.q_bloom_join_revenue,
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -878,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_r10b = [
         "q_part_hop_distance",
         "q_events_hbos",
+        "q_bloom_join_revenue",
         "q_stream_bfs_maintenance",
     ]
     # r7/r8/r9 layouts kept above for the audit trail
@@ -7532,5 +7536,22 @@ def oracle_sql() -> dict[str, str]:
     # q_events_hbos: identical bucket expression + exact marginals on
     # both engines; only floats are the two final 6-dp-quantized ln().
     sql["q_events_hbos"] = anomaly.hbos_oracle_sql()
+
+    # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
+    # prune admits no false negatives and the exact join removes the
+    # false positives, so the reduction is invisible to semantics.
+    sql["q_bloom_join_revenue"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """
 
     return sql

@@ -180,6 +180,103 @@ def approx_duplicate_prefilter(
     return candidates.withColumn("maybe_duplicate", might_contain(norm))
 
 
+def bloom_join_prune(
+    fact: DataFrame,
+    fact_key: str,
+    dim_keys: DataFrame,
+    dim_key: str,
+    fpp: float = BLOOM_FPP,
+) -> DataFrame:
+    """Bloom-semi-join reduction: drop fact rows whose join key cannot
+    match ``dim_keys`` BEFORE the join's shuffle. No false negatives
+    (every matching row survives), ≤ fpp false positives (removed by
+    the exact join that must follow) — so composing this in front of
+    any equi-join is semantics-preserving, which is exactly what lets
+    the registered query share a plain-join oracle.
+
+    This is the runtime-filter pattern (Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter`` injection, exposed as
+    a composable operator): at 100 TB the build side is often too big
+    to BROADCAST AS ROWS but its Bloom BITS are a few MB — build
+    distributed (per-partition partials OR-merged shuffle-free,
+    ``build_pybloom``), ship bits once, and the probe side sheds
+    non-matching rows map-side so the sort-merge join's shuffle moves
+    only survivors. Membership test is the one Python crossing,
+    Arrow-vectorized (the approx_duplicate_prefilter pattern) — never
+    row-at-a-time.
+    """
+    keys = dim_keys.select(
+        F.col(dim_key).cast("string").alias("k")
+    ).filter(F.col("k").isNotNull()).distinct()
+    n_keys = keys.count()  # ONE driver long (build-side cardinality)
+    if n_keys == 0:
+        return fact.filter(F.lit(False))
+    bloom = build_pybloom(keys, "k", expected_items=n_keys, fpp=fpp)
+    spark = fact.sparkSession
+    bc = spark.sparkContext.broadcast((bytes(bloom.bits), n_keys, fpp))
+
+    @F.pandas_udf("boolean")
+    def might_match(k: pd.Series) -> pd.Series:
+        bits, cap, p = bc.value
+        b = PyBloom(cap, p, bytearray(bits))
+        return k.map(lambda v: v is not None and v in b)
+
+    return fact.filter(might_match(F.col(fact_key).cast("string")))
+
+
+def q_bloom_join_revenue(spark, sf_dir: str) -> DataFrame:
+    """Discounted revenue per supplier nation for one region's
+    suppliers, with the lineitem→supplier join BLOOM-PRUNED before its
+    shuffle — the registered demonstration of bloom_join_prune in the
+    regime it exists for: the exact join is forced to sort-merge (the
+    too-big-to-broadcast dim at cluster scale), so the bits do the
+    broadcast work and only surviving fact rows shuffle. The oracle is
+    the PLAIN join — false positives are removed by the exact join, so
+    the bloom stage is invisible to semantics.
+    """
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dim = (
+        sup.join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+                    nat["n_regionkey"] == reg["r_regionkey"],
+                )
+            ),
+            sup["s_nationkey"] == nat["n_nationkey"],
+        )
+        .select("s_suppkey", "n_name")
+    )
+    pruned = bloom_join_prune(
+        li.select("l_suppkey", "l_extendedprice", "l_discount"),
+        "l_suppkey",
+        dim,
+        "s_suppkey",
+    )
+    joined = pruned.join(
+        dim.hint("shuffle_merge"),
+        pruned["l_suppkey"] == dim["s_suppkey"],
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
 def approx_distinct_tokens(
     df: DataFrame, tokens_col: Column, rsd: float = 0.05
 ) -> DataFrame:

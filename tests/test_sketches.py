@@ -330,3 +330,36 @@ def test_cms_join_size_error_is_bounded(spark):
 
     row = q_join_size_estimate(spark, "/root/testdata/sf0.01").collect()[0]
     assert row["overestimate_pct"] <= 100.0, row
+
+
+def test_bloom_join_prune_keeps_all_matches_and_prunes_rest(spark):
+    """No false negatives: every fact row with a real dim match must
+    survive the bloom prune; false positives stay under a loose
+    multiple of the configured fpp (statistical, seeded by sha256
+    determinism so the assertion is stable)."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.sketches import (
+        bloom_join_prune,
+    )
+
+    fact = spark.range(0, 5000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 5000, 10).select(F.col("id").alias("dk"))
+    kept = bloom_join_prune(fact, "k", dim, "dk", fpp=0.01).collect()
+    kept_keys = {r["k"] for r in kept}
+    matches = set(range(0, 5000, 10))
+    assert matches <= kept_keys  # zero false negatives
+    extras = len(kept_keys - matches)
+    assert extras <= 0.05 * 4500, extras  # fpp 1% with slack
+
+
+def test_bloom_join_prune_empty_dim_drops_everything(spark):
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.sketches import (
+        bloom_join_prune,
+    )
+
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim = spark.range(0).select(F.col("id").alias("dk"))
+    assert bloom_join_prune(fact, "k", dim, "dk").count() == 0
