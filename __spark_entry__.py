@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10b: bloom-semi-join shuffle reduction (the runtime-
         # filter pattern as a composable operator; plain-join oracle)
         "q_bloom_join_revenue": sketches.q_bloom_join_revenue,
+        # round 10b: personalized PageRank around the BFS seed slice
+        # (weighted basket proximity; unrolled quantized-walk oracle)
+        "q_part_ppr": graph.q_part_ppr,
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -7536,6 +7539,10 @@ def oracle_sql() -> dict[str, str]:
     # q_events_hbos: identical bucket expression + exact marginals on
     # both engines; only floats are the two final 6-dp-quantized ln().
     sql["q_events_hbos"] = anomaly.hbos_oracle_sql()
+
+    # q_part_ppr: seed-teleport PageRank replayed as the unrolled
+    # 10dp-quantized CTE chain (generator beside the operator).
+    sql["q_part_ppr"] = graph.ppr_oracle_sql()
 
     # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
     # prune admits no false negatives and the exact join removes the

@@ -427,6 +427,198 @@ FROM walk GROUP BY v
 ORDER BY hops, part_key"""
 
 
+PPR_DAMPING = 0.85
+PPR_ITERS = 3
+PPR_TOP_N = 20
+
+
+def personalized_pagerank(
+    weighted_edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = PPR_DAMPING,
+    iters: int = PPR_ITERS,
+    top_n: int = PPR_TOP_N,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala, WWW '02) over an undirected
+    weighted edge relation (``a < b, c``): the random walk teleports
+    only to ``seeds`` (column ``v``), so rank mass measures WEIGHTED
+    PROXIMITY to the seed set — the smooth complement of bfs_hops'
+    discrete hop levels on the same substrate (a vertex two light hops
+    away can out-rank one heavy hop away).
+
+    Same engineering as token PageRank (frequency.py): symmetrized
+    graph persisted once, per-iteration one join + hash-agg on dst,
+    in-sums and rank values quantized at 10 dp so a DuckDB CTE chain
+    replays the walk bit-for-bit; the teleport vector is the only
+    difference — uniform over seeds-in-graph, zero elsewhere. Seeds
+    not in the graph carry no mass (they have no edges to spread it
+    through); the symmetric graph has no dangling vertices. N_seeds
+    reaches the driver as one long.
+    """
+    spark = weighted_edges.sparkSession
+    out_schema = "part_key bigint, ppr double, rank int"
+    e = weighted_edges.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.col("c").cast("double").alias("w"),
+    )
+    edges = e.unionAll(
+        e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    ).persist()
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
+    seed1 = (
+        seeds.select(F.col("v").alias("src"))
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    base = (
+        outw.join(seed1, "src", "left")
+        .select("src", F.coalesce("t", F.lit(0)).alias("t"))
+        .persist()
+    )
+    ns = base.filter(F.col("t") == 1).count()  # ONE driver long
+    if ns == 0:
+        return spark.createDataFrame([], out_schema)
+    nsd = F.lit(float(ns))
+    pr = base.select(
+        "src",
+        F.round(
+            F.when(F.col("t") == 1, F.lit(1.0) / nsd).otherwise(
+                F.lit(0.0)
+            ),
+            10,
+        ).alias("pr"),
+    )
+    tele = F.when(
+        F.col("t") == 1, (F.lit(1.0) - F.lit(damping)) / nsd
+    ).otherwise(F.lit(0.0))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, "src")
+            .join(outw, "src")
+            .groupBy("dst")
+            .agg(
+                F.round(
+                    F.sum(F.col("pr") * F.col("w") / F.col("out_w")), 10
+                ).alias("contrib")
+            )
+        )
+        pr = (
+            base.join(contrib, base["src"] == contrib["dst"], "left")
+            .select(
+                "src",
+                F.round(
+                    tele
+                    + F.lit(damping)
+                    * F.coalesce("contrib", F.lit(0.0)),
+                    10,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    top = pr.orderBy(F.desc("pr"), F.asc("src")).limit(top_n)
+    w = Window.orderBy(F.desc("ppr"), F.asc("part_key"))
+    return (
+        top.select(F.col("src").alias("part_key"), F.col("pr").alias("ppr"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+    )
+
+
+def q_part_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by personalized PageRank around the seed catalog
+    slice (p_partkey % 50 == 0) in the co-count-weighted co-purchase
+    graph — weighted basket proximity, the ranking complement of
+    q_part_hop_distance's levels."""
+    from bigdataminingproject_spark.operators.kcore import (
+        MIN_CO_ORDERS,
+    )
+    from bigdataminingproject_spark.operators.recommend import (
+        basket_pair_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    wedges = basket_pair_counts(
+        li, "l_orderkey", "l_partkey", MIN_CO_ORDERS
+    )
+    return personalized_pagerank(wedges, seed_parts(part))
+
+
+def ppr_oracle_sql(
+    damping: float = PPR_DAMPING,
+    iters: int = PPR_ITERS,
+    top_n: int = PPR_TOP_N,
+    seed_mod: int = BFS_SEED_MOD,
+) -> str:
+    """DuckDB mirror of ``q_part_ppr``: the coreness oracle's weighted
+    edge CTE, the seed-gated teleport, and one CTE block per iteration
+    with the identical 10-dp quantization points (in-sum, then rank)."""
+    from bigdataminingproject_spark.operators.kcore import MIN_CO_ORDERS
+
+    blocks = [
+        f"""
+WITH li AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+    SELECT a.p AS a, b.p AS b, CAST(count(*) AS DOUBLE) AS c
+    FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {MIN_CO_ORDERS}
+),
+edges AS MATERIALIZED (
+    SELECT a AS src, b AS dst, c AS w FROM e
+    UNION ALL
+    SELECT b AS src, a AS dst, c AS w FROM e
+),
+outw AS MATERIALIZED (
+    SELECT src, sum(w) AS out_w FROM edges GROUP BY src
+),
+base AS MATERIALIZED (
+    SELECT o.src,
+           CASE WHEN o.src % {seed_mod} = 0 THEN 1 ELSE 0 END AS t
+    FROM outw o
+),
+nsrow AS (SELECT CAST(sum(t) AS DOUBLE) AS ns FROM base),
+pr0 AS (
+    SELECT src,
+           round(CASE WHEN t = 1 THEN 1.0 / ns ELSE 0.0 END, 10) AS pr
+    FROM base, nsrow
+)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f""",
+pr{t} AS (
+    SELECT b.src,
+           round(CASE WHEN b.t = 1
+                      THEN (1.0 - {damping}) / ns ELSE 0.0 END
+                 + {damping} * coalesce(c.contrib, 0.0), 10) AS pr
+    FROM base b
+    CROSS JOIN nsrow
+    LEFT JOIN (
+        SELECT e.dst, round(sum(p.pr * e.w / ow.out_w), 10) AS contrib
+        FROM edges e
+        JOIN pr{t - 1} p ON p.src = e.src
+        JOIN outw ow ON ow.src = e.src
+        GROUP BY e.dst
+    ) c ON c.dst = b.src
+)"""
+        )
+    blocks.append(
+        f"""
+SELECT src AS part_key, pr AS ppr,
+       CAST(row_number() OVER (ORDER BY pr DESC, src) AS INT) AS rank
+FROM pr{iters}
+ORDER BY pr DESC, src
+LIMIT {top_n}"""
+    )
+    return "".join(blocks)
+
+
 def q_part_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient of every part in the co-purchase
     graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)) — how interconnected

@@ -102,3 +102,52 @@ def test_delta_relaxation_matches_batch_under_any_arrival_order(spark):
         cur = _edges(spark, list(have))
         dist = bfs_relax_inserts(dist, new, cur)
     assert _dist(dist) == batch
+
+
+def test_ppr_mass_conserved_and_seed_component_local(spark):
+    """The symmetric graph has no dangling vertices, so walk mass is
+    conserved (Σ ppr = 1 up to 10-dp rounding), and a component with
+    no seed gets exactly zero — teleport never leaks across
+    components. (Hop-monotone DECAY is deliberately not asserted:
+    with damping 0.85 and 3 synchronous iterations, walk parity on a
+    path ranks the seed's neighbor above the seed.)"""
+    from bigdataminingproject_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    wedges = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 4), (10, 11, 7)],
+        "a bigint, b bigint, c bigint",
+    )
+    out = personalized_pagerank(wedges, _seeds(spark, [1]), top_n=10)
+    rows = {r["part_key"]: r["ppr"] for r in out.collect()}
+    assert rows[10] == 0.0 and rows[11] == 0.0
+    assert rows[1] > 0 and rows[2] > 0 and rows[3] > 0
+    assert abs(sum(rows.values()) - 1.0) < 1e-8
+
+
+def test_ppr_weight_beats_hop_ties(spark):
+    """Seed s with a heavy edge to x and a light edge to y: x must
+    out-rank y even though both are one hop away."""
+    from bigdataminingproject_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    wedges = spark.createDataFrame(
+        [(1, 2, 10), (1, 3, 1)], "a bigint, b bigint, c bigint"
+    )
+    out = personalized_pagerank(wedges, _seeds(spark, [1]), top_n=10)
+    ranks = {r["part_key"]: r["rank"] for r in out.collect()}
+    assert ranks[2] < ranks[3]
+
+
+def test_ppr_no_seeds_in_graph_is_empty(spark):
+    from bigdataminingproject_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    wedges = spark.createDataFrame(
+        [(1, 2, 3)], "a bigint, b bigint, c bigint"
+    )
+    out = personalized_pagerank(wedges, _seeds(spark, [99]))
+    assert out.count() == 0
