@@ -19,6 +19,7 @@ from bigdataminingproject_spark.functions.text import (
     SKIPWORDS,
 )
 from bigdataminingproject_spark.operators import anomaly
+from bigdataminingproject_spark.operators import expectations
 from bigdataminingproject_spark.operators import aqp, association
 from bigdataminingproject_spark.operators import bpe
 from bigdataminingproject_spark.operators import coreset
@@ -324,6 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10b: personalized PageRank around the BFS seed slice
         # (weighted basket proximity; unrolled quantized-walk oracle)
         "q_part_ppr": graph.q_part_ppr,
+        # round 10b: declarative data-quality expectations (Deequ-
+        # style contract: N constraints, one conditional-agg scan)
+        "q_orders_expectations": expectations.q_orders_expectations,
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -7543,6 +7547,12 @@ def oracle_sql() -> dict[str, str]:
     # q_part_ppr: seed-teleport PageRank replayed as the unrolled
     # 10dp-quantized CTE chain (generator beside the operator).
     sql["q_part_ppr"] = graph.ppr_oracle_sql()
+
+    # q_orders_expectations: same six conditional aggregates in one
+    # pass, unpivoted with UNION ALL (generator beside the operator).
+    sql["q_orders_expectations"] = (
+        expectations.expectations_oracle_sql()
+    )
 
     # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
     # prune admits no false negatives and the exact join removes the
