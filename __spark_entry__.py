@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10b: declarative data-quality expectations (Deequ-
         # style contract: N constraints, one conditional-agg scan)
         "q_orders_expectations": expectations.q_orders_expectations,
+        # round 10b: golden-record survivorship — the canonicalization
+        # stage completing the entity-resolution pipeline
+        "q_customer_golden_record": fuzzy.q_customer_golden_record,
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -7553,6 +7556,11 @@ def oracle_sql() -> dict[str, str]:
     sql["q_orders_expectations"] = (
         expectations.expectations_oracle_sql()
     )
+
+    # q_customer_golden_record: fuzzy CTE + recursive reachability
+    # closure + the same survivorship windows (generator beside the
+    # operator).
+    sql["q_customer_golden_record"] = fuzzy.golden_record_oracle_sql()
 
     # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
     # prune admits no false negatives and the exact join removes the
