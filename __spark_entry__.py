@@ -331,6 +331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10b: golden-record survivorship — the canonicalization
         # stage completing the entity-resolution pipeline
         "q_customer_golden_record": fuzzy.q_customer_golden_record,
+        # round 10b: stationary distribution of the behavioral Markov
+        # chain (quantized power iteration over the transition matrix)
+        "q_events_markov_stationary": (
+            events.q_events_markov_stationary
+        ),
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -7561,6 +7566,10 @@ def oracle_sql() -> dict[str, str]:
     # closure + the same survivorship windows (generator beside the
     # operator).
     sql["q_customer_golden_record"] = fuzzy.golden_record_oracle_sql()
+
+    # q_events_markov_stationary: unrolled quantized power iteration
+    # (generator beside the operator).
+    sql["q_events_markov_stationary"] = events.markov_oracle_sql()
 
     # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
     # prune admits no false negatives and the exact join removes the

@@ -957,6 +957,172 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(load_table(spark, sf_dir, "events"))
 
 
+MARKOV_ITERS = 3
+
+
+def markov_stationary(
+    events: DataFrame, iters: int = MARKOV_ITERS
+) -> DataFrame:
+    """Approximate stationary distribution of the per-user event-type
+    Markov chain: ``iters`` synchronous power-iteration steps from the
+    uniform start — "where does user behavior settle", the asymptotic
+    summary on top of ``transition_matrix``'s one-step view.
+
+    Chain definition (pinned for parity): states = every type
+    appearing in a same-user consecutive pair (either side); row i's
+    probabilities are the 10-dp quotients count_ij/total_i; a state
+    with NO outgoing transitions is absorbing (self-loop 1), so mass
+    is conserved each step. Fixed iteration count, 10-dp quantization
+    of the in-sums and the updated vector — the PageRank determinism
+    device — lets DuckDB replay the walk bit-for-bit.
+
+    Scale shape: the one corpus-sized operation is the lead() window's
+    user_id shuffle (shared with every per-user operator); everything
+    after lives on the #types×#types relation. The π vector is a
+    DataFrame end to end — K reaches the driver as one long."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    pairs = (
+        steps.groupBy(
+            F.col("event_type").alias("src"),
+            F.col("next_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    states = (
+        pairs.select(F.col("src").alias("s"))
+        .unionAll(pairs.select(F.col("dst").alias("s")))
+        .distinct()
+        .persist()
+    )
+    k = states.count()  # ONE driver long (#event types)
+    if k == 0:
+        return events.sparkSession.createDataFrame(
+            [], "event_type string, stationary_p double, rank int"
+        )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("total"))
+    probs = pairs.join(totals, "src").select(
+        "src",
+        "dst",
+        F.round(
+            F.col("n").cast("double") / F.col("total").cast("double"),
+            10,
+        ).alias("p"),
+    )
+    sinks = states.join(
+        totals.select(F.col("src").alias("s")), "s", "left_anti"
+    ).withColumn("sink", F.lit(1))
+    pi = states.select(
+        "s", F.round(F.lit(1.0) / F.lit(float(k)), 10).alias("pi")
+    )
+    for _ in range(iters):
+        inflow = (
+            probs.join(pi, probs["src"] == pi["s"])
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")), 10).alias("m"))
+        )
+        held = pi.join(sinks.select("s"), "s", "left_semi").select(
+            F.col("s").alias("hs"), F.col("pi").alias("held")
+        )
+        pi = (
+            states.join(inflow, states["s"] == inflow["dst"], "left")
+            .join(held, states["s"] == held["hs"], "left")
+            .select(
+                "s",
+                F.round(
+                    F.coalesce("m", F.lit(0.0))
+                    + F.coalesce("held", F.lit(0.0)),
+                    10,
+                ).alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    wr = Window.orderBy(F.desc("stationary_p"), F.asc("event_type"))
+    return (
+        pi.select(
+            F.col("s").alias("event_type"),
+            F.col("pi").alias("stationary_p"),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("int"))
+        .orderBy("rank")
+    )
+
+
+def q_events_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stationary event-type mix after 3 power-iteration steps of the
+    behavioral Markov chain."""
+    return markov_stationary(load_table(spark, sf_dir, "events"))
+
+
+def markov_oracle_sql(iters: int = MARKOV_ITERS) -> str:
+    """DuckDB mirror of ``q_events_markov_stationary``: the
+    transitions CTE, the 10-dp row-normalized matrix, the absorbing
+    self-loop rule, and one CTE block per power-iteration step with
+    the identical quantization points."""
+    blocks = [
+        """
+WITH st AS (
+    SELECT event_type AS src,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+),
+pairs AS MATERIALIZED (
+    SELECT src, dst, count(*) AS n FROM st
+    WHERE dst IS NOT NULL GROUP BY src, dst
+),
+states AS MATERIALIZED (
+    SELECT DISTINCT s FROM (
+        SELECT src AS s FROM pairs UNION ALL SELECT dst FROM pairs
+    )
+),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM states),
+totals AS (SELECT src, sum(n) AS total FROM pairs GROUP BY src),
+probs AS MATERIALIZED (
+    SELECT src, dst,
+           round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 10) AS p
+    FROM pairs JOIN totals USING (src)
+),
+sinks AS (
+    SELECT s FROM states
+    WHERE s NOT IN (SELECT src FROM totals)
+),
+pi0 AS (SELECT s, round(1.0 / k, 10) AS pi FROM states, kk)"""
+    ]
+    for t in range(1, iters + 1):
+        blocks.append(
+            f""",
+pi{t} AS (
+    SELECT st.s,
+           round(coalesce(fl.m, 0.0)
+                 + CASE WHEN st.s IN (SELECT s FROM sinks)
+                        THEN p.pi ELSE 0.0 END, 10) AS pi
+    FROM states st
+    JOIN pi{t - 1} p ON p.s = st.s
+    LEFT JOIN (
+        SELECT pr.dst, round(sum(pp.pi * pr.p), 10) AS m
+        FROM probs pr JOIN pi{t - 1} pp ON pp.s = pr.src
+        GROUP BY pr.dst
+    ) fl ON fl.dst = st.s
+)"""
+        )
+    blocks.append(
+        f"""
+SELECT s AS event_type, pi AS stationary_p,
+       CAST(row_number() OVER (ORDER BY pi DESC, s) AS INT) AS rank
+FROM pi{iters}
+ORDER BY rank"""
+    )
+    return "".join(blocks)
+
+
 def session_paths(
     events: DataFrame,
     gap_ms: int = SESSION_GAP_MS,

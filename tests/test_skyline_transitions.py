@@ -285,3 +285,54 @@ def test_skyline_nd_local_phase_is_safe_across_partitions(spark):
         for r in skyline_nd_points(df, ["x", "y", "z"]).collect()
     }
     assert got == brute_skyline_nd(pts)
+
+
+def test_markov_stationary_conserves_mass_and_finds_absorber(spark):
+    """Power iteration must conserve probability mass (rows are
+    10-dp-normalized, sinks self-loop) and drain mass toward an
+    absorbing state: a -> b -> b-has-no-outgoing means b absorbs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from bigdataminingproject_spark.operators.events import (
+        markov_stationary,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):
+        for i, et in enumerate(["a", "a", "b"]):
+            rows.append(
+                (eid, t0 + dt.timedelta(seconds=eid), u, et)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r["event_type"]: r["stationary_p"] for r in markov_stationary(df).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-8
+    # b never transitions out (sequences end at b) -> absorbing; after
+    # 3 steps from uniform, b holds more mass than a
+    assert out["b"] > out["a"]
+
+
+def test_markov_stationary_uniform_cycle_stays_uniform(spark):
+    """A deterministic 2-cycle a<->b from the uniform start is already
+    stationary: both states keep 0.5."""
+    import datetime as dt
+
+    from bigdataminingproject_spark.operators.events import (
+        markov_stationary,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(8):
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, "ab"[i % 2]))
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    out = {r["event_type"]: r["stationary_p"] for r in markov_stationary(df).collect()}
+    assert out == {"a": 0.5, "b": 0.5}
