@@ -20,6 +20,7 @@ from bigdataminingproject_spark.functions.text import (
 )
 from bigdataminingproject_spark.operators import anomaly
 from bigdataminingproject_spark.operators import expectations
+from bigdataminingproject_spark.operators import zonemap
 from bigdataminingproject_spark.operators import aqp, association
 from bigdataminingproject_spark.operators import bpe
 from bigdataminingproject_spark.operators import coreset
@@ -336,6 +337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_markov_stationary": (
             events.q_events_markov_stationary
         ),
+        # round 10b: zone-map pruning effectiveness, natural vs
+        # date-clustered layout (the data-skipping statistics)
+        "q_lineitem_zonemap": zonemap.q_lineitem_zonemap,
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -7570,6 +7574,10 @@ def oracle_sql() -> dict[str, str]:
     # q_events_markov_stationary: unrolled quantized power iteration
     # (generator beside the operator).
     sql["q_events_markov_stationary"] = events.markov_oracle_sql()
+
+    # q_lineitem_zonemap: identical chunk keys + zone test on both
+    # engines (generator beside the operator).
+    sql["q_lineitem_zonemap"] = zonemap.zonemap_oracle_sql()
 
     # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
     # prune admits no false negatives and the exact join removes the
