@@ -207,11 +207,33 @@ HEADLINE = [
     "q_orders_dependence_profile",
     "q_events_theil_sen",
     "q_orders_benford",
+    # round-10b additions: graph traversal + its pure-state-read twin,
+    # density anomaly, bloom-pruned join, seed-proximity walk,
+    # expectation suite, ER survivorship, markov asymptotics, zone maps
+    "q_part_hop_distance",
+    "q_stream_bfs_maintenance",
+    "q_events_hbos",
+    "q_bloom_join_revenue",
+    "q_part_ppr",
+    "q_orders_expectations",
+    "q_customer_golden_record",
+    "q_events_markov_stationary",
+    "q_lineitem_zonemap",
 ]
 
 # Queries timed FIRST this round, ahead of the rotation: new/changed
 # plans plus the verdict's re-adjudication watch list. Update per round.
 TIER0 = [
+    # new round-10b plans
+    "q_part_hop_distance",
+    "q_stream_bfs_maintenance",
+    "q_events_hbos",
+    "q_bloom_join_revenue",
+    "q_part_ppr",
+    "q_orders_expectations",
+    "q_customer_golden_record",
+    "q_events_markov_stationary",
+    "q_lineitem_zonemap",
     # new round-10 plans
     "q_embedding_knn_outliers_ivf",
     "q_lineitem_aqp_quantile_sample",

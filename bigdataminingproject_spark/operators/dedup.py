@@ -400,6 +400,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 25,
+    flatten: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every doc
     that appears in a pair gets a ``cluster_id`` = the smallest doc id
@@ -454,6 +455,29 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        if flatten:
+            # pointer jumping (label-of-label): labels are min-so-far,
+            # so label(label) <= label and the substitution is safe;
+            # reach distance squares per round -> O(log diameter)
+            # rounds on long-chain graphs (the golden-record name
+            # chains) instead of O(diameter).
+            lol = new_labels.select(
+                F.col("node").alias("pnode"),
+                F.col("label").alias("plabel"),
+            )
+            new_labels = (
+                new_labels.join(
+                    lol, new_labels["label"] == lol["pnode"], "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce("plabel", "label"),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

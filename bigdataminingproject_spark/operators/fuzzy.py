@@ -185,7 +185,13 @@ def q_customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nk_a") == F.col("nk_b"))
         .select("term_a", "term_b")
     )
-    labels = connected_components(pairs, "term_a", "term_b").select(
+    # flatten=True: digit-substitution name chains give these
+    # components diameters in the tens-to-hundreds (unlike the
+    # near-clique dedup graphs CC's default serves) — pointer jumping
+    # converges in O(log diameter) rounds
+    labels = connected_components(
+        pairs, "term_a", "term_b", flatten=True
+    ).select(
         F.col("doc_id").alias("c_name"), F.col("cluster_id").alias("cl")
     )
     mem = cust.join(labels, "c_name", "left").withColumn(
