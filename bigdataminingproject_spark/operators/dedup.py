@@ -456,28 +456,81 @@ def connected_components(
             .localCheckpoint()
         )
         if flatten:
-            # pointer jumping (label-of-label): labels are min-so-far,
-            # so label(label) <= label and the substitution is safe;
-            # reach distance squares per round -> O(log diameter)
-            # rounds on long-chain graphs (the golden-record name
-            # chains) instead of O(diameter).
-            lol = new_labels.select(
-                F.col("node").alias("pnode"),
-                F.col("label").alias("plabel"),
-            )
-            new_labels = (
-                new_labels.join(
-                    lol, new_labels["label"] == lol["pnode"], "left"
+            # FULL path compression (iterated pointer jumping until
+            # the label relation is idempotent): labels are min-so-far
+            # so label(label) <= label and each substitution is
+            # monotone-safe. After compression every node points at a
+            # star root, and the next relax round merges each star
+            # with its minimum neighboring star — one Boruvka phase,
+            # so the star count per component at least halves per
+            # outer round: O(log n) outer rounds on ANY structure,
+            # where plain propagation needs O(diameter) (the
+            # golden-record digit-chain graphs: 26+ rounds at 10x).
+            #
+            # Two Spark footguns handled here, both measured on the
+            # 10x probe: (1) localCheckpoint PRESERVES Catalyst size
+            # stats, and per-round joins multiply them, so by round
+            # ~18 sizeInBytes is a multi-thousand-digit BigInt and
+            # stats-visitor arithmetic dominates wall time — _cut
+            # rebuilds the frame from the checkpointed RDD, resetting
+            # stats; (2) the inner loop must be bounded and LOUD on
+            # non-convergence, never silent.
+            def _cut(df):
+                return df.sparkSession.createDataFrame(
+                    df.localCheckpoint().rdd, df.schema
                 )
-                .select(
-                    "node",
-                    F.least(
-                        F.col("label"),
-                        F.coalesce("plabel", "label"),
-                    ).alias("label"),
-                )
-                .localCheckpoint()
+
+            # small-star step: pull each OLD star's discovered minimum
+            # back to every member (including its root) within the
+            # round. Without it a root hears about a smaller adjacent
+            # star only through next round's relax, and convergence
+            # degrades to O(star-graph diameter) — measured 26+ rounds
+            # on the 10x name graph; with it every star adopts the min
+            # over all adjacent stars (one Boruvka phase per round).
+            joined = labels.select(
+                "node", F.col("label").alias("olabel")
+            ).join(new_labels, "node")
+            starmin = joined.groupBy("olabel").agg(
+                F.min("label").alias("smin")
             )
+            new_labels = joined.join(starmin, "olabel").select(
+                "node",
+                F.least(F.col("label"), F.col("smin")).alias("label"),
+            )
+            new_labels = _cut(new_labels)
+            for _ in range(40):
+                lol = new_labels.select(
+                    F.col("node").alias("pnode"),
+                    F.col("label").alias("plabel"),
+                )
+                flat = _cut(
+                    new_labels.join(
+                        lol,
+                        new_labels["label"] == lol["pnode"],
+                        "left",
+                    ).select(
+                        "node",
+                        F.least(
+                            F.col("label"),
+                            F.coalesce("plabel", "label"),
+                        ).alias("label"),
+                    )
+                )
+                moved = (
+                    flat.alias("n")
+                    .join(new_labels.alias("o"), "node")
+                    .filter(F.col("n.label") < F.col("o.label"))
+                    .limit(1)
+                    .count()
+                )
+                new_labels = flat
+                if moved == 0:
+                    break
+            else:
+                raise RuntimeError(
+                    "CC path compression failed to reach an "
+                    "idempotent label relation in 40 jumps"
+                )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -488,6 +541,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        if flatten:
+            # flatten callers ask for guaranteed convergence (their
+            # graphs exceed the propagation cap by construction) —
+            # an unconverged result is a wrong answer, so fail loud
+            raise RuntimeError(
+                f"connected_components did not converge in "
+                f"{max_rounds} rounds"
+            )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
