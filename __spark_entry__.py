@@ -340,6 +340,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 10b: zone-map pruning effectiveness, natural vs
         # date-clustered layout (the data-skipping statistics)
         "q_lineitem_zonemap": zonemap.q_lineitem_zonemap,
+        # round 10b: the release contract maintained live (IVM over
+        # the QA gate: additive scalar partials + keyed counters)
+        "q_stream_expectations_maintenance": (
+            streaming_pipeline.q_stream_expectations_maintenance
+        ),
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -7578,6 +7583,10 @@ def oracle_sql() -> dict[str, str]:
     # q_lineitem_zonemap: identical chunk keys + zone test on both
     # engines (generator beside the operator).
     sql["q_lineitem_zonemap"] = zonemap.zonemap_oracle_sql()
+    # counter-form rebuild is bit-identical to the batch contract
+    sql["q_stream_expectations_maintenance"] = sql[
+        "q_orders_expectations"
+    ]
 
     # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
     # prune admits no false negatives and the exact join removes the

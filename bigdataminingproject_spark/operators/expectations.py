@@ -227,3 +227,115 @@ SELECT * FROM (
            CASE WHEN m_price >= 0.01 THEN 1 ELSE 0 END FROM m
 )
 ORDER BY rule"""
+
+
+# ---------------------------------------------------------------------------
+# Counter-form state (the streaming twin's mergeable representation)
+# ---------------------------------------------------------------------------
+
+
+def orders_scalar_partial(df: DataFrame) -> DataFrame:
+    """One-row additive partial of every non-distinct metric
+    ingredient in the orders contract: integer counts + one min.
+    Closed under (sum, ..., min) folding, so any batch slicing
+    rebuilds the exact corpus ingredients."""
+    statuses = ORDER_STATUSES
+    prios = ORDER_PRIORITIES
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin(*statuses), 1).otherwise(0)
+        ).alias("n_status_ok"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.sum(
+            F.when(F.col("o_orderpriority").isin(*prios), 1).otherwise(0)
+        ).alias("n_prio_ok"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.min("o_totalprice").alias("min_price"),
+        F.count("o_orderdate").alias("nn_date"),
+    )
+
+
+def fold_scalar_partials(parts: DataFrame) -> DataFrame:
+    """LSM merge-operator: stacked one-row partials collapse by
+    integer addition (and min for the range metric)."""
+    return parts.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("nn_cust").alias("nn_cust"),
+        F.sum("n_status_ok").alias("n_status_ok"),
+        F.sum("nn_status").alias("nn_status"),
+        F.sum("n_prio_ok").alias("n_prio_ok"),
+        F.sum("nn_prio").alias("nn_prio"),
+        F.min("min_price").alias("min_price"),
+        F.sum("nn_date").alias("nn_date"),
+    )
+
+
+def orders_report_from_counters(
+    scalars: DataFrame, n_distinct_orderkeys: DataFrame
+) -> DataFrame:
+    """Rebuild the EXACT contract report from folded counter state —
+    bit-identical to ``q_orders_expectations`` on the raw rows,
+    because every metric is the same pinned 6-dp quotient of the same
+    exact integers (or the same native min). ``scalars`` is the
+    folded one-row partial; ``n_distinct_orderkeys`` one row (nd
+    bigint) from the keyed counter relation."""
+    row = scalars.crossJoin(n_distinct_orderkeys)
+    ops = {s.name: (s.op, s.threshold) for s in orders_contract()}
+    metrics = {
+        "orderkey_unique": F.round(
+            F.col("nd").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ),
+        "custkey_complete": F.round(
+            F.col("nn_cust").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ),
+        "status_in_domain": F.round(
+            F.col("n_status_ok").cast("double")
+            / F.col("nn_status").cast("double"),
+            6,
+        ),
+        "priority_in_domain": F.round(
+            F.col("n_prio_ok").cast("double")
+            / F.col("nn_prio").cast("double"),
+            6,
+        ),
+        "totalprice_positive": F.col("min_price").cast("double"),
+        "orderdate_complete": F.round(
+            F.col("nn_date").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ),
+    }
+    comparators = {
+        ">=": lambda m, t: m >= t,
+        "<=": lambda m, t: m <= t,
+        "==": lambda m, t: m == t,
+    }
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                m.cast("double").alias("metric"),
+                F.lit(ops[name][0]).alias("op"),
+                F.lit(float(ops[name][1])).alias("threshold"),
+                F.when(
+                    comparators[ops[name][0]](
+                        m.cast("double"), F.lit(float(ops[name][1]))
+                    ),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .alias("passed"),
+            )
+            for name, m in metrics.items()
+        ]
+    )
+    return (
+        row.select(F.explode(entries).alias("e"))
+        .select("e.rule", "e.metric", "e.op", "e.threshold", "e.passed")
+        .orderBy("rule")
+    )

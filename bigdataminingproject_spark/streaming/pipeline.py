@@ -2835,6 +2835,98 @@ def q_stream_bfs_maintenance(spark, sf_dir: str) -> DataFrame:
         shutil.rmtree(state_root, ignore_errors=True)
 
 
+def q_stream_expectations_maintenance(spark, sf_dir: str) -> DataFrame:
+    """Live data-quality contract — the release gate
+    (``q_orders_expectations``) maintained continuously as orders
+    stream in, extending the IVM family from statistics to QA.
+
+    Two mergeable state relations in one LSM store root:
+
+      * ``scalars`` — a one-row additive partial per batch (integer
+        counts + one min, ``expectations.orders_scalar_partial``);
+        compaction folds stacked rows by addition/min, so every level
+        holds exactly one row no matter how many batches fed it;
+      * ``keys`` — (orderkey, c) counters for the uniqueness metric;
+        level size tracks the KEY DOMAIN (the honest cost of an exact
+        distinct over a stream — the KMV twin is the sketch
+        alternative when the domain itself is too big).
+
+    Publish rebuilds the report from folded counters
+    (``orders_report_from_counters``) — bit-identical to the batch
+    query because every metric is the same pinned 6-dp quotient of
+    the same exact integers. Output and oracle are
+    ``q_orders_expectations``'s.
+    """
+    import shutil
+    import tempfile
+
+    from bigdataminingproject_spark.operators.expectations import (
+        fold_scalar_partials,
+        orders_report_from_counters,
+        orders_scalar_partial,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+    from bigdataminingproject_spark.streaming.replay import (
+        file_replay_source,
+    )
+    from bigdataminingproject_spark.streaming.statestore import (
+        AppendOnlyPartsStore,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    staging = tempfile.mkdtemp(prefix="q_stream_expect_src_")
+    state_root = tempfile.mkdtemp(prefix="q_stream_expect_state_")
+    scalar_store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "scalars",
+        merge_fanout=2,
+        merge_transform=fold_scalar_partials,
+    )
+    key_store = AppendOnlyPartsStore(
+        spark,
+        state_root,
+        "keys",
+        merge_fanout=2,
+        merge_transform=lambda parts: parts.groupBy("k").agg(
+            F.sum("c").alias("c")
+        ),
+    )
+
+    def upsert(batch_df, batch_id):
+        scalar_store.append(orders_scalar_partial(batch_df))
+        key_store.append(
+            batch_df.groupBy(
+                F.col("o_orderkey").alias("k")
+            ).agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    try:
+        stream = file_replay_source(
+            spark, orders, staging, chunks=4, order_col="o_orderkey"
+        )
+        snapshot_sink(stream, upsert)
+        sstate, kstate = scalar_store.read(), key_store.read()
+        if sstate is None or kstate is None:  # zero-batch stream
+            return spark.createDataFrame(
+                [],
+                "rule string, metric double, op string, "
+                "threshold double, passed int",
+            )
+        scalars = fold_scalar_partials(sstate)
+        nd = (
+            kstate.groupBy("k")
+            .agg(F.sum("c").alias("c"))
+            .agg(F.count(F.lit(1)).alias("nd"))
+        )
+        return orders_report_from_counters(
+            scalars, nd
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(state_root, ignore_errors=True)
+
+
 def q_stream_regression_maintenance(spark, sf_dir: str) -> DataFrame:
     """Live per-group OLS trend maintenance — the regression member of
     the incremental-view-maintenance family: each event type's

@@ -87,3 +87,40 @@ def test_whole_suite_is_one_scan(spark):
 def test_empty_spec_list_yields_empty_report(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     assert evaluate_expectations(df, []).count() == 0
+
+
+def test_counter_form_rebuilds_batch_report_exactly(spark):
+    """Folded scalar partials + keyed counters over ANY batch slicing
+    must rebuild the batch report bit-for-bit (the twin's publish
+    path)."""
+    from bigdataminingproject_spark.operators.expectations import (
+        fold_scalar_partials,
+        orders_contract,
+        orders_report_from_counters,
+        orders_scalar_partial,
+    )
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    batch = evaluate_expectations(orders, orders_contract()).collect()
+
+    slices = [orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    parts = slices[0].sparkSession.createDataFrame(
+        [], orders_scalar_partial(slices[0]).schema
+    )
+    for s in slices:
+        parts = parts.unionByName(orders_scalar_partial(s))
+    folded = fold_scalar_partials(parts)
+    keyed = None
+    for s in slices:
+        kp = s.groupBy(F.col("o_orderkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        keyed = kp if keyed is None else keyed.unionByName(kp)
+    nd = (
+        keyed.groupBy("k")
+        .agg(F.sum("c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    rebuilt = orders_report_from_counters(folded, nd).collect()
+    assert [tuple(r) for r in rebuilt] == [tuple(r) for r in batch]
