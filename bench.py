@@ -219,6 +219,7 @@ HEADLINE = [
     "q_customer_golden_record",
     "q_events_markov_stationary",
     "q_lineitem_zonemap",
+    "q_stream_expectations_maintenance",
 ]
 
 # Queries timed FIRST this round, ahead of the rotation: new/changed
@@ -234,6 +235,7 @@ TIER0 = [
     "q_customer_golden_record",
     "q_events_markov_stationary",
     "q_lineitem_zonemap",
+    "q_stream_expectations_maintenance",
     # new round-10 plans
     "q_embedding_knn_outliers_ivf",
     "q_lineitem_aqp_quantile_sample",
