@@ -345,6 +345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_expectations_maintenance": (
             streaming_pipeline.q_stream_expectations_maintenance
         ),
+        # round 10b: correlated-sampling join-size estimator (the
+        # unbiased sibling of the CMS inner-product estimate)
+        "q_join_size_sampled": sketches.q_join_size_sampled,
         # round 10b: its IVM twin — insert-only graphs make hop
         # distance a monotone view, maintained by delta relaxation;
         # publish is a pure state read (no recompute at all)
@@ -7587,6 +7590,9 @@ def oracle_sql() -> dict[str, str]:
     sql["q_stream_expectations_maintenance"] = sql[
         "q_orders_expectations"
     ]
+    # q_join_size_sampled: identical 48-bit md5 key-bucket predicate
+    # on both engines (generator beside the operator).
+    sql["q_join_size_sampled"] = sketches.sampled_join_oracle_sql()
 
     # q_bloom_join_revenue: the oracle is the PLAIN join — the bloom
     # prune admits no false negatives and the exact join removes the

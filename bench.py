@@ -220,6 +220,7 @@ HEADLINE = [
     "q_events_markov_stationary",
     "q_lineitem_zonemap",
     "q_stream_expectations_maintenance",
+    "q_join_size_sampled",
 ]
 
 # Queries timed FIRST this round, ahead of the rotation: new/changed
@@ -236,6 +237,7 @@ TIER0 = [
     "q_events_markov_stationary",
     "q_lineitem_zonemap",
     "q_stream_expectations_maintenance",
+    "q_join_size_sampled",
     # new round-10 plans
     "q_embedding_knn_outliers_ivf",
     "q_lineitem_aqp_quantile_sample",

@@ -748,6 +748,128 @@ def cms_join_size(
     )
 
 
+SAMPLE_JOIN_BITS = 6  # keep keys whose 48-bit hash ≡ 0 mod 2^6 (p = 1/64)
+
+
+def sampled_join_size(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    bits: int = SAMPLE_JOIN_BITS,
+) -> DataFrame:
+    """Correlated-sampling join-size estimate (Estan & Naughton,
+    ICDE '06 end-biased lineage): sample KEYS, not rows — both sides
+    keep exactly the keys whose shared hash lands in a 1/2^bits
+    bucket, so every surviving key contributes its FULL a_k·b_k pair
+    count and E[sampled size]/p is unbiased for Σ a_k·b_k. Row-wise
+    independent sampling would need 1/p² correction and huge variance;
+    key-synchronized sampling is the estimator that actually works
+    for joins.
+
+    The alternative statistic to the CMS inner product
+    (``cms_join_size``): CMS never misses but overestimates by hash
+    collisions; correlated sampling is unbiased but can miss rare
+    heavy keys. Reporting both against the same truth lets a cost
+    model pick. Deterministic: the sample is a pure function of the
+    48-bit md5 idiom, so the DuckDB oracle replays it bit-for-bit.
+
+    Scale shape: the hash predicate filters MAP-SIDE on each scan
+    (whole-stage codegen, no shuffle to sample), the sampled join
+    moves ~p of each side, and the exact leg is the attestation
+    envelope (same posture as the CMS estimator's exact column).
+    """
+    keyhash = lambda c: F.conv(  # noqa: E731 — the pinned 48-bit idiom
+        F.substring(F.md5(F.col(c).cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    mod = 2**bits
+    ls = left.filter(keyhash(left_key) % mod == 0).select(
+        F.col(left_key).alias("k")
+    )
+    rs = right.filter(keyhash(right_key) % mod == 0).select(
+        F.col(right_key).alias("k")
+    )
+    sampled = ls.join(rs, "k").agg(
+        F.count(F.lit(1)).alias("sampled_pairs")
+    )
+    exact = (
+        left.select(F.col(left_key).alias("k"))
+        .join(right.select(F.col(right_key).alias("k")), "k")
+        .agg(F.count(F.lit(1)).alias("exact_pairs"))
+    )
+    return (
+        sampled.crossJoin(exact)  # two 1-row aggregates
+        .select(
+            F.col("sampled_pairs").cast("bigint").alias("sampled_pairs"),
+            (F.col("sampled_pairs") * F.lit(mod))
+            .cast("bigint")
+            .alias("est_pairs"),
+            F.col("exact_pairs").cast("bigint").alias("exact_pairs"),
+            F.when(F.col("exact_pairs") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.abs(
+                        F.col("sampled_pairs") * F.lit(mod)
+                        - F.col("exact_pairs")
+                    ).cast("double")
+                    * 10000.0
+                    / F.col("exact_pairs").cast("double")
+                    + 0.5
+                )
+                / 100.0
+            )
+            .alias("err_pct"),
+        )
+    )
+
+
+def q_join_size_sampled(spark, sf_dir: str) -> DataFrame:
+    """Correlated-sampling estimate of |orders JOIN customer| next to
+    the exact size — the unbiased sibling of the CMS estimator on the
+    same join."""
+    from bigdataminingproject_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return sampled_join_size(
+        spark, orders, cust, "o_custkey", "c_custkey"
+    )
+
+
+def sampled_join_oracle_sql(bits: int = SAMPLE_JOIN_BITS) -> str:
+    """DuckDB mirror of ``q_join_size_sampled`` — the identical
+    48-bit md5 key-bucket predicate and the same pinned err quotient."""
+    mod = 2**bits
+    pred = (
+        "CAST('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 12) "
+        "AS BIGINT) % {m} = 0"
+    )
+    lp = pred.format(k="o_custkey", m=mod)
+    rp = pred.format(k="c_custkey", m=mod)
+    return f"""
+WITH s AS (
+    SELECT CAST(count(*) AS BIGINT) AS sampled_pairs
+    FROM (SELECT o_custkey AS k FROM orders WHERE {lp}) l
+    JOIN (SELECT c_custkey AS k FROM customer WHERE {rp}) r
+      USING (k)
+),
+e AS (
+    SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+    FROM (SELECT o_custkey AS k FROM orders) l
+    JOIN (SELECT c_custkey AS k FROM customer) r USING (k)
+)
+SELECT sampled_pairs,
+       CAST(sampled_pairs * {mod} AS BIGINT) AS est_pairs,
+       exact_pairs,
+       CASE WHEN exact_pairs = 0 THEN 0.0
+            ELSE floor(CAST(abs(sampled_pairs * {mod} - exact_pairs)
+                            AS DOUBLE) * 10000.0
+                       / CAST(exact_pairs AS DOUBLE) + 0.5) / 100.0
+       END AS err_pct
+FROM s, e"""
+
+
 def q_join_size_estimate(spark, sf_dir: str) -> DataFrame:
     """CMS inner-product estimate of |orders JOIN customer| vs the
     exact frequency-vector inner product, with the overestimate

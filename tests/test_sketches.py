@@ -363,3 +363,37 @@ def test_bloom_join_prune_empty_dim_drops_everything(spark):
     fact = spark.range(0, 100).select(F.col("id").alias("k"))
     dim = spark.range(0).select(F.col("id").alias("dk"))
     assert bloom_join_prune(fact, "k", dim, "dk").count() == 0
+
+
+def test_sampled_join_size_reasonable_and_deterministic(spark):
+    """Correlated sampling on a uniform FK join: estimate within a
+    loose band of truth (the sample is a pure hash function, so this
+    is a fixed number, not a flaky draw), and a repeat run returns
+    the identical row."""
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.sketches import (
+        sampled_join_size,
+    )
+
+    left = spark.range(0, 20000).select((F.col("id") % 2000).alias("k"))
+    right = spark.range(0, 2000).select(F.col("id").alias("k"))
+    r1 = sampled_join_size(spark, left, right, "k", "k").collect()[0]
+    r2 = sampled_join_size(spark, left, right, "k", "k").collect()[0]
+    assert r1 == r2
+    assert r1["exact_pairs"] == 20000
+    assert abs(r1["est_pairs"] - 20000) <= 10000  # within 50% at p=1/64
+
+
+def test_sampled_join_size_empty_join(spark):
+    from pyspark.sql import functions as F
+
+    from bigdataminingproject_spark.operators.sketches import (
+        sampled_join_size,
+    )
+
+    left = spark.range(0, 100).select(F.col("id").alias("k"))
+    right = spark.range(1000, 1100).select(F.col("id").alias("k"))
+    r = sampled_join_size(spark, left, right, "k", "k").collect()[0]
+    assert r["exact_pairs"] == 0 and r["est_pairs"] == 0
+    assert r["err_pct"] == 0.0
