@@ -1684,6 +1684,19 @@ def knn_distance_outliers(
     b = vectors.select(
         F.col(id_col).alias("n_id"), _as_double(F.col(vec_col)).alias("vb")
     )
+    # The probe side inherits the scan's partitioning — a small corpus
+    # read from one parquet file is ONE partition, so the O(N·|B|)
+    # scoring below (the whole cost of this operator) would run on one
+    # core regardless of cluster size (guide §2: stragglers/idle
+    # capacity; measured 47 s single-task vs ~6 s spread at sf0.1).
+    # Widen only when the scan is narrower than the session's
+    # parallelism — at corpus scale the scan is already many files and
+    # the repartition collapses to a no-op branch. Scoring is per-pair
+    # (no cross-row float aggregation), so placement cannot change any
+    # value.
+    par = a.sparkSession.sparkContext.defaultParallelism
+    if a.rdd.getNumPartitions() < par:
+        a = a.repartition(par)
     scored = (
         a.join(F.broadcast(b), F.col("o_id") != F.col("n_id"))
         .withColumn(
@@ -1783,6 +1796,13 @@ def knn_distance_outliers_ivf(
         F.col(id_col).alias("nid"),
         _as_double(F.col(vec_col)).alias("vec"),
     )
+    # Same scan-width guard as the exact baseline: a one-file corpus
+    # scan is one partition, and both join sides (and all per-candidate
+    # cosine scoring) derive from it. Widen only when narrower than the
+    # session's parallelism; per-pair scoring, no cross-row float sums.
+    par = v.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < par:
+        v = v.repartition(par)
     assigned = v.withColumn("cell", cell_id(F.col("vec"), planes))
     offsets = hamming_offsets(n_planes, radius)
     probes = (

@@ -893,11 +893,13 @@ def q_stream_curation_maintenance(spark, sf_dir: str) -> DataFrame:
         spark, delta, staging, chunks=4, order_col="doc_id"
     )
     manifest = AppendOnlyPartsStore(
-        spark, state_root, "manifest", merge_fanout=2
+        spark, state_root, "manifest", merge_fanout=2,
+        count_rows=False,
     )
     manifest.attach_protected(day0_dir)  # shared cache: never merged
     shingles = AppendOnlyPartsStore(
-        spark, state_root, "shingles", merge_fanout=2
+        spark, state_root, "shingles", merge_fanout=2,
+        count_rows=False,
     )
     shingles.attach_protected(day0_sh)
 
@@ -988,7 +990,9 @@ def q_stream_curation_v4_maintenance(spark, sf_dir: str) -> DataFrame:
     staging = tempfile.mkdtemp(prefix="q_stream_v4_src_")
     state_root = tempfile.mkdtemp(prefix="q_stream_v4_state_")
     stores = {
-        name: AppendOnlyPartsStore(spark, state_root, name, merge_fanout=2)
+        name: AppendOnlyPartsStore(
+            spark, state_root, name, merge_fanout=2, count_rows=False
+        )
         for name in (
             "stats",
             "tokc",
@@ -1110,6 +1114,7 @@ def q_stream_index_maintenance(spark, sf_dir: str) -> DataFrame:
         "index",
         merge_fanout=2,
         merge_transform=fold_index_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1178,6 +1183,7 @@ def q_stream_hh_maintenance(spark, sf_dir: str) -> DataFrame:
         "hh",
         merge_fanout=2,
         merge_transform=fold_token_counts,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1249,6 +1255,7 @@ def q_stream_retention_maintenance(spark, sf_dir: str) -> DataFrame:
         "retention",
         merge_fanout=2,
         merge_transform=fold_user_weeks,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1320,6 +1327,7 @@ def q_stream_pagerank_maintenance(spark, sf_dir: str) -> DataFrame:
         "pr_edges",
         merge_fanout=2,
         merge_transform=fold_bigram_counts,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1402,6 +1410,7 @@ def q_stream_sample_maintenance(spark, sf_dir: str) -> DataFrame:
         "sample",
         merge_fanout=2,
         merge_transform=fold_sample_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1478,6 +1487,7 @@ def q_stream_covariance_maintenance(spark, sf_dir: str) -> DataFrame:
         "moments",
         merge_fanout=2,
         merge_transform=fold_covariance_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1566,6 +1576,7 @@ def q_stream_kmv_maintenance(spark, sf_dir: str) -> DataFrame:
         "kmv",
         merge_fanout=2,
         merge_transform=fold_kmv_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1645,6 +1656,7 @@ def q_stream_grid_maintenance(spark, sf_dir: str) -> DataFrame:
         "cells",
         merge_fanout=2,
         merge_transform=fold_cell_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1731,6 +1743,7 @@ def q_stream_rollup_maintenance(spark, sf_dir: str) -> DataFrame:
         "rollup",
         merge_fanout=2,
         merge_transform=fold_rollup_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -1800,7 +1813,9 @@ def q_stream_ann_maintenance(spark, sf_dir: str) -> DataFrame:
     )
     staging = tempfile.mkdtemp(prefix="q_stream_ann_src_")
     state_root = tempfile.mkdtemp(prefix="q_stream_ann_state_")
-    store = AppendOnlyPartsStore(spark, state_root, "annidx", merge_fanout=2)
+    store = AppendOnlyPartsStore(
+        spark, state_root, "annidx", merge_fanout=2, count_rows=False
+    )
     planes16 = similarity.det_planes(64, similarity.SEM_CELL_MAX_PLANES)
 
     def upsert(batch_df, batch_id):
@@ -1920,10 +1935,15 @@ def q_stream_delta_join_maintenance(spark, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
         )
 
-    store_o = AppendOnlyPartsStore(spark, state_root, "oside", merge_fanout=2)
-    store_c = AppendOnlyPartsStore(spark, state_root, "cside", merge_fanout=2)
+    store_o = AppendOnlyPartsStore(
+        spark, state_root, "oside", merge_fanout=2, count_rows=False
+    )
+    store_c = AppendOnlyPartsStore(
+        spark, state_root, "cside", merge_fanout=2, count_rows=False
+    )
     store_agg = AppendOnlyPartsStore(
-        spark, state_root, "agg", merge_fanout=2, merge_transform=fold_rev
+        spark, state_root, "agg", merge_fanout=2, merge_transform=fold_rev,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -2086,13 +2106,16 @@ def q_stream_zset_maintenance(spark, sf_dir: str) -> DataFrame:
     store_o = AppendOnlyPartsStore(
         spark, state_root, "ozset", merge_fanout=2,
         merge_transform=consolidate_o,
+        count_rows=False,
     )
     store_c = AppendOnlyPartsStore(
         spark, state_root, "czset", merge_fanout=2,
         merge_transform=consolidate_c,
+        count_rows=False,
     )
     store_agg = AppendOnlyPartsStore(
-        spark, state_root, "agg", merge_fanout=2, merge_transform=fold_rev
+        spark, state_root, "agg", merge_fanout=2, merge_transform=fold_rev,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -2220,20 +2243,24 @@ def q_stream_join_size_maintenance(spark, sf_dir: str) -> DataFrame:
             AppendOnlyPartsStore(
                 spark, state_root, "cms_o", merge_fanout=2,
                 merge_transform=fold_cnt,
+                count_rows=False,
             ),
             AppendOnlyPartsStore(
                 spark, state_root, "freq_o", merge_fanout=2,
                 merge_transform=fold_freq,
+                count_rows=False,
             ),
         ),
         "C": (
             AppendOnlyPartsStore(
                 spark, state_root, "cms_c", merge_fanout=2,
                 merge_transform=fold_cnt,
+                count_rows=False,
             ),
             AppendOnlyPartsStore(
                 spark, state_root, "freq_c", merge_fanout=2,
                 merge_transform=fold_freq,
+                count_rows=False,
             ),
         ),
     }
@@ -2433,6 +2460,7 @@ def q_stream_decay_maintenance(spark, sf_dir: str) -> DataFrame:
         "decay",
         merge_fanout=2,
         merge_transform=fold_decay_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -2596,6 +2624,7 @@ def q_stream_qdigest_maintenance(spark, sf_dir: str) -> DataFrame:
         "leaves",
         merge_fanout=2,
         merge_transform=fold_leaf_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -2674,6 +2703,7 @@ def q_stream_kcore_maintenance(spark, sf_dir: str) -> DataFrame:
         merge_transform=lambda parts: parts.groupBy("a", "b").agg(
             F.sum("c").alias("c")
         ),
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -2779,6 +2809,7 @@ def q_stream_bfs_maintenance(spark, sf_dir: str) -> DataFrame:
         merge_transform=lambda parts: parts.groupBy("a", "b").agg(
             F.sum("c").alias("c")
         ),
+        count_rows=False,
     )
     # maintained view state (vertex-bounded), seeded before any batch:
     # all seed parts at hop 0 — exactly bfs_hops' initialization
@@ -2882,6 +2913,7 @@ def q_stream_expectations_maintenance(spark, sf_dir: str) -> DataFrame:
         "scalars",
         merge_fanout=2,
         merge_transform=fold_scalar_partials,
+        count_rows=False,
     )
     key_store = AppendOnlyPartsStore(
         spark,
@@ -2891,6 +2923,7 @@ def q_stream_expectations_maintenance(spark, sf_dir: str) -> DataFrame:
         merge_transform=lambda parts: parts.groupBy("k").agg(
             F.sum("c").alias("c")
         ),
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -2973,6 +3006,7 @@ def q_stream_regression_maintenance(spark, sf_dir: str) -> DataFrame:
         "regression",
         merge_fanout=2,
         merge_transform=fold_regression_partials,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -3044,6 +3078,7 @@ def q_stream_hist_maintenance(spark, sf_dir: str) -> DataFrame:
         "hist",
         merge_fanout=2,
         merge_transform=fold_value_counters,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -3116,6 +3151,7 @@ def q_stream_mi_maintenance(spark, sf_dir: str) -> DataFrame:
         "mi",
         merge_fanout=2,
         merge_transform=fold_contingency_cells,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -3410,6 +3446,7 @@ def q_stream_psi_maintenance(spark, sf_dir: str) -> DataFrame:
         "psi",
         merge_fanout=2,
         merge_transform=fold_psi_counters,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
@@ -3474,6 +3511,7 @@ def q_stream_chi2_maintenance(spark, sf_dir: str) -> DataFrame:
         "chi2",
         merge_fanout=2,
         merge_transform=fold_contingency_cells,
+        count_rows=False,
     )
 
     def upsert(batch_df, batch_id):
