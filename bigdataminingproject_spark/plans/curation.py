@@ -755,7 +755,18 @@ def curation_v4_delta_signals(
     )
 
     text = redact_text if redact_text is not None else F.col("text")
-    contam = decontaminate(delta_docs, bench, k=decontam_k)
+    # The five returned plans are executed by five separate writes, so
+    # shared subtrees re-run once per consumer: ``contam`` feeds stats,
+    # tok_counts and winnow_fp (3x — each rerun re-shingles both the
+    # batch AND the benchmark set), ``flags`` feeds span_stats and
+    # span_kept_hashes (2x). Eagerly localCheckpoint both — bounded
+    # relations (1 row/doc; 1 row/16-token span) — so each text pass
+    # runs once per batch, as the contract above promises (guide §5:
+    # persist only reused-and-expensive intermediates; both are cut
+    # loose when the executors drop the checkpoint at session GC).
+    contam = decontaminate(delta_docs, bench, k=decontam_k).localCheckpoint(
+        eager=True
+    )
     red = pii_redact(
         delta_docs.select("doc_id", text.alias("text")), "text"
     ).select(
