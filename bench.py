@@ -221,38 +221,45 @@ HEADLINE = [
     "q_lineitem_zonemap",
     "q_stream_expectations_maintenance",
     "q_join_size_sampled",
+    # round-11 addition: greedy k-center coreset — the heaviest
+    # driver-side literal-array builder (k centroid arrays inlined per
+    # round), added to adjudicate the lit_array planning change
+    "q_embedding_coreset",
 ]
 
 # Queries timed FIRST this round, ahead of the rotation: new/changed
 # plans plus the verdict's re-adjudication watch list. Update per round.
 TIER0 = [
-    # new round-10b plans
-    "q_part_hop_distance",
-    "q_stream_bfs_maintenance",
-    "q_events_hbos",
-    "q_bloom_join_revenue",
-    "q_part_ppr",
-    "q_orders_expectations",
+    # round-11 optimization targets (VERDICT r10 #1/#4/#8): plans
+    # changed this round — the streaming twins' micro-batch shuffle cap
+    # + restructured upserts, the golden-record CC contraction rewrite,
+    # the bfs delta-probe, and the hop-distance lazy settled set
     "q_customer_golden_record",
-    "q_events_markov_stationary",
-    "q_lineitem_zonemap",
-    "q_stream_expectations_maintenance",
-    "q_join_size_sampled",
-    # new round-10 plans
-    "q_embedding_knn_outliers_ivf",
-    "q_lineitem_aqp_quantile_sample",
-    "q4_order_priority",
-    "q_events_xcorr",
-    "q_events_seasonal_anomaly",
-    "q_orders_dependence_profile",
-    "q_events_theil_sen",
-    "q_orders_benford",
-    # changed round-10 plan (bucket-partitioned per-order array state)
-    "q_stream_itemsim_maintenance",
-    # VERDICT r9 #4 watch list: raw-fragment regressions needing a
-    # clean driver adjudication
     "q_stream_join_attribution",
-    "q_doc_bpe_train",
+    "q_stream_bfs_maintenance",
+    "q_stream_itemsim_maintenance",
+    "q_stream_hist_maintenance",
+    "q_stream_expectations_maintenance",
+    "q_stream_psi_maintenance",
+    "q_stream_chi2_maintenance",
+    "q_stream_regression_maintenance",
+    "q_part_hop_distance",
+    "q_part_ppr",
+    # heavy rows budget-skipped in BENCH_r10 that carry unadjudicated
+    # round-10/11 claims (VERDICT r10 #7) — two rounds of builder
+    # numbers need a driver timing
+    "q_stream_curation_v4_maintenance",
+    "q_knn_ivfpq_rerank",
+    "q_stream_rollup_maintenance",
+    # literal-array construction moved to one-parse lit_array this
+    # round in the PQ/IVF/codebook/stopword plans — representative
+    # driver-planning-bound rows to adjudicate the change
+    "q_knn_pq",
+    "q_knn_ivfpq",
+    "q_knn_default",
+    "q_embedding_coreset",
+    "q_events_qdigest",
+    "q_corpus_curation_v4",
 ]
 
 

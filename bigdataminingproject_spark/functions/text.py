@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 
 # Compact English stopword list (NLTK-core subset) — the reference pulls the
 # full NLTK list at import time (base_dataset_loader.py:9-14); we pin an
@@ -59,7 +60,7 @@ def remove_stopwords(
 ) -> Column:
     """Drop stop- and skip-words (F6, base_dataset_loader.py:81-90)."""
     drop = set(stopwords) | (set(SKIPWORDS) if use_skipwords else set())
-    drop_arr = F.array(*[F.lit(w) for w in sorted(drop)])
+    drop_arr = lit_array(sorted(drop))
     return F.filter(tokens, lambda t: ~F.array_contains(drop_arr, t))
 
 

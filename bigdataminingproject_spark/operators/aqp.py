@@ -35,6 +35,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.functions.numeric import stable_round_div
@@ -435,7 +436,7 @@ def poisson_bootstrap_means(
     Returns (group, n_rows, mean_value, boot_lo, boot_hi, boot_width).
     """
     reps = F.explode(
-        F.array(*[F.lit(r) for r in range(1, replicas + 1)])
+        lit_array(list(range(1, replicas + 1)))
     ).alias("r")
     u = _hash48(
         F.concat(F.col("_key"), F.lit(":"), F.col("r").cast("string"))

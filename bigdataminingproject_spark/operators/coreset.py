@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_double_array
 
 from bigdataminingproject_spark.operators.similarity import _sq_l2
 from bigdataminingproject_spark.sources.tables import load_table
@@ -57,7 +58,7 @@ def kcenter_coreset(
     while len(chosen) < k:
         dmin = None
         for _, _, _, carr in chosen:
-            cent = F.array(*[F.lit(float(x)) for x in carr])
+            cent = lit_double_array(carr)
             d = F.round(_sq_l2(F.col("vec"), cent), 6)
             dmin = d if dmin is None else F.least(dmin, d)
         # dist > 0 BEFORE the argmax (mirrored by the oracle's WHERE):

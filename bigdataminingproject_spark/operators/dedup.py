@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from bigdataminingproject_spark.functions.numeric import stable_avg
 from bigdataminingproject_spark.functions.text import shingles, tokenize
@@ -395,6 +396,130 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_contamination(docs, bench)
 
 
+def _cc_flatten(edges_df: DataFrame, max_rounds: int) -> DataFrame:
+    """Min-label connected components with per-round Boruvka star
+    contraction and BATCHED pointer jumping — the engine behind
+    ``connected_components(flatten=True)``, built for graphs whose
+    diameter defeats plain propagation (the golden-record digit-chain
+    name graphs: 26+ rounds at 10x).
+
+    Round 10's version ran TWO data-dependent inner loops and the
+    driver measured the query job-count-bound: 119-150 jobs of
+    sub-second data work (a convergence probe per pointer jump, a
+    stats-reset frame rebuild via ``createDataFrame(df.rdd, schema)`` —
+    a per-row Python round trip — per jump), 25.2 s at sf0.1 with an
+    8/32-core ratio of 1.10: a pure driver/job-latency floor, not
+    compute (guide §7.3; §5: cut the plan, not the data). A raw-RDD
+    port was measured WORSE (~35 s: every Python shuffle stage carries
+    ~0.3 s of worker/pickle fixed cost). This version instead makes a
+    round = ONE lazily-composed DataFrame plan — relax, star-minimum
+    pull-back, and a FIXED batch of 3 pointer jumps, all fused by
+    Catalyst into a single job at the round's eager localCheckpoint —
+    plus one cheap convergence probe over the two checkpointed label
+    frames: exactly 2 jobs per round, ~2x fewer rounds than one jump
+    per round would need.
+
+    Correctness does not depend on how many jumps run per round: every
+    step (neighbor-min relax, old-star minimum, label(label)
+    substitution) is monotone non-increasing, stays within the
+    component's reachable node ids, and is bounded below by the
+    component minimum; the loop exits only at a full fixpoint of the
+    composed round, which forces label(u) = label(v) across every edge
+    and label = id on each component's minimum node — i.e. label = min
+    reachable node, the same fixpoint as round 10's loop and the
+    DuckDB oracle's recursive closure. Stats stay finite: the per-jump
+    3x sizeInBytes inflation localCheckpoint carries forward is reset
+    by a single RDD rebuild every 6 rounds (vs every jump before),
+    far below the ~3^18 BigInt pathology round 8 measured.
+    """
+    labels = (
+        edges_df.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for rnd in range(max_rounds):
+        # (1) relax: each node takes min(own, neighbors' labels), then
+        # (2) small-star: pull each OLD star's discovered minimum back
+        # to every member (including its root) within the round — one
+        # Boruvka phase per round, O(log n) outer rounds on any graph.
+        # One eager checkpoint materializes both (job block 1).
+        nmin = (
+            edges_df.join(labels, edges_df.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        relaxed = labels.join(nmin, "node", "left").select(
+            "node",
+            F.col("label").alias("olabel"),
+            F.least(
+                F.col("label"), F.coalesce("nlabel", "label")
+            ).alias("rlabel"),
+        )
+        smin = relaxed.groupBy(F.col("olabel").alias("sl")).agg(
+            F.min("rlabel").alias("smin")
+        )
+        base = (
+            relaxed.join(smin, relaxed.olabel == smin.sl)
+            .select(
+                "node",
+                "olabel",
+                F.least("rlabel", "smin").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # (3) two batched pointer jumps against the CHECKPOINTED base,
+        # label <- min(label, label(label)): labels are min-so-far so
+        # label(label) <= label keeps every substitution monotone-safe.
+        # Jumping from a checkpoint bounds the self-join plan at 2^j
+        # scans of a materialized relation (the round-10 loop instead
+        # paid a convergence probe + a per-row Python stats-reset
+        # rebuild PER JUMP — the job-count floor the driver measured).
+        cur = base
+        for _ in range(2):
+            ptr = cur.select(
+                F.col("node").alias("pnode"),
+                F.col("label").alias("plabel"),
+            )
+            cur = cur.join(
+                ptr, cur["label"] == ptr["pnode"], "left"
+            ).select(
+                "node",
+                "olabel",
+                F.least(
+                    cur["label"], F.coalesce("plabel", cur["label"])
+                ).alias("label"),
+            )
+        new_labels = cur.localCheckpoint(eager=True)  # job block 2
+        if rnd % 4 == 3:
+            # periodic Catalyst-stats reset (localCheckpoint carries
+            # the composed plan's multiplied sizeInBytes forward; the
+            # round-8 probe measured multi-thousand-digit BigInt stats
+            # arithmetic dominating planning without one)
+            new_labels = edges_df.sparkSession.createDataFrame(
+                new_labels.rdd, new_labels.schema
+            ).localCheckpoint(eager=True)
+        # convergence probe: labels only ever decrease, and olabel
+        # (the round's starting label) rode along through the jumps —
+        # one shuffle-free scan of the checkpointed frame, no join
+        changed = (
+            new_labels.filter(F.col("label") < F.col("olabel"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in "
+            f"{max_rounds} rounds"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
@@ -433,6 +558,13 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if flatten:
+        # Boruvka star contraction + full path compression, on RDDs —
+        # O(log n) outer rounds on any structure where plain
+        # propagation needs O(diameter), with zero per-round Catalyst
+        # planning (see _cc_flatten_rdd; flatten callers also get a
+        # guaranteed-convergence contract — it fails loud).
+        return _cc_flatten(edges, max_rounds)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -455,82 +587,6 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        if flatten:
-            # FULL path compression (iterated pointer jumping until
-            # the label relation is idempotent): labels are min-so-far
-            # so label(label) <= label and each substitution is
-            # monotone-safe. After compression every node points at a
-            # star root, and the next relax round merges each star
-            # with its minimum neighboring star — one Boruvka phase,
-            # so the star count per component at least halves per
-            # outer round: O(log n) outer rounds on ANY structure,
-            # where plain propagation needs O(diameter) (the
-            # golden-record digit-chain graphs: 26+ rounds at 10x).
-            #
-            # Two Spark footguns handled here, both measured on the
-            # 10x probe: (1) localCheckpoint PRESERVES Catalyst size
-            # stats, and per-round joins multiply them, so by round
-            # ~18 sizeInBytes is a multi-thousand-digit BigInt and
-            # stats-visitor arithmetic dominates wall time — _cut
-            # rebuilds the frame from the checkpointed RDD, resetting
-            # stats; (2) the inner loop must be bounded and LOUD on
-            # non-convergence, never silent.
-            def _cut(df):
-                return df.sparkSession.createDataFrame(
-                    df.localCheckpoint().rdd, df.schema
-                )
-
-            # small-star step: pull each OLD star's discovered minimum
-            # back to every member (including its root) within the
-            # round. Without it a root hears about a smaller adjacent
-            # star only through next round's relax, and convergence
-            # degrades to O(star-graph diameter) — measured 26+ rounds
-            # on the 10x name graph; with it every star adopts the min
-            # over all adjacent stars (one Boruvka phase per round).
-            joined = labels.select(
-                "node", F.col("label").alias("olabel")
-            ).join(new_labels, "node")
-            starmin = joined.groupBy("olabel").agg(
-                F.min("label").alias("smin")
-            )
-            new_labels = joined.join(starmin, "olabel").select(
-                "node",
-                F.least(F.col("label"), F.col("smin")).alias("label"),
-            )
-            new_labels = _cut(new_labels)
-            for _ in range(40):
-                lol = new_labels.select(
-                    F.col("node").alias("pnode"),
-                    F.col("label").alias("plabel"),
-                )
-                flat = _cut(
-                    new_labels.join(
-                        lol,
-                        new_labels["label"] == lol["pnode"],
-                        "left",
-                    ).select(
-                        "node",
-                        F.least(
-                            F.col("label"),
-                            F.coalesce("plabel", "label"),
-                        ).alias("label"),
-                    )
-                )
-                moved = (
-                    flat.alias("n")
-                    .join(new_labels.alias("o"), "node")
-                    .filter(F.col("n.label") < F.col("o.label"))
-                    .limit(1)
-                    .count()
-                )
-                new_labels = flat
-                if moved == 0:
-                    break
-            else:
-                raise RuntimeError(
-                    "CC path compression failed to reach an "
-                    "idempotent label relation in 40 jumps"
-                )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -541,15 +597,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    else:
-        if flatten:
-            # flatten callers ask for guaranteed convergence (their
-            # graphs exceed the propagation cap by construction) —
-            # an unconverged result is a wrong answer, so fail loud
-            raise RuntimeError(
-                f"connected_components did not converge in "
-                f"{max_rounds} rounds"
-            )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

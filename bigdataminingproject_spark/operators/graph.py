@@ -283,7 +283,13 @@ def bfs_hops(
         )
         if nxt.isEmpty():
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        # levels are disjoint by construction, so the settled set stays
+        # a LAZY union of the checkpointed frontiers — each level's one
+        # materialization is the frontier itself; the old per-level
+        # eager re-checkpoint of the full settled relation paid one
+        # extra vertex-bounded write per level for nothing (the union
+        # is ≤ max_hops branches of already-materialized pieces)
+        dist = dist.unionAll(nxt)
         frontier = nxt
     return dist
 

@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_double_array
 
 from bigdataminingproject_spark.operators.similarity import (
     _as_double,
@@ -86,7 +87,7 @@ def _assign(sv: DataFrame, cents: dict[int, list[tuple[int, list[float]]]]) -> D
                     F.round(
                         _sq_l2(
                             F.col("svec"),
-                            F.array(*[F.lit(float(x)) for x in carr]),
+                            lit_double_array(carr),
                         ),
                         6,
                     ).alias("dist"),
@@ -238,7 +239,7 @@ def _adc_dist_expr(tables, qid: int):
         assert sorted(lut) == list(range(len(lut))), (
             f"non-contiguous PQ codes in subspace {m}: {sorted(lut)[:8]}..."
         )
-        arr = F.array(*[F.lit(float(lut[c])) for c in sorted(lut)])
+        arr = lit_double_array([lut[c] for c in sorted(lut)])
         term = F.element_at(arr, F.col("codes")[m] + 1)
         total = term if total is None else total + term
     return F.round(total, 6)
@@ -334,7 +335,7 @@ def pq_rerank_knn(
     )
     expr = None
     for qr in sorted(qrows, key=lambda x: x["qid"]):
-        qarr = F.array(*[F.lit(float(x)) for x in qr["vec"]])
+        qarr = lit_double_array(qr["vec"])
         d = F.round(_sq_l2(F.col("nvec"), qarr), 6)
         cond = F.col("query_id") == int(qr["qid"])
         expr = F.when(cond, d) if expr is None else expr.when(cond, d)
@@ -517,7 +518,7 @@ def ivfpq_rerank_knn(
     )
     expr = None
     for qr in sorted(qrows, key=lambda x: x["qid"]):
-        qarr = F.array(*[F.lit(float(x)) for x in qr["vec"]])
+        qarr = lit_double_array(qr["vec"])
         d = F.round(_sq_l2(F.col("nvec"), qarr), 6)
         cond = F.col("query_id") == int(qr["qid"])
         expr = F.when(cond, d) if expr is None else expr.when(cond, d)
@@ -615,7 +616,7 @@ def exact_l2_knn(
                     F.round(
                         _sq_l2(
                             F.col("nvec"),
-                            F.array(*[F.lit(float(x)) for x in qr["vec"]]),
+                            lit_double_array(qr["vec"]),
                         ),
                         6,
                     ).alias("l2_dist"),

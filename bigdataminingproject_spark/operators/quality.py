@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.functions.text import shingles, tokenize
@@ -689,7 +690,7 @@ def blocklist_signals(
     projection).
     """
     toks = tokenize(F.col(text_col))
-    bl = F.array(*[F.lit(w) for w in blocklist])
+    bl = lit_array(list(blocklist))
     blocked = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
     total = F.size(toks)
     bp = F.when(total > 0, _bp(blocked, total)).otherwise(F.lit(0))
@@ -835,7 +836,7 @@ def gopher_gate(docs: DataFrame) -> DataFrame:
         "doc_id", "n_tokens", "distinct_bp", "top_unigram_bp",
         "top_bigram_bp",
     )
-    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    stop_arr = lit_array(list(ENGLISH_STOPWORDS))
     toks = docs.select("doc_id", tokenize("text").alias("_t"))
     row = toks.select(
         "doc_id",

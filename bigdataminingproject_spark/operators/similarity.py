@@ -22,6 +22,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from bigdataminingproject_spark.functions.lits import (
+    lit_array,
+    lit_double_array,
+)
 from bigdataminingproject_spark.sources.tables import load_table
 
 
@@ -569,7 +573,10 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _plane_lit(plane: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in plane])
+    # one-parse literal (functions/lits.py): the per-element form cost
+    # ~2 py4j round trips per value, SECONDS of driver-side planning
+    # per plane family (guide §1: planning is part of the wall clock)
+    return lit_double_array(plane)
 
 
 def cell_id(vec: Column, planes: list[list[float]]) -> Column:
@@ -722,9 +729,7 @@ def ivf_probe_score(
         "query_id",
         "q_vec",
         "q_cell",
-        F.explode(
-            F.array(*[F.lit(o) for o in offsets])
-        ).alias("off"),
+        F.explode(lit_array(list(offsets))).alias("off"),
     ).withColumn(
         "cell", F.col("q_cell").bitwiseXOR(F.col("off")).cast("int")
     ).select("query_id", "q_vec", "cell")
@@ -1155,12 +1160,9 @@ def sq8_dequantized(
     at 100 TB is 4x (64 bytes vs 256 per vector), which is the difference
     between an in-memory and a spilled ANN scan. Zero-span dims decode to
     the constant mn_i."""
-    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
-    span_arr = F.array(
-        *[
-            F.lit(float(mx - mn) if mx > mn else 0.0)
-            for mn, mx in zip(mins, maxs)
-        ]
+    mn_arr = lit_double_array(mins)
+    span_arr = lit_array(
+        [float(mx - mn) if mx > mn else 0.0 for mn, mx in zip(mins, maxs)]
     )
     def _dq(x, i):
         mn = F.element_at(mn_arr, i + 1)
@@ -1286,7 +1288,7 @@ def kmeans_relational(
                     F.round(
                         _sq_l2(
                             F.col("vec"),
-                            F.array(*[F.lit(float(x)) for x in arr]),
+                            lit_double_array(arr),
                         ),
                         6,
                     ).alias("dist"),
@@ -1812,7 +1814,7 @@ def knn_distance_outliers_ivf(
             F.col("cell").alias("q_cell"),
         )
         .withColumn(
-            "off", F.explode(F.array(*[F.lit(o) for o in offsets]))
+            "off", F.explode(lit_array(list(offsets)))
         )
         .select(
             "query_id",

@@ -30,6 +30,7 @@ from dataclasses import dataclass, field
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 
 BLOOM_CAPACITY = 100_000
 BLOOM_FPP = 0.01
@@ -658,9 +659,7 @@ def cms_relation(
     combinable shape that lets a 100 TB fact table compress to a
     fixed-size summary in a single scan. Buckets are md5-derived
     (layout/retry-invariant; the oracle replays them)."""
-    d = F.explode(
-        F.array(*[F.lit(i) for i in range(depth)])
-    ).alias("d")
+    d = F.explode(lit_array(list(range(depth)))).alias("d")
     bucket = (
         F.conv(
             F.substring(

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.session import shuffle_partitions
@@ -61,7 +62,7 @@ def skyline2d_points(
         sorted(set(m.approxQuantile(x_col, probs, 0.001))) if probs else []
     )
     if bounds:
-        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        bounds_arr = lit_array([float(b) for b in bounds])
         bucket = F.size(F.filter(bounds_arr, lambda b: b < F.col(x_col)))
     else:
         bucket = F.lit(0)

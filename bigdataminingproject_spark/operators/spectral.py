@@ -33,6 +33,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 
 from bigdataminingproject_spark.sources.tables import load_table
 
@@ -64,7 +65,7 @@ def power_iteration_top_pc(
     v = [_stable(1.0 / math.sqrt(dim), 12)] * dim
     eig = 0.0
     for _ in range(iters):
-        vlit = F.array(*[F.lit(c) for c in v])
+        vlit = lit_array(list(v))
         dot = F.aggregate(
             F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
             F.lit(0.0),

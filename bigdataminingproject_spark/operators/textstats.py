@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 
 from bigdataminingproject_spark.functions.text import (
     ENGLISH_STOPWORDS,
@@ -29,7 +30,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def _marker_hits(tokens: Column, words: tuple[str, ...]) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
+    arr = lit_array(list(words))
     return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
 
 
@@ -62,7 +63,7 @@ def quality_features(text: Column, tokens: Column | None = None) -> dict[str, Co
     toks = tokenize(text) if tokens is None else tokens
     n_tokens = F.size(toks)
     n_chars = F.length(text)
-    stop_arr = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    stop_arr = lit_array(list(ENGLISH_STOPWORDS))
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_punct = F.length(text) - F.length(
         F.regexp_replace(text, "[\\p{Punct}]", "")

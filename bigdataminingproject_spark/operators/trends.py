@@ -446,16 +446,33 @@ def theil_sen_trend(
             ).alias("slope"),
         )
     )
-    w = Window.partitionBy("k").orderBy("slope")
-    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    # Counter-form rank selection (the equidepth-histogram pattern):
+    # collapse the O(hours²) slope multiset to (k, slope, count) with a
+    # parallel partial aggregation — measured 1.29M -> 79k rows at
+    # sf0.1 — so the per-key window sorts the DISTINCT slopes, not
+    # every pair. The old row_number ran one single-task sort of the
+    # full multiset per key (5 tasks total at any core count — the
+    # round-10 scaling-ratio smell). The value at the pinned rank
+    # max(1, ceil(n/2)) is unchanged: the first distinct slope whose
+    # running count reaches the rank IS the rank-th element of the
+    # sorted multiset, ties collapsing to the same value by definition.
+    grouped = slopes.groupBy("k", "slope").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    w = Window.partitionBy("k").orderBy("slope")
+    ranked = grouped.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n",
+        F.sum("c").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    target = F.greatest(F.lit(1), F.ceil(F.col("n") * 0.5).cast("int"))
     return (
         ranked.filter(
-            F.col("rn")
-            == F.greatest(
-                F.lit(1), F.ceil(F.col("n") * 0.5).cast("int")
-            )
+            (F.col("cum") >= target)
+            & (F.col("cum") - F.col("c") < target)
         )
         .select(
             F.col("k").alias(key_col),

@@ -764,6 +764,12 @@ def curation_v4_delta_signals(
     # runs once per batch, as the contract above promises (guide §5:
     # persist only reused-and-expensive intermediates; both are cut
     # loose when the executors drop the checkpoint at session GC).
+    # Checkpointing ``flags`` additionally SEVERS the returned plans
+    # from ``span_seen`` (the live span-hash store scan): the caller
+    # may compact that store concurrently with executing these plans,
+    # and a lazy scan of directories a merge rmtree's mid-flight is a
+    # nondeterministic batch failure (ADVICE r10 #1). After the eager
+    # checkpoint here, no returned plan re-reads the store.
     contam = decontaminate(delta_docs, bench, k=decontam_k).localCheckpoint(
         eager=True
     )
@@ -790,7 +796,7 @@ def curation_v4_delta_signals(
     )
     flags = span_flags(
         delta_docs, span_tokens=span_tokens, seen_hashes=span_seen
-    )
+    ).localCheckpoint(eager=True)
     return {
         "stats": stats,
         "tok_counts": doc_token_counts(clean),

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 from pyspark.sql.window import Window
 
 from bigdataminingproject_spark.session import shuffle_partitions
@@ -48,7 +49,7 @@ def with_global_position(
     probs = [i / num_partitions for i in range(1, num_partitions)]
     bounds = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
     if bounds:
-        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        bounds_arr = lit_array([float(b) for b in bounds])
         bucket_of = F.size(
             F.filter(bounds_arr, lambda b: b < F.col(order_col))
         )
@@ -115,7 +116,7 @@ def with_global_cumsum(
         else []
     )
     if bounds:
-        bounds_arr = F.array(*[F.lit(b) for b in bounds])
+        bounds_arr = lit_array([float(b) for b in bounds])
         bucket = F.size(F.filter(bounds_arr, lambda b: b < F.col(order_col)))
     else:
         bucket = F.lit(0)

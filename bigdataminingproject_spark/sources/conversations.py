@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from bigdataminingproject_spark.functions.lits import lit_array
 
 from bigdataminingproject_spark.functions.text import (
     ENGLISH_STOPWORDS,
@@ -88,7 +89,7 @@ def preprocess_expr(body: Column, use_skipwords: bool = True) -> Column:
     stop set → rejoin. Lemmatization is the optional pandas_udf parity
     step in functions/nlp.py (NLTK isn't a hard dependency)."""
     stop = reference_stop_set(use_skipwords)
-    stop_arr = F.array(*[F.lit(w) for w in sorted(stop)])
+    stop_arr = lit_array(sorted(stop))
     toks = alpha_tokens(tokenize(body))
     toks = F.filter(toks, lambda t: ~F.array_contains(stop_arr, t))
     return F.array_join(toks, " ")

@@ -296,20 +296,68 @@ def streaming_duplicate_scores_tws(
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _microbatch_shuffle_cap(spark):
+    """Cap ``spark.sql.shuffle.partitions`` for the duration of a
+    bounded stream drain, restoring the session value afterwards.
+
+    Stateful micro-batch operators (stream-stream join state stores,
+    windowed-agg state, dropDuplicates) create exactly
+    ``shuffle.partitions`` state-store instances and tasks PER STATEFUL
+    OPERATOR PER BATCH, with no AQE coalescing (AQE is disabled inside
+    micro-batch plans), and the foreachBatch upserts' per-batch groupBy
+    shuffles inherit the same width. A micro-batch delta is bounded by
+    the trigger, not the corpus, so its shuffle width should track the
+    DELTA's bytes (guide §2.2: partitions sized for ~100 MB+, here the
+    deltas are single-digit MB), never the cluster core count —
+    otherwise per-batch fixed cost grows linearly with cluster size,
+    which is exactly the anti-scaling the round-10 driver measured on
+    the stream-stream join (8-core/32-core ratio 0.42: 32 cores was
+    2.4x SLOWER than 8). Production deployments with genuinely large
+    per-trigger deltas size this via $SPARK_GRAFT_STREAM_SHUFFLE (or
+    per-query conf); the default 8 is delta-appropriate at every bench
+    SF while keeping multi-way scan/probe parallelism.
+
+    Partition count never changes what any query computes — only task
+    fan-out; the oracle gate re-verifies every twin bit-for-bit.
+    """
+    import os
+
+    cap = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key, "200")
+    try:
+        cur = int(before)
+    except (TypeError, ValueError):
+        cur = None  # exotic deployments ("auto"): leave untouched
+    if cur is None or cur <= cap:
+        yield
+        return
+    spark.conf.set(key, str(cap))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, before)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "update",
 ) -> None:
     """Drain a bounded stream into an in-memory table (availableNow)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _microbatch_shuffle_cap(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def snapshot_sink(
@@ -318,12 +366,13 @@ def snapshot_sink(
 ) -> "Any":
     """W5 snapshot sink: run ``batch_fn(batch_df, batch_id)`` per trigger
     (foreachBatch), availableNow-bounded. Returns the finished query."""
-    q = (
-        stream_df.writeStream.foreachBatch(batch_fn)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _microbatch_shuffle_cap(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(batch_fn)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -1004,6 +1053,8 @@ def q_stream_curation_v4_maintenance(spark, sf_dir: str) -> DataFrame:
         )
     }
 
+    n_cells = [0]  # running count of appended cell rows (disjoint parts)
+
     def upsert(batch_df, batch_id):
         sigs = curation_v4_delta_signals(
             batch_df,
@@ -1022,8 +1073,14 @@ def q_stream_curation_v4_maintenance(spark, sf_dir: str) -> DataFrame:
         def log_candidates(part):
             prior = stores["cells"].read()  # excludes the in-flight part
             allc = part if prior is None else prior.unionByName(part)
+            # Cell count so far = running total over the disjoint parts
+            # (the old ``allc.count()`` re-listed and re-footer-read
+            # EVERY part directory per batch); counting only the
+            # just-written part is one single-directory metadata job,
+            # and the sum is identical because parts never overlap.
+            n_cells[0] += part.count()
             stores["cands"].append(
-                semantic_candidates(allc, part, allc.count())
+                semantic_candidates(allc, part, n_cells[0])
             )
 
         # The six index appends are independent jobs over disjoint
@@ -1036,6 +1093,11 @@ def q_stream_curation_v4_maintenance(spark, sf_dir: str) -> DataFrame:
         # store is touched by exactly one thread, so the stores'
         # internal part lists never race, and the written relations
         # are bit-identical (measured 36.5 s -> 20.1 s at sf0.1).
+        # Safe against compaction: every ``sigs`` plan was eagerly
+        # localCheckpoint'ed off the span_h store by
+        # curation_v4_delta_signals, so no thread's write job re-reads
+        # part directories another thread's merge may delete
+        # (ADVICE r10 #1).
         from concurrent.futures import ThreadPoolExecutor
 
         tasks = [
@@ -1065,7 +1127,6 @@ def q_stream_curation_v4_maintenance(spark, sf_dir: str) -> DataFrame:
             order_col="doc_id",
         )
         snapshot_sink(stream, upsert)
-        cells = stores["cells"].read()
         cands = stores["cands"].read()
         if cands is None:  # degenerate: no candidate pair ever logged
             cands = spark.createDataFrame(
@@ -1073,7 +1134,9 @@ def q_stream_curation_v4_maintenance(spark, sf_dir: str) -> DataFrame:
                 "dup_id long, rep_id long, cosine_sim double, "
                 "dup_cell16 int, rep_cell16 int",
             )
-        sem_drops = semantic_drops_from_candidates(cands, cells.count())
+        # n_cells == cells.count(): appends are disjoint and the cells
+        # store's compaction is a row-preserving union rewrite
+        sem_drops = semantic_drops_from_candidates(cands, n_cells[0])
         return assemble_curation_v4(
             stores["stats"].read(),
             stores["tokc"].read(),
@@ -2782,8 +2845,10 @@ def q_stream_bfs_maintenance(spark, sf_dir: str) -> DataFrame:
 
       1. append the batch's delta pair counts to the LSM store (the
          kcore twin's mergeable state, summed at compaction);
-      2. fold → current edge set; anti-join against the previous
-         batch's edge set → the edges that newly crossed the floor;
+      2. probe the pre-append state for ONLY the delta's pairs' old
+         totals (counts are insert-only, so only delta pairs can
+         cross) → the edges that newly crossed the floor; the full
+         edge set is maintained as previous ∪ crossed (disjoint);
       3. seed a relaxation frontier from those edges' settled
          endpoints, then propagate improvements through the FULL edge
          relation until quiescent — provably ≤ max_hops rounds,
@@ -2848,22 +2913,55 @@ def q_stream_bfs_maintenance(spark, sf_dir: str) -> DataFrame:
             .filter(F.col("a") < F.col("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
         )
+        # Newly floor-crossed edges from a DELTA-BOUNDED probe: counts
+        # only grow, so only pairs IN this delta can cross — probe the
+        # pre-append state for just those pairs' totals (left-semi =
+        # shuffle is delta-sized; the full-state groupBy + eager
+        # checkpoint + anti-join the round-10 plan paid per batch was
+        # O(state), contradicting the contract above). Materialized
+        # eagerly BEFORE the append so no live plan re-reads part
+        # directories the append's compaction may delete.
+        prior = store.read()
+        if prior is None:
+            crossed = pairs.filter(F.col("c") >= MIN_CO_ORDERS)
+        else:
+            # broadcast the DELTA side (guide §3.1/§3.2: ship the small
+            # side, never shuffle the growing state): the semi-join
+            # probe then scans state in place with no exchange, and
+            # only the delta-matched totals shuffle into the groupBy
+            old_tot = (
+                prior.join(
+                    F.broadcast(pairs.select("a", "b")),
+                    ["a", "b"],
+                    "left_semi",
+                )
+                .groupBy("a", "b")
+                .agg(F.sum("c").alias("oc"))
+            )
+            oc = F.coalesce(F.col("oc"), F.lit(0))
+            crossed = (
+                pairs.join(F.broadcast(old_tot), ["a", "b"], "left")
+                .filter(
+                    (oc < MIN_CO_ORDERS)
+                    & (oc + F.col("c") >= MIN_CO_ORDERS)
+                )
+            )
+        crossed = crossed.select("a", "b").localCheckpoint(eager=True)
         store.append(pairs)
-        state = store.read()
-        edges = (
-            state.groupBy("a", "b")
-            .agg(F.sum("c").alias("c"))
-            .filter(F.col("c") >= MIN_CO_ORDERS)
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
+        pairs.unpersist()
+        # full current edge set = previous ∪ crossed (disjoint: crossed
+        # pairs were below the floor, so never already edges) — exactly
+        # the old full-fold-filter relation, maintained incrementally
         prev = view["edges"]
-        new_edges = (
-            edges if prev is None else edges.join(prev, ["a", "b"], "left_anti")
+        edges = (
+            crossed
+            if prev is None
+            else prev.unionAll(crossed).localCheckpoint(eager=True)
         )
         view["edges"] = edges
-        view["dist"] = bfs_relax_inserts(view["dist"], new_edges, edges)
+        view["dist"] = bfs_relax_inserts(view["dist"], crossed, edges)
 
     try:
         stream = file_replay_source(
@@ -2946,12 +3044,22 @@ def q_stream_expectations_maintenance(spark, sf_dir: str) -> DataFrame:
     )
 
     def upsert(batch_df, batch_id):
-        scalar_store.append(orders_scalar_partial(batch_df))
-        key_store.append(
-            batch_df.groupBy(
-                F.col("o_orderkey").alias("k")
-            ).agg(F.count(F.lit(1)).alias("c"))
-        )
+        # two independent appends over disjoint stores (one thread
+        # each, guide §2.6): the second job's tasks back-fill the
+        # first's tail instead of paying two job latencies end to end
+        from concurrent.futures import ThreadPoolExecutor
+
+        tasks = [
+            lambda: scalar_store.append(orders_scalar_partial(batch_df)),
+            lambda: key_store.append(
+                batch_df.groupBy(
+                    F.col("o_orderkey").alias("k")
+                ).agg(F.count(F.lit(1)).alias("c"))
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for fut in [pool.submit(t) for t in tasks]:
+                fut.result()
 
     try:
         stream = file_replay_source(
@@ -3307,15 +3415,18 @@ def q_stream_itemsim_maintenance(spark, sf_dir: str) -> DataFrame:
         # pair enumeration — happens JVM-side on those arrays, so the
         # old plan's distinct + anti-join + localCheckpoint chain (two
         # more full shuffles and a full materialization per batch) is
-        # gone entirely.
-        rng = batch_df.agg(
-            F.min("o").alias("lo"), F.max("o").alias("hi")
-        ).collect()[0]
-        arrs = (
+        # gone entirely. The order-range probe rides the SAME job that
+        # materializes the persisted arrays (one scan of the delta per
+        # batch, not two).
+        base = (
             batch_df.select("o", "p")
             .groupBy("o")
             .agg(F.collect_set("p").alias("ps"))
+            .persist()
         )
+        rng = base.agg(
+            F.min("o").alias("lo"), F.max("o").alias("hi")
+        ).collect()[0]
         old = items.read()
         if old is not None and rng["lo"] is not None:
             # the delta's order-range bucket span bounds the state
@@ -3335,13 +3446,13 @@ def q_stream_itemsim_maintenance(spark, sf_dir: str) -> DataFrame:
                 .groupBy("o")
                 .agg(F.flatten(F.collect_list("ps")).alias("ps_old"))
             )
-            arrs = arrs.join(boundary, "o", "left")
+            joined = base.join(boundary, "o", "left")
         else:
-            arrs = arrs.withColumn(
+            joined = base.withColumn(
                 "ps_old", F.lit(None).cast("array<bigint>")
             )
         arrs = (
-            arrs.select(
+            joined.select(
                 "o",
                 # replay/cross-batch dedup: only items NOT already in
                 # state count as this batch's delta for their order
@@ -3372,27 +3483,43 @@ def q_stream_itemsim_maintenance(spark, sf_dir: str) -> DataFrame:
                 )
             ).alias("pr")
         ).select("pr.a", "pr.b")
-        pairs.append(
-            pair_arrays.groupBy("a", "b").agg(
-                F.count(F.lit(1)).alias("c")
-            )
-        )
-        margs.append(
-            arrs.select(F.explode("new").alias("p"))
-            .groupBy("p")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        # the per-order array part is small (orders, not items) —
-        # coalesce before the partitioned write so the file fan-out is
-        # (8 x buckets-in-range), not (shuffle-partitions x buckets)
-        items.append(
-            arrs.select(
-                "o",
-                F.col("new").alias("ps"),
-                (F.col("o") / bucket_w).cast("int").alias("bkt"),
-            ).coalesce(8)
-        )
+        # Materialize the deduped arrays ONCE (count over the cached
+        # relation), then submit the three independent store appends
+        # concurrently (guide §2.6, the v4 twin's pattern): each store
+        # is touched by exactly one thread and every append only reads
+        # the already-cached ``arrs``, so the written relations are
+        # bit-identical while the three small write jobs' tails overlap
+        # instead of paying three job latencies end to end.
+        arrs.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        tasks = [
+            lambda: pairs.append(
+                pair_arrays.groupBy("a", "b").agg(
+                    F.count(F.lit(1)).alias("c")
+                )
+            ),
+            lambda: margs.append(
+                arrs.select(F.explode("new").alias("p"))
+                .groupBy("p")
+                .agg(F.count(F.lit(1)).alias("c"))
+            ),
+            # the per-order array part is small (orders, not items) —
+            # coalesce before the partitioned write so the file fan-out
+            # is (8 x buckets-in-range), not (shuffle-parts x buckets)
+            lambda: items.append(
+                arrs.select(
+                    "o",
+                    F.col("new").alias("ps"),
+                    (F.col("o") / bucket_w).cast("int").alias("bkt"),
+                ).coalesce(8)
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [pool.submit(t) for t in tasks]:
+                fut.result()
         arrs.unpersist()
+        base.unpersist()
 
     try:
         stream = file_replay_source(

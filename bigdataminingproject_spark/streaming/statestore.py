@@ -176,7 +176,8 @@ class AppendOnlyPartsStore:
                 merged = self.merge_transform(merged)
             n = self._write(merged, merged_dir)
             self.merges += 1
-            self.rows_rewritten += n
+            if n >= 0:  # count_rows=False writes report -1 (no count job)
+                self.rows_rewritten += n
             keep = [t for t in self.parts if t not in group]
             self.parts = keep + [(merged_dir, lvl + 1, n)]
             for p, _l, _n in group:

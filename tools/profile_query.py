@@ -74,7 +74,7 @@ def main() -> int:
             jobs_per_run.append(j1 - j0)
             spark.sparkContext.setJobDescription(None)
         if explain_tag:
-            os.makedirs("/root/repo/plans/r10", exist_ok=True)
+            os.makedirs("/root/repo/plans/r11", exist_ok=True)
             try:
                 txt = fn(spark, sf_dir)._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -82,7 +82,7 @@ def main() -> int:
                     )
                 )
                 with open(
-                    f"/root/repo/plans/r10/{name}_{explain_tag}.txt", "w"
+                    f"/root/repo/plans/r11/{name}_{explain_tag}.txt", "w"
                 ) as fh:
                     fh.write(txt)
             except Exception as exc:
