@@ -562,10 +562,16 @@ def main() -> None:
         else None
     )
     prior_file, prior = None, None
+    import re as _re
+
+    # canonical 32-core driver records only: BENCH_r10_c8.json is the
+    # driver's 8-CORE scaling run — normalizing this run's numbers
+    # against it flags phantom regressions (r11: q_top_customers 2.1x
+    # "regression" that was really a core-count mismatch)
     benches = sorted(
         f
         for f in os.listdir(here)
-        if f.startswith("BENCH_r") and f.endswith(".json")
+        if _re.match(r"BENCH_r\d+\.json$", f)
     )
     # Walk newest-first to the most recent USABLE prior: a driver
     # record whose parsed line carries a per-query map. BENCH_r07 has
